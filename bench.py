@@ -1,0 +1,70 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver records this as BENCH_r{N}.json and grades against BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from debezium_cdc_kafka_spark import registry
+from debezium_cdc_kafka_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the shuffling /
+# joining plans that dominate at scale. Extended as operator phases land.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q_distinct_agg",
+    "q_topk_parts_per_brand",
+    "q_running_total",
+    "q_setops_repeat_customers",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    queries = registry.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm the JVM + parquet footer caches once so per-query numbers measure
+    # execution, not first-touch session costs.
+    queries["q01_pricing_summary"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""Table catalog over the driver-generated Parquet test data.
+
+The reference exposes external Postgres tables through DuckDB ``ATTACH``
+(reference: app/utils/postgres.py:13–62); here the analogous catalog surface
+is Parquet-backed temp views registered on the SparkSession. At cluster
+scale the same loaders point at partitioned Parquet/Iceberg table roots —
+only the path changes, the plans don't.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+DIM_TABLES = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Column pruning + predicate pushdown reach the scan
+    because we return the raw reader output and let callers select/filter."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamps in the test parquet are timezone-naive; DuckDB reads them as
+    # UTC-naive. Pin the session TZ so date_format/collect agree with the
+    # oracle even when the caller's session (e.g. the driver's) didn't pin it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    Parquet reader rejects by default. Read nanos as int64 and truncate to
+    microsecond timestamps (exactly what DuckDB's µs TIMESTAMP does), so
+    oracle comparisons line up."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries can use
+    bare table names (mirrors the driver's DuckDB-side pre-registered views)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

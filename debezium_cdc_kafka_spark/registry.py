@@ -1,0 +1,40 @@
+"""Merged query/oracle registry — the single source for __spark_entry__.py.
+
+Modules register into their own QUERIES/ORACLES dicts; this module unions
+them and fails fast on duplicate names or oracle entries without queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _modules():
+    # Explicit list — update as operator modules land. A broken module must
+    # fail loudly here, not be skipped.
+    from .operators import relational
+
+    return [relational]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _modules():
+        for name, fn in getattr(mod, "QUERIES", {}).items():
+            if name in merged:
+                raise ValueError(f"duplicate query name {name!r} in {mod.__name__}")
+            merged[name] = fn
+    return merged
+
+
+def all_oracles() -> dict[str, str]:
+    queries = all_queries()
+    merged: dict[str, str] = {}
+    for mod in _modules():
+        for name, sql in getattr(mod, "ORACLES", {}).items():
+            if name not in queries:
+                raise ValueError(f"oracle {name!r} in {mod.__name__} has no matching query")
+            merged[name] = sql
+    return merged
