@@ -55,7 +55,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer DIV, not float division: epoch-nanos exceed 2^53, so a double
+    # intermediate would round the microsecond off by one
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

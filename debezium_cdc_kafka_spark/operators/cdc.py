@@ -1,0 +1,302 @@
+"""CDC apply operators — the reference's core semantics, Spark-first.
+
+The reference replays change events one at a time: poll → decode → dispatch
+on op → one SQL statement against the target (reference:
+app/consumer/consumer.py:55–75, app/utils/postgres.py:227–261). Here the
+same semantics are a declarative plan over a batch of events:
+
+  decode (C1) → tombstone filter (C2) → malformed containment (C3) →
+  per-key last-event-wins reduction → dispatch (C4) → merge (C5–C7).
+
+Two semantic modes, both oracle-tested:
+
+- **Upsert (default)** — per-key ``max_by(event, offset)`` then MERGE.
+  Idempotent across replays/batch retries, so Kafka's at-least-once
+  becomes effectively-once. A strict improvement over the reference (its
+  redelivery duplicates inserts), documented as a divergence.
+- **Strict replay** — bit-faithful to the reference's anomalies: the
+  target has no PK constraint (postgres.py:100–107), so re-inserting an
+  existing key duplicates the row; UPDATE/DELETE touch all rows of a key;
+  UPDATE/DELETE on a missing key are no-ops. Final multiset per key =
+  inserts since the last delete, each carrying the value of the last
+  subsequent update (window algebra below — still no per-row Python).
+
+Scale notes: every step is a narrow projection, a window over the key, or
+a key-partitioned join — at 100 TB the only shuffle is on the CDC key
+(Debezium keys messages by PK, so the stream is already key-partitioned;
+`repartition(key)` before the window reuses that partitioning). The merge
+is `foreachBatch`-friendly: see streaming/cdc_stream.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources.cdc_events import (
+    ENVELOPE_SCHEMA,
+    MALFORMED_MOD,
+    MALFORMED_REM,
+    TS_FMT,
+    derive_change_events,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+KNOWN_OPS = ("c", "r", "u", "d")
+
+
+def decode_envelope(raw: DataFrame, strict_ops: bool = True) -> DataFrame:
+    """Kafka records → typed change rows.
+
+    C1 envelope decode (bytes→JSON→payload ≙ consumer.py:65–71) via
+    `from_json`; C2 tombstone skip (consumer.py:66–68); C3 malformed
+    containment (consumer.py:78–79): unparseable JSON nulls out under
+    PERMISSIVE mode and is flagged, not dropped — callers route it to a
+    dead-letter sink or count it. C9 strictness: unknown op codes raise,
+    like the reference's ``RuntimeError`` (postgres.py:260–261).
+    """
+    parsed = raw.filter(F.col("value").isNotNull()).withColumn(
+        "envelope", F.from_json(F.col("value"), ENVELOPE_SCHEMA)
+    )
+    op = F.col("envelope.payload.op")
+    if strict_ops:
+        op = F.when(
+            op.isNull() | op.isin(*KNOWN_OPS), op
+        ).otherwise(F.raise_error(F.concat(F.lit("Unknown option: "), op)))
+    return parsed.select(
+        F.col("envelope.payload.before").alias("before"),
+        F.col("envelope.payload.after").alias("after"),
+        op.alias("op"),
+        F.coalesce(F.col("envelope.payload.after.id"), F.col("envelope.payload.before.id")).alias(
+            "id"
+        ),
+        F.col("offset"),
+        # PERMISSIVE from_json yields a struct with a null payload on corrupt
+        # input (not a null struct) — that null payload is the malformed flag
+        F.col("envelope.payload").isNull().alias("is_malformed"),
+    )
+
+
+def well_formed(changes: DataFrame) -> DataFrame:
+    return changes.filter(~F.col("is_malformed"))
+
+
+def last_event_per_key(changes: DataFrame, key: str = "id", order: str = "offset") -> DataFrame:
+    """Per-key last-event-wins reduction — replaces the reference's serial
+    replay ordering. Shuffles once on the key; Debezium's PK-keyed
+    partitioning means within-key offset order is total, so this is exact."""
+    w = W.partitionBy(key).orderBy(F.col(order).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+# Materialized CDC state: the after-image plus merge bookkeeping. Delete
+# events are RETAINED as tombstone rows (_deleted=true) so that a stale
+# re-delivered event with a lower offset can never resurrect a deleted key —
+# this makes the state merge commutative and idempotent across batches, not
+# just replay-safe when batches arrive in order.
+STATE_COLS = ("id", "value", "ts", "_offset", "_deleted")
+
+
+def materialize(changes: DataFrame) -> DataFrame:
+    """A batch of decoded change events → CDC state fragment (one row per
+    key: latest event's after-image, or a tombstone for deletes)."""
+    last = last_event_per_key(well_formed(changes))
+    return last.select(
+        F.col("id"),
+        F.col("after.value").alias("value"),
+        F.col("after.ts").alias("ts"),
+        F.col("offset").alias("_offset"),
+        (F.col("op") == "d").alias("_deleted"),
+    )
+
+
+def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Monoid merge of two state fragments: per key, the row with the
+    highest offset wins. Commutative + associative + idempotent (offsets
+    are unique per key), so micro-batches can arrive out of order, be
+    retried, or be re-split arbitrarily — the fixpoint is the same.
+    One shuffle on the key; at Debezium-keyed-topic scale the input is
+    already partitioned by key, so AQE keeps this cheap."""
+    return last_event_per_key(a.unionByName(b), key="id", order="_offset")
+
+
+def apply_changes(state: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE a batch of decoded change events into a CDC state snapshot.
+    With Delta/Iceberg on the cluster this maps to ``MERGE INTO`` keyed on
+    (id) with an offset guard (`WHEN MATCHED AND src._offset > tgt._offset`)."""
+    return merge_states(state, materialize(changes))
+
+
+def state_view(state: DataFrame) -> DataFrame:
+    """User-facing table: tombstones filtered out, bookkeeping dropped."""
+    return state.filter(~F.col("_deleted")).select("id", "value", "ts")
+
+
+def empty_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "id long, value double, ts string, _offset long, _deleted boolean"
+    )
+
+
+def final_state_upsert(changes: DataFrame) -> DataFrame:
+    """Default semantics: the target after replaying `changes` into an empty
+    table with MERGE-style upserts (c/r/u all upsert, d deletes)."""
+    return state_view(materialize(changes))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-tested queries.
+# ---------------------------------------------------------------------------
+
+_WELL_FORMED_SQL = f"""
+  SELECT user_id, value, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+  WHERE event_id % {MALFORMED_MOD} <> {MALFORMED_REM}
+"""
+
+CDC_FINAL_ORACLE = f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM well_formed
+)
+SELECT user_id AS id, round(value, 2) AS value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
+@query("cdc_final_state", CDC_FINAL_ORACLE)
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC pipeline, upsert semantics: synthesize the Debezium
+    stream, decode envelopes, skip tombstones/malformed, last-event-wins,
+    drop deletes → final target state."""
+    raw = derive_change_events(spark, sf_dir)
+    final = final_state_upsert(decode_envelope(raw))
+    return final.select("id", F.round("value", 2).alias("value"), "ts")
+
+
+CDC_OP_COUNTS_ORACLE = f"""
+WITH decoded AS (
+  SELECT CASE
+    WHEN event_id % {MALFORMED_MOD} = {MALFORMED_REM} THEN '_malformed'
+    ELSE CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END
+  END AS op
+  FROM events
+  UNION ALL
+  -- a tombstone follows every delete; corruption hits the delete's own
+  -- message, never the (already-null) tombstone
+  SELECT '_tombstone' AS op FROM events WHERE event_type = 'error'
+)
+SELECT op, count(*) AS n FROM decoded GROUP BY op
+"""
+
+
+@query("cdc_op_counts", CDC_OP_COUNTS_ORACLE)
+def cdc_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: message counts by disposition (per-op apply
+    counts + tombstones skipped + malformed contained). The reference only
+    logs these (consumer.py:72–79); here they're a first-class aggregate."""
+    raw = derive_change_events(spark, sf_dir)
+    tomb = raw.filter(F.col("value").isNull()).select(F.lit("_tombstone").alias("op"))
+    decoded = decode_envelope(raw)
+    ops = decoded.select(
+        F.when(F.col("is_malformed"), "_malformed").otherwise(F.col("op")).alias("op")
+    )
+    return ops.unionByName(tomb).groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+CDC_STRICT_ORACLE = f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+annotated AS (
+  SELECT *,
+    max(CASE WHEN op = 'd' THEN event_id END)
+      OVER (PARTITION BY user_id) AS last_delete,
+    first_value(CASE WHEN op = 'u' THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_update_value
+  FROM well_formed
+)
+SELECT id, value, count(*) AS n_rows
+FROM (
+  SELECT user_id AS id, round(coalesce(last_update_value, value), 2) AS value
+  FROM annotated
+  WHERE op = 'c' AND event_id > coalesce(last_delete, -1)
+)
+GROUP BY id, value
+"""
+
+
+@query("cdc_strict_replay_state", CDC_STRICT_ORACLE)
+def cdc_strict_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful strict replay (anomalies preserved, SURVEY §2.2):
+
+    - the target has no PK (postgres.py:100–107) → repeated inserts for a
+      live key DUPLICATE the row; `n_rows` counts them;
+    - UPDATE rewrites every duplicate (postgres.py:173–178 keys on id);
+    - UPDATE/DELETE on an absent key are no-ops (0-row DML doesn't error);
+    - DELETE removes all rows of the key (postgres.py:214–219).
+
+    Final multiset per key = inserts after the last delete, valued at the
+    last subsequent update (or their own insert image). Computed with two
+    windows — no serial replay, no Python loop, shuffles only on the key.
+    """
+    raw = derive_change_events(spark, sf_dir)
+    ch = well_formed(decode_envelope(raw)).select(
+        "id", "op", "offset", F.col("after.value").alias("value")
+    )
+    w_key = W.partitionBy("id")
+    w_desc = (
+        W.partitionBy("id")
+        .orderBy(F.col("offset").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    annotated = ch.withColumn(
+        "last_delete", F.max(F.when(F.col("op") == "d", F.col("offset"))).over(w_key)
+    ).withColumn(
+        "last_update_value",
+        F.first(F.when(F.col("op") == "u", F.col("value")), ignorenulls=True).over(w_desc),
+    )
+    live_inserts = annotated.filter(
+        (F.col("op") == "c") & (F.col("offset") > F.coalesce(F.col("last_delete"), F.lit(-1)))
+    )
+    return (
+        live_inserts.select(
+            "id", F.round(F.coalesce("last_update_value", "value"), 2).alias("value")
+        )
+        .groupBy("id", "value")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query("cdc_incremental_merge", CDC_FINAL_ORACLE)
+def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental apply ≡ one-shot replay: split the stream at a time
+    boundary, MERGE batch 1 into an empty target, then MERGE batch 2 —
+    the result must equal the single-pass final state (same oracle).
+    This is exactly what `foreachBatch` does per micro-batch."""
+    raw = derive_change_events(spark, sf_dir)
+    split = F.lit("2024-01-16").cast("timestamp")
+    batch1 = decode_envelope(raw.filter(F.col("timestamp") < split))
+    batch2 = decode_envelope(raw.filter(F.col("timestamp") >= split))
+    target1 = apply_changes(empty_state(spark), batch1)
+    target2 = apply_changes(target1, batch2)
+    return state_view(target2).select("id", F.round("value", 2).alias("value"), "ts")

@@ -1,0 +1,121 @@
+"""Deterministic Debezium-shaped change stream derived from the `events` table.
+
+The reference consumes Kafka messages whose value is a Debezium JSON
+envelope ``{"payload": {"op", "before", "after", ...}}`` (reference:
+app/consumer/consumer.py:65–71, app/utils/postgres.py:250–259) plus
+null-value tombstones after deletes (consumer.py:66–68). The driver's test
+data has no Kafka broker, so this module synthesizes an equivalent
+Kafka-record DataFrame from `events` — fully distributed (no collect), and
+deterministic so a DuckDB oracle can reproduce the mapping:
+
+- op:  event_type 'signup' → 'c' (insert), 'error' → 'd' (delete),
+       anything else → 'u' (update); keyed by user_id.
+- replay order: event_id (unique, monotone with generation order);
+  Kafka offset = 2*event_id, tombstones at 2*event_id+1 so each delete's
+  tombstone immediately follows it, mirroring Debezium.
+- malformed messages: events with event_id % 97 == 13 get a corrupt JSON
+  body — the consumer must skip them (consumer.py:78–79 behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+TOPIC = "dbserver1.inventory.customers"
+
+# The fraction-of-second format is 6-digit microseconds in both Spark
+# (SSSSSS) and DuckDB (%f), so envelope timestamps round-trip identically.
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+MALFORMED_MOD = 97
+MALFORMED_REM = 13
+
+# Debezium envelope: only the fields the reference actually reads
+# (postgres.py:251–259) plus ts_ms, which it carries but ignores.
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("op", T.StringType()),
+                    T.StructField(
+                        "before",
+                        T.StructType([T.StructField("id", T.LongType())]),
+                    ),
+                    T.StructField(
+                        "after",
+                        T.StructType(
+                            [
+                                T.StructField("id", T.LongType()),
+                                T.StructField("value", T.DoubleType()),
+                                T.StructField("ts", T.StringType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField("ts_ms", T.LongType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def op_expr():
+    """event_type → Debezium op code (the generator's op chooser inverted)."""
+    return (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+
+
+def derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → Kafka-record-shaped DataFrame:
+    (key string, value string|null, topic, partition int, offset long,
+    timestamp) — the exact input contract of `operators.cdc.decode_envelope`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    op = op_expr()
+    after = F.when(
+        op.isin("c", "u"),
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.col("value").alias("value"),
+            F.date_format("ts", TS_FMT).alias("ts"),
+        ),
+    )
+    before = F.when(op == "d", F.struct(F.col("user_id").alias("id")))
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                op.alias("op"),
+                before.alias("before"),
+                after.alias("after"),
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    malformed = (F.col("event_id") % MALFORMED_MOD) == MALFORMED_REM
+    base = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.when(malformed, F.lit('{"payload": <corrupt>')).otherwise(envelope).alias("value"),
+        F.lit(TOPIC).alias("topic"),
+        F.lit(0).alias("partition"),
+        (F.col("event_id") * 2).alias("offset"),
+        F.col("ts").alias("timestamp"),
+        op.alias("_op_hint"),  # only for building tombstones; dropped below
+    )
+    tombstones = base.filter(F.col("_op_hint") == "d").select(
+        "key",
+        F.lit(None).cast("string").alias("value"),
+        "topic",
+        "partition",
+        (F.col("offset") + 1).alias("offset"),
+        "timestamp",
+    )
+    return base.drop("_op_hint").unionByName(tombstones)
