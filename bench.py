@@ -29,6 +29,11 @@ HEADLINE = [
     "q_topk_parts_per_brand",
     "q_running_total",
     "q_setops_repeat_customers",
+    "cdc_final_state",
+    "q_sessionize_30m",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality_stats",
 ]
 
 

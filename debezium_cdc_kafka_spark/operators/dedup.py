@@ -1,0 +1,399 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its dedup story is "Postgres PK identity",
+SURVEY §2.2) — these are the north-star extensions, built Spark-first:
+
+- exact dedup        → hash + groupBy (one shuffle on the 128-bit digest)
+- n-gram Jaccard     → shingle inverted index + self-join (exhaustive)
+- MinHash + LSH      → signature agg + band-bucket join (the scale path:
+                       candidate generation is linear in corpus size,
+                       verification only touches bucket collisions)
+- SimHash            → bitwise sketch + nibble-band join + Hamming verify
+- embedding near-dup → cosine pairs inside coarse blocks (label = IVF cell)
+
+Everything is column algebra over md5-derived hashes (functions/hashing.py)
+so a DuckDB oracle reproduces each pipeline bit-for-bit — no Python UDFs
+anywhere.
+
+Scale notes (100 TB): the shingle inverted index is the only quadratic
+risk — stop-shingles (appearing in > X% of docs) should be dropped at
+scale exactly like stopwords; MinHash bands keep candidate counts near-
+linear; all joins here shuffle on content-derived keys which are uniform
+by construction (hashes), so no skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import (
+    MERSENNE_P,
+    md5_long,
+    md5_long_sql,
+    minhash_perm,
+    minhash_perm_sql,
+)
+from ..functions.textfns import shingles, shingles_sql, tokens, tokens_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-gram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("sh")
+    )
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({shingles_sql("t")}) AS sh FROM toks),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy. The corpus is documents unioned with itself
+# (simulating a re-crawl) so the operator provably collapses duplicates.
+# ---------------------------------------------------------------------------
+
+EXACT_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id AS uid, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS uid, text FROM documents
+)
+SELECT md5(text) AS content_hash,
+       min(uid)  AS canonical_id,
+       count(*)  AS n_copies
+FROM corpus
+GROUP BY content_hash
+"""
+
+
+@query("dedup_exact", EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a simulated re-crawl (corpus ∪ corpus): group by
+    content digest, keep the smallest id as canonical. One shuffle, on the
+    digest — uniformly distributed, no skew at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.select((F.col("doc_id") + 10_000_000).alias("uid"), "text")
+    corpus = docs.select(F.col("doc_id").alias("uid"), "text").unionByName(recrawl)
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("uid").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive n-gram Jaccard via shingle inverted index.
+# ---------------------------------------------------------------------------
+
+NGRAM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+)
+SELECT d1, d2, round(common * 1.0 / (c1.n + c2.n - common), 3) AS jaccard
+FROM pairs JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+WHERE common * 1.0 / (c1.n + c2.n - common) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-gram Jaccard ≥ 0.8, by self-joining the
+    shingle inverted index. Exhaustive ground truth for the MinHash variant.
+
+    Scale: join key is the shingle (uniform hash distribution); frequency-
+    capping hot shingles (df > 1% of corpus) bounds the worst case — at
+    this corpus size none qualify."""
+    sh = doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        pairs.join(c1, "d1")
+        .join(c2, "d2")
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding: the sub-quadratic scale path.
+# ---------------------------------------------------------------------------
+
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    x = md5_long(F.col("sh")) % MERSENNE_P
+    mins = [F.min(minhash_perm(x, i)).alias(f"m{i}") for i in range(N_PERMS)]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _band_sql_exprs() -> list[str]:
+    out = []
+    for b in range(N_BANDS):
+        cols = ", ".join(f"m{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+        out.append(f"SELECT doc_id, {b} AS band_idx, concat_ws('_', {cols}) AS band_val FROM sig")
+    return out
+
+
+_X_SQL = f"{md5_long_sql('sh')} % {MERSENNE_P}"
+_SIG_SQL = ", ".join(
+    f"min({minhash_perm_sql(_X_SQL, i)}) AS m{i}" for i in range(N_PERMS)
+)
+
+MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM sh GROUP BY doc_id),
+bands AS ({" UNION ALL ".join("(" + s + ")" for s in _band_sql_exprs())}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.d1, c.d2, count(*) AS common
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  GROUP BY c.d1, c.d2
+)
+SELECT v.d1, v.d2, round(v.common * 1.0 / (c1.n + c2.n - v.common), 3) AS jaccard
+FROM verified v JOIN cnt c1 ON c1.doc_id = v.d1 JOIN cnt c2 ON c2.doc_id = v.d2
+WHERE v.common * 1.0 / (c1.n + c2.n - v.common) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH banding (4 bands × 4 rows) + exact-Jaccard
+    verification of candidates only.
+
+    Scale: signatures are one groupBy over the shingle index (map-side
+    partial min); the band join touches only signature rows (16 ints/doc,
+    ~10^9 docs is still small); verification cost is proportional to the
+    number of COLLIDING pairs, not all pairs — this is the 100 TB dedup
+    plan. The band-collision probability curve (s^4 per band) puts the
+    LSH knee near Jaccard ≈ 0.7 for this parameterization."""
+    sh = doc_shingles(spark, sf_dir)
+    sig = _minhash_signatures(sh)
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"m{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("s2_doc"), F.col("sh").alias("sh2"))
+    verified = (
+        cand.join(s1, "d1")
+        .join(s2, (F.col("d2") == F.col("s2_doc")) & (F.col("sh2") == F.col("sh1")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        verified.join(c1, "d1")
+        .join(c2, "d2")
+        .filter(jac >= 0.5)
+        .select("d1", "d2", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit sketch over shingles, Hamming ≤ 3 via nibble banding.
+# ---------------------------------------------------------------------------
+
+N_BITS = 16
+N_NIBBLES = 4
+
+_H_SQL = md5_long_sql("sh")
+_BITSUM_SQL = ", ".join(
+    f"sum(CASE WHEN (({_H_SQL}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(N_BITS)
+)
+_SIMHASH_VAL_SQL = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(N_BITS))
+_NIBBLE_SQL = " UNION ALL ".join(
+    f"(SELECT doc_id, simhash, {k} AS nib_idx, (simhash >> {4 * k}) & 15 AS nib FROM sim)"
+    for k in range(N_NIBBLES)
+)
+
+SIMHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bitsums AS (SELECT doc_id, {_BITSUM_SQL} FROM sh GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash FROM bitsums),
+nibs AS ({_NIBBLE_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
+  FROM nibs a JOIN nibs b
+    ON a.nib_idx = b.nib_idx AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= 3
+"""
+
+
+@query("dedup_simhash", SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit sketch (per-bit vote over shingle
+    hashes), candidates via 4-bit nibble bands (pigeonhole: Hamming ≤ 3 ⇒
+    at least one of 4 nibbles matches), exact Hamming verification.
+
+    Scale: the sketch is one groupBy; candidates join 4 small rows/doc on
+    uniformly-distributed nibble keys; Hamming is one XOR+popcount —
+    SimHash is the cheapest near-dup sketch when feature sets are large."""
+    sh = doc_shingles(spark, sf_dir)
+    h = md5_long(F.col("sh"))
+    bitsums = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(N_BITS)
+        ]
+    )
+    simhash = reduce(
+        lambda acc, b: acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(1, N_BITS),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    sim = bitsums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    nibs = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.shiftright(F.col("simhash"), 4 * k).bitwiseAND(F.lit(15)) for k in range(N_NIBBLES)]
+            )
+        ).alias("nib_idx", "nib"),
+    )
+    a, b = nibs.alias("a"), nibs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.nib_idx") == F.col("b.nib_idx"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.filter(hamming <= 3).select(
+        "d1", "d2", hamming.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: cosine pairs inside coarse blocks.
+# ---------------------------------------------------------------------------
+
+EMB_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+EMB_NORM_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE)))"
+)
+
+EMBDUP_ORACLE = f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round({EMB_DOT_SQL} / sqrt(({EMB_NORM_SQL.format(t="a")}) * ({EMB_NORM_SQL.format(t="b")})), 3) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {EMB_DOT_SQL} / sqrt(({EMB_NORM_SQL.format(t="a")}) * ({EMB_NORM_SQL.format(t="b")})) >= 0.4
+"""
+
+
+def dot_expr(a: str, b: str):
+    """Sequential-fold double dot product — same accumulation order as
+    DuckDB's list_sum, so results are bit-identical across engines."""
+    prods = F.zip_with(
+        F.transform(F.col(a), lambda x: x.cast("double")),
+        F.transform(F.col(b), lambda x: x.cast("double")),
+        lambda x, y: x * y,
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sq_norm_expr(a: str):
+    return F.aggregate(
+        F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("dedup_embedding_cosine", EMBDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: cosine ≥ 0.4 between embeddings sharing a
+    coarse block (label = IVF cell id). Blocking turns the quadratic pair
+    space into per-cell quadratics — the standard embedding-dedup plan;
+    at 100 TB the cells come from a k-means coarse quantizer and the join
+    shuffles once on cell id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("embedding").alias("e1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("embedding").alias("e2")
+    )
+    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
+    cos = dot_expr("e1", "e2") / F.sqrt(sq_norm_expr("e1") * sq_norm_expr("e2"))
+    return pairs.filter(cos >= 0.4).select("v1", "v2", F.round(cos, 3).alias("cosine"))

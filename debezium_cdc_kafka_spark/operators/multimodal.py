@@ -1,0 +1,168 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as opaque
+``binary`` columns with a typed metadata struct beside them, and runs
+decode / feature-extraction as Arrow-batched Python over `mapInPandas`.
+This module implements that plumbing for real — schema, partitioning,
+batch iteration, deterministic outputs — with the codec itself STUBBED
+(`NotImplementedError` for real formats, a deterministic fake for the
+synthetic corpus) because no image/audio libraries ship in this
+container. Swapping `_decode_fake` for PIL/ffmpeg is a one-function
+change; nothing else moves.
+
+The blob fixture derives from documents.text (utf-8 bytes) so metadata
+extraction is oracle-testable in DuckDB (`multimodal_blob_meta`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """documents → multimodal rows: (doc_id, payload binary, meta struct).
+
+    At ingest scale the payload comes from the object store and `meta`
+    from the upstream manifest; here it derives from text so tests are
+    hermetic. The struct is the engine's multimodal column contract:
+    every modality op keys off meta.format, never sniffs bytes."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake/utf8-text").alias("format"),
+            F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+            F.md5(F.col("text")).alias("digest"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+BLOB_META_ORACLE = """
+SELECT
+  doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  md5(text)                               AS digest,
+  source                                  AS origin,
+  CAST(octet_length(encode(text)) = n_chars AS INT) AS size_consistent
+FROM documents
+"""
+
+
+@query("multimodal_blob_meta", BLOB_META_ORACLE)
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata extraction over the binary payload column — the cheap
+    JVM-side pass (length/digest/format checks) that runs BEFORE any
+    Python decode, so corrupt or mis-manifested blobs are quarantined
+    without paying Arrow transfer for them."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_blob(docs)
+    return blobs.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.digest").alias("digest"),
+        F.col("meta.origin").alias("origin"),
+        (F.col("meta.n_bytes") == F.length("payload")).cast("int").alias("size_consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched decode / feature extraction (the Python slow path, stubbed).
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = (
+    "doc_id long, format string, n_bytes int, width int, height int, "
+    "n_frames int, brightness double"
+)
+
+
+def _decode_fake(payload: bytes) -> dict:
+    """Deterministic stand-in for an image/video decoder: derives pseudo
+    dimensions from the byte content. Replace with PIL/ffmpeg at will —
+    the mapInPandas contract (bytes in, feature dict out) is the real
+    interface."""
+    n = len(payload)
+    checksum = sum(payload[:64]) if n else 0
+    return {
+        "width": 64 + checksum % 64,
+        "height": 64 + (checksum // 64) % 64,
+        "n_frames": 1,
+        "brightness": round((checksum % 255) / 255.0, 6),
+    }
+
+
+_REAL_FORMATS = ("image/", "audio/", "video/")
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """`mapInPandas` feature extraction over multimodal rows.
+
+    Real plumbing, stubbed codec: batches arrive as Arrow-backed pandas
+    frames (zero-copy for the binary column), each partition streams
+    batches through the decoder without materializing the partition.
+    Real formats raise NotImplementedError — by design, loudly, matching
+    the engine's strict unknown-input posture (cf. unknown CDC op)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts = pdf["format"]
+            real = fmts.str.startswith(_REAL_FORMATS)
+            if real.any():
+                raise NotImplementedError(
+                    f"no codec for {sorted(fmts[real].unique())} in this environment; "
+                    "install PIL/ffmpeg and replace _decode_fake"
+                )
+            feats = pdf["payload"].map(_decode_fake)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmts,
+                    "n_bytes": pdf["n_bytes"].astype("int32"),
+                    "width": feats.map(lambda f: f["width"]).astype("int32"),
+                    "height": feats.map(lambda f: f["height"]).astype("int32"),
+                    "n_frames": feats.map(lambda f: f["n_frames"]).astype("int32"),
+                    "brightness": feats.map(lambda f: f["brightness"]),
+                }
+            )
+            yield out
+
+    flat = blobs.select(
+        "doc_id", "payload", F.col("meta.format").alias("format"), F.col("meta.n_bytes").alias("n_bytes")
+    )
+    return flat.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pass signature (payload→payload). Stub: identity on fake
+    blobs, NotImplementedError on real formats — keeps the pipeline shape
+    (chainable payload transforms) testable without codecs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            real = pdf["format"].str.startswith(_REAL_FORMATS)
+            if real.any():
+                raise NotImplementedError("no resize codec in this environment")
+            yield pdf
+
+    flat = blobs.select("doc_id", "payload", F.col("meta.format").alias("format"))
+    return flat.mapInPandas(run, "doc_id long, payload binary, format string")

@@ -1,0 +1,252 @@
+"""Similarity search over the embeddings table (ANN, north-star extension).
+
+Three plans, from exact to scale-path:
+
+- brute-force top-k   → broadcast the query set against the corpus; exact.
+- IVF top-k           → restrict candidates to the query's coarse cell
+                        (label column = cell assignment); the standard
+                        billion-vector layout: partition corpus by cell,
+                        probe only matching partitions.
+- hyperplane LSH      → 8 deterministic random hyperplanes → 8-bit bucket;
+                        candidates share the query's bucket.
+
+Cosine is a sequential-fold double dot product (functions shared with
+operators/dedup.py) so the DuckDB oracle reproduces values bit-for-bit;
+no Pandas UDF is needed for 64-dim vectors — `zip_with`/`aggregate` stay
+inside whole-stage codegen. For very high dims or batched GEMM, swap
+`dot_expr` for a vectorized Pandas UDF (see operators/multimodal.py for
+the Arrow plumbing pattern).
+
+Scale notes: queries are broadcast (they're the small side by
+construction); the corpus scan is embarrassingly parallel; top-k per query
+is a window over (query, cell) partitions — bounded by k, no global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..functions.hashing import md5_long, md5_long_sql
+from .dedup import EMB_DOT_SQL, EMB_NORM_SQL, dot_expr, sq_norm_expr
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Query set: every 100th vector (deterministic, SF-independent rule).
+_QUERY_PRED = "vec_id % 100 = 0"
+
+_COS_SQL = (
+    f"{EMB_DOT_SQL} / sqrt(({EMB_NORM_SQL.format(t='a')}) * ({EMB_NORM_SQL.format(t='b')}))"
+)
+
+BRUTE_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {_COS_SQL} AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.{_QUERY_PRED}
+)
+SELECT query_id, cand_id, CAST(rk AS INT) AS rk, round(cos, 3) AS cosine
+FROM scored WHERE rk <= 5
+"""
+
+
+def _cosine(e1: str, e2: str):
+    return dot_expr(e1, e2) / F.sqrt(sq_norm_expr(e1) * sq_norm_expr(e2))
+
+
+@query("ann_bruteforce_topk", BRUTE_ORACLE)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN (k=5, cosine): broadcast queries × full corpus scan +
+    per-query top-k window. The baseline every ANN variant is measured
+    against. Rank tiebreaks on cand_id for cross-engine determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "rk", F.round("cos", 3).alias("cosine"))
+    )
+
+
+IVF_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {_COS_SQL} AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM embeddings a JOIN embeddings b
+    ON b.label = a.label AND b.vec_id <> a.vec_id
+  WHERE a.{_QUERY_PRED}
+)
+SELECT query_id, cand_id, CAST(rk AS INT) AS rk, round(cos, 3) AS cosine
+FROM scored WHERE rk <= 3
+"""
+
+
+@query("ann_ivf_topk", IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (label column =
+    cell assignment from a k-means quantizer). Candidate count drops by
+    the cell count; at scale the corpus is partitioned/bucketed by cell so
+    a probe reads one partition — this is the 100 TB layout (nprobe > 1 =
+    union over the nearest cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql"), F.col("embedding").alias("e1")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cl"), F.col("embedding").alias("e2")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cl") == F.col("ql")) & (F.col("cand_id") != F.col("query_id")))
+        .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "rk", F.round("cos", 3).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH: deterministic pseudo-random planes from md5 so the SQL
+# oracle regenerates the same family. plane[p][d] ∈ [-1, 1).
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+DIM = 64
+
+# plane weight for (plane p, 1-based dim d) — regenerable in any engine
+_PD_EXPR = "CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)"
+_PLANE_W_SQL = f"(({md5_long_sql(_PD_EXPR)} % 2001) - 1000) / 1000.0"
+
+LSH_ORACLE = f"""
+WITH planes AS (
+  SELECT p, list_transform(range(1, {DIM + 1}), d -> {_PLANE_W_SQL}) AS w
+  FROM (SELECT unnest(range(0, {N_PLANES})) AS p)
+),
+proj AS (
+  -- sequential list fold, same accumulation order as Spark's aggregate()
+  SELECT e.vec_id, CAST(pl.p AS INT) AS p,
+         list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> pl.w[i] * CAST(e.embedding[i] AS DOUBLE))) AS dot
+  FROM embeddings e JOIN planes pl ON true
+),
+buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {_COS_SQL} AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM embeddings a
+  JOIN buckets qa ON qa.vec_id = a.vec_id
+  JOIN buckets cb ON cb.bucket = qa.bucket AND cb.vec_id <> a.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+  WHERE a.{_QUERY_PRED}
+)
+SELECT query_id, cand_id, CAST(rk AS INT) AS rk, round(cos, 3) AS cosine
+FROM scored WHERE rk <= 3
+"""
+
+
+@query("ann_lsh_hyperplane", LSH_ORACLE)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 md5-seeded planes → 8-bit sign bucket;
+    candidates share the query's bucket; exact cosine re-rank inside.
+
+    Scale: bucketing is a projection (8 dots/vector, one pass); the
+    candidate join is an equi-join on bucket — at 100 TB you'd bucket-
+    partition the corpus table so probes prune to one partition, and use
+    multi-probe (flip low-margin bits) to recover recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(N_PLANES)
+        .select(F.col("id").cast("int").alias("p"))
+        .select(
+            "p",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda d: (
+                    (md5_long(F.concat(F.col("p").cast("string"), F.lit(":"), d.cast("string"))) % 2001)
+                    - 1000
+                )
+                / 1000.0,
+            ).alias("w"),
+        )
+    )
+    proj = (
+        emb.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "p",
+            dot_expr("w", "embedding").alias("dot"),
+        )
+    )
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(
+            # shiftleft() needs a literal shift in the Python API; expr form
+            # accepts the column
+            F.when(F.col("dot") > 0, F.expr("shiftleft(1, p)")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(_QUERY_PRED))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1"))
+        .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id")
+    )
+    c = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2"))
+        .join(buckets.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .withColumnRenamed("bucket", "cbucket")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cbucket") == F.col("bucket")) & (F.col("cand_id") != F.col("query_id")))
+        .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "rk", F.round("cos", 3).alias("cosine"))
+    )

@@ -1,0 +1,228 @@
+"""Text analysis operators over the documents table (north-star extension).
+
+Language-ID, quality scoring, token counting, and fingerprinting — the
+per-document passes a training-data pipeline runs before dedup/filtering.
+All pure `pyspark.sql.functions` column algebra (split/regexp/array ops),
+whole-stage-codegen'd; nothing leaves the JVM.
+
+Scale: every operator here is a narrow map over documents — no shuffle at
+all except the final aggregates — so they pipeline with the Parquet scan
+and with each other at any corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..functions.textfns import tokens, tokens_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+STATS_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, n_chars, {tokens_sql("text")} AS toks FROM documents)
+SELECT
+  doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(toks), 1), 4)
+                         AS avg_token_len,
+  round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 4) AS punct_ratio,
+  round(CAST(len(list_filter(toks, t -> list_contains({_SW_LIST_SQL}, t))) AS DOUBLE)
+        / greatest(len(toks), 1), 4) AS stopword_ratio,
+  CAST(length(text) = n_chars AS INT) AS len_consistent
+FROM t
+"""
+
+
+@query("text_quality_stats", STATS_ORACLE)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    punctuation ratio, stopword ratio — the standard heuristic filters
+    (C4/Gopher-style) a data pipeline thresholds on."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.greatest(n_toks, F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+            / F.greatest(n_toks, F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+        (F.length("text") == F.col("n_chars")).cast("int").alias("len_consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: marker-token voting (n-gram heuristic classifier).
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "und", "die", "nicht", "ist"),
+    "es": ("el", "los", "que", "una", "para"),
+    "fr": ("le", "les", "des", "est", "une"),
+}
+
+_LANG_ORDER = tuple(LANG_MARKERS)  # deterministic tiebreak order
+
+
+def _lang_score_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+
+
+_BEST_SQL = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANG_ORDER) + ")"
+_PRED_SQL = (
+    "CASE WHEN " + _BEST_SQL + " = 0 THEN 'unknown' "
+    + " ".join(f"WHEN s_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in _LANG_ORDER)
+    + " END"
+)
+
+LANGID_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {tokens_sql("text")} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANG_ORDER)}
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang, {_PRED_SQL} AS pred_lang,
+       CAST({_BEST_SQL} AS INT) AS score
+FROM scored
+"""
+
+
+@query("text_langid", LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: count hits from per-language stopword
+    sets, argmax with a fixed tiebreak order (first language in declaration
+    order wins; zero hits → 'unknown'). The synthetic corpus is English-
+    flavored so this mostly predicts 'en' — the operator under test is the
+    classifier plumbing, not the lexicons."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def score(lg: str):
+        # bind the marker array outside the lambda: a 2-arg lambda would be
+        # treated as the (element, index) higher-order-function form
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lg]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias(f"s_{lg}")
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[score(lg) for lg in _LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_ORDER])
+    pred = F.when(best == 0, "unknown")
+    for lg in _LANG_ORDER:
+        pred = pred.when(F.col(f"s_{lg}") == best, lg)
+    return scored.select(
+        "doc_id", "labeled_lang", pred.alias("pred_lang"), best.cast("int").alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace words vs BPE-ish subword segments.
+# ---------------------------------------------------------------------------
+
+TOKCOUNT_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         {tokens_sql("text")} AS words,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS bpeish,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT source,
+       count(*)                                  AS n_docs,
+       CAST(sum(len(words)) AS BIGINT)           AS total_words,
+       CAST(sum(len(bpeish)) AS BIGINT)          AS total_bpeish_tokens,
+       CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_llm_tokens
+FROM t
+GROUP BY source
+"""
+
+
+@query("text_token_counts", TOKCOUNT_ORACLE)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace words, a BPE-ish
+    regex segmentation (letters / digits / single punctuation — the GPT-2
+    pre-tokenizer shape), and the chars/4 rule-of-thumb LLM estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = tokens(F.col("text"))
+    bpeish = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return (
+        docs.select("source", words.alias("w"), bpeish.alias("b"), F.length("text").alias("nc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("w")).alias("total_words"),
+            F.sum(F.size("b")).alias("total_bpeish_tokens"),
+            F.sum(F.ceil(F.col("nc") / 4.0)).alias("est_llm_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting.
+# ---------------------------------------------------------------------------
+
+FNGR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp,
+         md5(array_to_string(list_sort(list_distinct({tokens_sql("text")})), ' ')) AS bag_fp
+  FROM documents
+)
+SELECT doc_id, norm_fp, bag_fp,
+       count(*) OVER (PARTITION BY bag_fp) AS bag_group_size
+FROM t
+"""
+
+
+@query("text_fingerprint", FNGR_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two canonical fingerprints per document: normalized-text md5
+    (whitespace/punctuation-insensitive exact dup) and sorted-bag-of-words
+    md5 (word-order-insensitive dup, OpenRefine-style clustering key),
+    plus the bag-collision group size — docs sharing a bag_fp are
+    reorderings of the same vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    t = docs.select("doc_id", F.md5(norm).alias("norm_fp"), F.md5(bag).alias("bag_fp"))
+    return t.withColumn("bag_group_size", F.count(F.lit(1)).over(W.partitionBy("bag_fp")))

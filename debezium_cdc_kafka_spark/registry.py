@@ -14,9 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     # Explicit list — update as operator modules land. A broken module must
     # fail loudly here, not be skipped.
-    from .operators import cdc, relational, windows
+    from .operators import cdc, dedup, multimodal, relational, similarity, text, windows
 
-    return [relational, cdc, windows]
+    return [relational, cdc, windows, dedup, similarity, text, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

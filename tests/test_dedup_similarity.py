@@ -1,0 +1,39 @@
+"""Semantic cross-checks between the sketch-based and exhaustive variants
+(the per-query oracle parity is covered by tests/test_relational.py)."""
+
+from __future__ import annotations
+
+from debezium_cdc_kafka_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from debezium_cdc_kafka_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_ivf_topk,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_recall_of_high_jaccard_pairs(spark):
+    """LSH banding (4 bands × 4 rows) must catch essentially every pair the
+    exhaustive index finds at Jaccard ≥ 0.8 (collision prob 1-(1-s^4)^4 ≈
+    0.996 at s=0.8; the planted near-dups are ≥ 0.9)."""
+    exhaustive = {(r.d1, r.d2) for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()}
+    lsh = {(r.d1, r.d2) for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    assert exhaustive, "fixture should contain planted near-duplicates"
+    missed = exhaustive - lsh
+    assert len(missed) <= max(1, len(exhaustive) // 10), f"LSH missed {missed}"
+
+
+def test_ivf_results_are_brute_force_subset_scores(spark):
+    """Cell-restricted search returns the same cosine the exhaustive scan
+    computes for those pairs (IVF changes the candidate set, not scores)."""
+    brute = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    }
+    ivf = ann_ivf_topk(spark, SF_SMOKE).collect()
+    assert ivf
+    for r in ivf:
+        if (r.query_id, r.cand_id) in brute:
+            assert abs(brute[(r.query_id, r.cand_id)] - r.cosine) < 1e-9
