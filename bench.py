@@ -43,9 +43,11 @@ def main() -> int:
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm the JVM + parquet footer caches once so per-query numbers measure
-    # execution, not first-touch session costs.
-    queries["q01_pricing_summary"](spark, sf_dir).count()
+    # Warm the JVM once per query shape at the smallest SF so the measured
+    # numbers are steady-state execution (codegen/JIT for the big expression
+    # trees costs seconds on first run), not first-touch compile cost.
+    for name in names:
+        queries[name](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     for name in names:

@@ -55,10 +55,26 @@ def query(name: str, oracle: str | None = None):
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-gram shingles per document."""
+    """(doc_id, shingle) — distinct 3-gram shingles per document, exploded
+    (the inverted-index representation for pair-generation joins)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("sh")
+    )
+
+
+def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shs, xs) — shingles kept as an array per document plus
+    their mod-P hashes. Sketches (MinHash, SimHash) compute per-row from
+    this shape with NO shuffle at all — at 100 TB the signature pass
+    pipelines with the Parquet scan. Docs with < 3 tokens drop out,
+    matching the exploded representation."""
+    docs = load_table(spark, sf_dir, "documents")
+    shs = shingles(tokens(F.col("text")))
+    return (
+        docs.select("doc_id", shs.alias("shs"))
+        .filter(F.size("shs") > 0)
+        .withColumn("xs", F.transform("shs", lambda s: md5_long(s) % MERSENNE_P))
     )
 
 
@@ -155,10 +171,19 @@ N_BANDS = 4
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
 
-def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    x = md5_long(F.col("sh")) % MERSENNE_P
-    mins = [F.min(minhash_perm(x, i)).alias(f"m{i}") for i in range(N_PERMS)]
-    return sh.groupBy("doc_id").agg(*mins)
+def _perm_lambda(i: int):
+    # single-arg closure: a default-arg lambda would become the 2-parameter
+    # (element, index) higher-order-function form
+    return lambda x: minhash_perm(x, i)
+
+
+def _minhash_signatures(sharr: DataFrame) -> DataFrame:
+    """Per-row signatures from the array representation: min over a
+    transformed array per permutation — zero shuffles, pure codegen."""
+    mins = [
+        F.array_min(F.transform("xs", _perm_lambda(i))).alias(f"m{i}") for i in range(N_PERMS)
+    ]
+    return sharr.select("doc_id", *mins)
 
 
 def _band_sql_exprs() -> list[str]:
@@ -201,14 +226,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4 bands × 4 rows) + exact-Jaccard
     verification of candidates only.
 
-    Scale: signatures are one groupBy over the shingle index (map-side
-    partial min); the band join touches only signature rows (16 ints/doc,
-    ~10^9 docs is still small); verification cost is proportional to the
-    number of COLLIDING pairs, not all pairs — this is the 100 TB dedup
-    plan. The band-collision probability curve (s^4 per band) puts the
-    LSH knee near Jaccard ≈ 0.7 for this parameterization."""
-    sh = doc_shingles(spark, sf_dir)
-    sig = _minhash_signatures(sh)
+    Scale: signatures compute per-row from the shingle array (no shuffle,
+    pipelines with the scan); the band join touches only signature rows
+    (16 ints/doc — ~10^9 docs is still a small table); verification joins
+    the doc→shingle-array table twice on the few COLLIDING pairs and
+    intersects arrays in-place — cost proportional to collisions, not all
+    pairs. This is the 100 TB dedup plan. The band-collision curve
+    (1-(1-s^4)^4) puts the LSH knee near Jaccard ≈ 0.7 here."""
+    sharr = doc_shingle_arrays(spark, sf_dir)
+    sig = _minhash_signatures(sharr)
     band_cols = [
         F.concat_ws(
             "_", *[F.col(f"m{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
@@ -229,23 +255,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("s2_doc"), F.col("sh").alias("sh2"))
-    verified = (
-        cand.join(s1, "d1")
-        .join(s2, (F.col("d2") == F.col("s2_doc")) & (F.col("sh2") == F.col("sh1")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
-    return (
-        verified.join(c1, "d1")
-        .join(c2, "d2")
-        .filter(jac >= 0.5)
-        .select("d1", "d2", F.round(jac, 3).alias("jaccard"))
+    arr1 = sharr.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
+    arr2 = sharr.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
+    paired = cand.join(arr1, "d1").join(arr2, "d2")
+    common = F.size(F.array_intersect("shs1", "shs2"))
+    jac = common / (F.size("shs1") + F.size("shs2") - common)
+    return paired.filter(jac >= 0.5).select(
+        "d1", "d2", F.round(jac, 3).alias("jaccard")
     )
 
 
@@ -289,19 +305,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes), candidates via 4-bit nibble bands (pigeonhole: Hamming ≤ 3 ⇒
     at least one of 4 nibbles matches), exact Hamming verification.
 
-    Scale: the sketch is one groupBy; candidates join 4 small rows/doc on
-    uniformly-distributed nibble keys; Hamming is one XOR+popcount —
-    SimHash is the cheapest near-dup sketch when feature sets are large."""
-    sh = doc_shingles(spark, sf_dir)
-    h = md5_long(F.col("sh"))
-    bitsums = sh.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(N_BITS)
-        ]
-    )
+    Scale: the sketch computes per-row from the shingle array (no shuffle);
+    candidates join 4 small rows/doc on uniformly-distributed nibble keys;
+    Hamming is one XOR+popcount — SimHash is the cheapest near-dup sketch
+    when feature sets are large."""
+    sharr = doc_shingle_arrays(spark, sf_dir)
+    # full 60-bit hashes (not the mod-P minhash inputs) drive the bit votes
+    hs = F.transform("shs", lambda s: md5_long(s))
+
+    def bitsum(b: int):
+        # b is closed over via this function's scope (2-arg lambda only)
+        return F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ).alias(f"b{b}")
+
+    bitsums = sharr.select("doc_id", *[bitsum(b) for b in range(N_BITS)])
     simhash = reduce(
         lambda acc, b: acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
         range(1, N_BITS),

@@ -1,0 +1,57 @@
+"""Plan-shape regression tests: the properties that make these queries
+scale (pushdown, pruning, broadcast, bounded shuffles) must survive
+refactors. These assert on the optimized physical plan, not on timings.
+"""
+
+from __future__ import annotations
+
+from debezium_cdc_kafka_spark.operators import dedup, relational, similarity
+from debezium_cdc_kafka_spark.plans.inspect import plan_facts
+from tests.conftest import SF_SMOKE
+
+
+def test_q1_pushdown_and_pruning(spark):
+    facts = plan_facts(relational.q01_pricing_summary(spark, SF_SMOKE))
+    assert facts.pushes_filter_on("l_shipdate"), facts.pushed_filters
+    # projection pruned to the 7 referenced columns — no full-width scan
+    assert facts.reads_column("l_returnflag")
+    assert not facts.reads_column("l_orderkey"), facts.read_schemas
+
+
+def test_q6_filters_all_pushed(spark):
+    facts = plan_facts(relational.q06_forecast_revenue(spark, SF_SMOKE))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert facts.pushes_filter_on(col), (col, facts.pushed_filters)
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    facts = plan_facts(relational.q05_local_supplier_volume(spark, SF_SMOKE))
+    # region/nation/supplier are hinted broadcast; no sort-merge fallback
+    assert facts.broadcast_joins >= 3, facts
+    assert facts.sort_merge_joins == 0, facts
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    facts = plan_facts(relational.q_range_join_price_bands(spark, SF_SMOKE))
+    assert facts.nested_loop_joins >= 1, facts
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    from debezium_cdc_kafka_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(relational.q03_shipping_priority(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_signatures_need_no_shuffle(spark):
+    """Signatures compute per-row from shingle arrays: the plan up to the
+    signature projection must contain no Exchange beyond the explicit
+    parallelizing repartition of the scan."""
+    sharr = dedup.doc_shingle_arrays(spark, SF_SMOKE)
+    facts = plan_facts(dedup._minhash_signatures(sharr))
+    assert facts.exchanges <= 1, facts  # only the round-robin scan split
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    facts = plan_facts(similarity.ann_bruteforce_topk(spark, SF_SMOKE))
+    assert facts.broadcast_joins + facts.nested_loop_joins >= 1, facts
