@@ -61,7 +61,7 @@ def query(name: str, oracle: str | None = None):
 KNOWN_OPS = ("c", "r", "u", "d")
 
 
-def decode_envelope(raw: DataFrame, strict_ops: bool = True) -> DataFrame:
+def decode_envelope(raw: DataFrame, strict_ops: bool = True, schema=None) -> DataFrame:
     """Kafka records → typed change rows.
 
     C1 envelope decode (bytes→JSON→payload ≙ consumer.py:65–71) via
@@ -70,9 +70,13 @@ def decode_envelope(raw: DataFrame, strict_ops: bool = True) -> DataFrame:
     PERMISSIVE mode and is flagged, not dropped — callers route it to a
     dead-letter sink or count it. C9 strictness: unknown op codes raise,
     like the reference's ``RuntimeError`` (postgres.py:260–261).
+
+    `schema` defaults to the events-derived domain; pass a different
+    envelope StructType for other replicated tables (e.g. the workload
+    generator's customers domain) — everything downstream is shape-generic.
     """
     parsed = raw.filter(F.col("value").isNotNull()).withColumn(
-        "envelope", F.from_json(F.col("value"), ENVELOPE_SCHEMA)
+        "envelope", F.from_json(F.col("value"), schema or ENVELOPE_SCHEMA)
     )
     op = F.col("envelope.payload.op")
     if strict_ops:
@@ -115,14 +119,16 @@ def last_event_per_key(changes: DataFrame, key: str = "id", order: str = "offset
 STATE_COLS = ("id", "value", "ts", "_offset", "_deleted")
 
 
-def materialize(changes: DataFrame) -> DataFrame:
+AFTER_COLS = ("value", "ts")  # events-derived domain's after-image columns
+
+
+def materialize(changes: DataFrame, after_cols: tuple[str, ...] = AFTER_COLS) -> DataFrame:
     """A batch of decoded change events → CDC state fragment (one row per
     key: latest event's after-image, or a tombstone for deletes)."""
     last = last_event_per_key(well_formed(changes))
     return last.select(
         F.col("id"),
-        F.col("after.value").alias("value"),
-        F.col("after.ts").alias("ts"),
+        *[F.col(f"after.{c}").alias(c) for c in after_cols],
         F.col("offset").alias("_offset"),
         (F.col("op") == "d").alias("_deleted"),
     )
@@ -138,16 +144,18 @@ def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
     return last_event_per_key(a.unionByName(b), key="id", order="_offset")
 
 
-def apply_changes(state: DataFrame, changes: DataFrame) -> DataFrame:
+def apply_changes(
+    state: DataFrame, changes: DataFrame, after_cols: tuple[str, ...] = AFTER_COLS
+) -> DataFrame:
     """MERGE a batch of decoded change events into a CDC state snapshot.
     With Delta/Iceberg on the cluster this maps to ``MERGE INTO`` keyed on
     (id) with an offset guard (`WHEN MATCHED AND src._offset > tgt._offset`)."""
-    return merge_states(state, materialize(changes))
+    return merge_states(state, materialize(changes, after_cols))
 
 
 def state_view(state: DataFrame) -> DataFrame:
     """User-facing table: tombstones filtered out, bookkeeping dropped."""
-    return state.filter(~F.col("_deleted")).select("id", "value", "ts")
+    return state.filter(~F.col("_deleted")).drop("_offset", "_deleted")
 
 
 def empty_state(spark: SparkSession) -> DataFrame:

@@ -14,9 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     # Explicit list — update as operator modules land. A broken module must
     # fail loudly here, not be skipped.
-    from .operators import cdc, dedup, multimodal, relational, similarity, text, windows
+    from .operators import (
+        cdc,
+        dedup,
+        multimodal,
+        relational,
+        relational2,
+        similarity,
+        text,
+        windows,
+    )
 
-    return [relational, cdc, windows, dedup, similarity, text, multimodal]
+    return [relational, relational2, cdc, windows, dedup, similarity, text, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -58,8 +58,9 @@ class ParquetSnapshotTarget:
     replaced wholesale by a Delta/Iceberg table.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, schema: T.StructType = STATE_SCHEMA):
         self.path = path
+        self.schema = schema
         os.makedirs(path, exist_ok=True)
 
     def versions(self) -> list[int]:
@@ -75,7 +76,7 @@ class ParquetSnapshotTarget:
         user-facing table."""
         vs = [v for v in self.versions() if before_version is None or v < before_version]
         if not vs:
-            return spark.createDataFrame([], STATE_SCHEMA)
+            return spark.createDataFrame([], self.schema)
         return spark.read.parquet(os.path.join(self.path, f"v={vs[-1]}"))
 
     def read_view(self, spark: SparkSession) -> DataFrame:
@@ -85,12 +86,17 @@ class ParquetSnapshotTarget:
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={version}"))
 
 
-def merge_batch(target: ParquetSnapshotTarget, changes: DataFrame, epoch_id: int) -> None:
+def merge_batch(
+    target: ParquetSnapshotTarget,
+    changes: DataFrame,
+    epoch_id: int,
+    after_cols: tuple[str, ...] = ("value", "ts"),
+) -> None:
     """The foreachBatch body: snapshot-before-this-epoch + batch changes →
     snapshot at this epoch."""
     spark = changes.sparkSession
     current = target.read(spark, before_version=epoch_id)
-    merged = apply_changes(current, changes)
+    merged = apply_changes(current, changes, after_cols)
     target.commit(merged, epoch_id)
 
 
@@ -100,18 +106,23 @@ def run_cdc_stream(
     target_path: str,
     checkpoint_path: str,
     available_now: bool = True,
+    envelope_schema: T.StructType | None = None,
+    after_cols: tuple[str, ...] = ("value", "ts"),
+    state_schema: T.StructType = STATE_SCHEMA,
 ):
     """Wire a raw Kafka-shaped stream into the snapshot target.
 
     ``available_now=True`` drains everything then stops (hermetic tests,
     backfills); ``False`` runs continuously with a 1 s trigger, matching
-    the reference's poll cadence (consumer.py:55).
+    the reference's poll cadence (consumer.py:55). Envelope/state schemas
+    parameterize the replicated domain (events-derived by default, the
+    workload generator's customers table in pipeline.py).
     """
-    target = ParquetSnapshotTarget(target_path)
-    decoded = decode_envelope(raw_stream)
+    target = ParquetSnapshotTarget(target_path, schema=state_schema)
+    decoded = decode_envelope(raw_stream, schema=envelope_schema)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_batch(target, batch_df, epoch_id)
+        merge_batch(target, batch_df, epoch_id, after_cols)
 
     writer = decoded.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_path
