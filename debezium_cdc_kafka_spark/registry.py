@@ -15,6 +15,7 @@ def _modules():
     # Explicit list — update as operator modules land. A broken module must
     # fail loudly here, not be skipped.
     from .operators import (
+        approx,
         cdc,
         dedup,
         multimodal,
@@ -25,7 +26,17 @@ def _modules():
         windows,
     )
 
-    return [relational, relational2, cdc, windows, dedup, similarity, text, multimodal]
+    return [
+        relational,
+        relational2,
+        cdc,
+        windows,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        approx,
+    ]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

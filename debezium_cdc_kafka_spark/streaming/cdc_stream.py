@@ -109,6 +109,7 @@ def run_cdc_stream(
     envelope_schema: T.StructType | None = None,
     after_cols: tuple[str, ...] = ("value", "ts"),
     state_schema: T.StructType = STATE_SCHEMA,
+    dead_letter_path: str | None = None,
 ):
     """Wire a raw Kafka-shaped stream into the snapshot target.
 
@@ -122,6 +123,16 @@ def run_cdc_stream(
     decoded = decode_envelope(raw_stream, schema=envelope_schema)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if dead_letter_path is not None:
+            # quarantine malformed envelopes with provenance (epoch +
+            # offset) instead of silently dropping them — the reference
+            # only logs these (consumer.py:78–79)
+            (
+                batch_df.filter(F.col("is_malformed"))
+                .select("id", "offset", F.lit(epoch_id).alias("epoch"))
+                .write.mode("append")
+                .parquet(dead_letter_path)
+            )
         merge_batch(target, batch_df, epoch_id, after_cols)
 
     writer = decoded.writeStream.foreachBatch(_apply).option(
