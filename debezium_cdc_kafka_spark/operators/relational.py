@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
+from ..functions.money import cents_sum, cents_sum_sql
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -58,18 +59,21 @@ def query(name: str, oracle: str | None = None):
 # Flagship query; the filter and the 4-column projection push into the scan.
 # ---------------------------------------------------------------------------
 
-Q1_ORACLE = """
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 2)                                        AS sum_qty,
-  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-  round(avg(l_quantity), 4)                                        AS avg_qty,
-  round(avg(l_extendedprice), 4)                                   AS avg_price,
-  round(avg(l_discount), 4)                                        AS avg_disc,
-  count(*)                                                         AS count_order
+  round(sum(l_quantity), 2)                AS sum_qty,
+  {cents_sum_sql("l_extendedprice")}       AS sum_base_price,
+  {cents_sum_sql(_DISC_PRICE)}             AS sum_disc_price,
+  {cents_sum_sql(_CHARGE)}                 AS sum_charge,
+  round(avg(l_quantity), 4)                AS avg_qty,
+  round(avg(l_extendedprice), 4)           AS avg_price,
+  round(avg(l_discount), 4)                AS avg_disc,
+  count(*)                                 AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -90,9 +94,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            cents_sum(disc_price).alias("sum_disc_price"),
+            cents_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -106,7 +110,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -127,7 +131,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(cents_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -140,7 +144,7 @@ SELECT
   o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d')                       AS orderdate,
   o_orderpriority,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)       AS revenue
+  round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -178,11 +182,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -195,7 +195,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_ORACLE = """
 SELECT
   n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -233,11 +233,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -251,7 +247,7 @@ SELECT
   c_name,
   n_name,
   round(c_acctbal, 2)                               AS acctbal,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -276,11 +272,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("acctbal")
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -448,10 +440,10 @@ FROM (
   SELECT
     p_brand,
     p_partkey,
-    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue,
     row_number() OVER (
       PARTITION BY p_brand
-      ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, p_partkey
+      ORDER BY round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) DESC, p_partkey
     ) AS rk
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand, p_partkey
@@ -474,11 +466,7 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
     w = W.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
     return (

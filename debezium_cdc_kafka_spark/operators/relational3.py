@@ -1,0 +1,309 @@
+"""Relational surface, batch 3: the remaining TPC-H query shapes
+(adapted to the driver's schema — no partsupp/shipmode columns, so Q9's
+cost and Q12's lateness derive from available columns) plus an explicit
+skew-salting aggregation.
+
+Scale notes per query in the docstrings; the common theme: multi-join
+plans keep dimensions broadcast and let the two fact joins
+(lineitem⋈orders, orders⋈customer) carry the shuffles; conditional
+aggregation replaces self-joins wherever the reference formulation allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import cents_sum, cents_sum_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q07_volume_shipping", Q7_ORACLE)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year
+    (the synthetic data names nations NATION_0..24; the pair with the most
+    bilateral trade stands in for FRANCE/GERMANY).
+    Both nation joins broadcast; the OR pair-filter applies after."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
+    ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q8_ORACLE = """
+WITH volumes AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_19' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM volumes
+GROUP BY o_year
+"""
+
+
+@query("q08_market_share", Q8_ORACLE)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's purchase volume by year —
+    conditional aggregation over a 7-table join, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    german = F.when(F.col("supp_nation") == "NATION_19", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(german) / F.sum(volume), 4).alias("mkt_share"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY supp_nation, o_year
+"""
+
+
+@query("q09_product_profit", Q9_ORACLE)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts
+    matching a name pattern. The schema has no partsupp, so unit cost is
+    synthesized as 60% of retail price — the join/aggregate shape (the
+    part of Q9 that stresses an engine) is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(cents_sum(profit).alias("profit"))
+    )
+
+
+Q12_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS late_items,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ontime_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+@query("q12_late_shipments", Q12_ORACLE)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: on-time vs late line items per priority class
+    (lateness = shipped >90 days after order; the schema has no shipmode/
+    commitdate). Conditional counts in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lateness = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(lateness > 90, 1).otherwise(0)).alias("late_items"),
+            F.sum(F.when(lateness <= 90, 1).otherwise(0)).alias("ontime_items"),
+        )
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — an
+    aggregate reused twice (per-supplier revenue + its max). The revenue
+    subplan is computed once and self-compared via a scalar aggregate
+    (broadcast), not recomputed per row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, totalprice
+HAVING sum(l_quantity) > 150
+"""
+
+
+@query("q18_large_volume_orders", Q18_ORACLE)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customers. Spark expresses the IN-(grouped-subquery) form as a
+    direct group-then-having — one aggregation, no semi-join round trip."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation: identical results to a plain groupBy, skew-proof
+# physical shape.
+# ---------------------------------------------------------------------------
+
+SALTED_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+N_SALTS = 16
+
+
+@query("q_salted_aggregation", SALTED_ORACLE)
+def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a LOW-cardinality key (5 priorities
+    — exactly the shape where one reducer would receive 20% of 100 TB):
+    phase 1 aggregates on (key, salt) spreading each key over 16 reducers,
+    phase 2 combines the 16 partials per key. Results are identical to the
+    plain groupBy (the oracle IS the plain groupBy); only the physical
+    distribution changes. AQE's skew-join handling covers joins; salting
+    covers aggregations like this one."""
+    orders = load_table(spark, sf_dir, "orders")
+    salt = (F.abs(F.xxhash64("o_orderkey")) % N_SALTS).alias("_salt")
+    partial = (
+        orders.withColumn("_salt", salt)
+        .groupBy("o_orderpriority", "_salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("pt"))
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("pn").alias("n_orders"), F.round(F.sum("pt") / 100.0, 2).alias("total")
+    )

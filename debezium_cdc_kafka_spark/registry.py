@@ -21,6 +21,7 @@ def _modules():
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         text,
         windows,
@@ -29,6 +30,7 @@ def _modules():
     return [
         relational,
         relational2,
+        relational3,
         cdc,
         windows,
         dedup,
