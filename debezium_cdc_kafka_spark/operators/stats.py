@@ -1,0 +1,89 @@
+"""Statistical aggregates + the vectorized-Python (Arrow) path.
+
+Two coverage pieces:
+- `q_stats_moments`: corr/covar/stddev/var — the built-in JVM statistical
+  aggregates (single-pass, map-side partials).
+- `q_pandas_udf_score`: a scalar Pandas UDF in the hot path, verified
+  against a pure-SQL oracle — proving the Arrow batch transfer computes
+  exactly what the JVM expression would (the reference has no UDF surface
+  at all, SURVEY §2.6; this is the engine's sanctioned slow path, used by
+  the multimodal/similarity operators when built-ins run out).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+MOMENTS_ORACLE = """
+SELECT event_type,
+       round(stddev_samp(value), 3)      AS sd_value,
+       round(var_samp(value), 2)         AS var_value,
+       round(corr(value, CAST(json_extract_string(props, '$.k') AS INT)), 4) AS corr_vk,
+       round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS INT)), 3) AS cov_vk
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_stats_moments", MOMENTS_ORACLE)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event type: stddev, variance,
+    correlation and covariance between the value column and the JSON prop.
+    All single-pass JVM aggregates with mergeable partial states (Welford-
+    style) — the shuffle carries 5 numbers per group."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 3).alias("sd_value"),
+        F.round(F.var_samp("value"), 2).alias("var_value"),
+        F.round(F.corr(F.col("value"), k), 4).alias("corr_vk"),
+        F.round(F.covar_samp(F.col("value"), k), 3).alias("cov_vk"),
+    )
+
+
+PANDAS_SCORE_ORACLE = """
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) / 500.0 - 1.0))), 6) AS quality_sigmoid
+FROM documents
+"""
+
+
+@query("q_pandas_udf_score", PANDAS_SCORE_ORACLE)
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A scalar Pandas UDF (Arrow-batched sigmoid scorer) whose output must
+    equal the pure-SQL formulation bit-for-bit — the correctness contract
+    for dropping to Python. numpy's exp is the same libm double op both
+    engines use, so the hash matches; anything data-dependent (randomness,
+    dict order) would fail this gate by design."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def sigmoid_score(n_chars: pd.Series) -> pd.Series:
+        x = n_chars.astype("float64") / 500.0 - 1.0
+        return 1.0 / (1.0 + np.exp(-x))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(sigmoid_score(F.col("n_chars")), 6).alias("quality_sigmoid")
+    )

@@ -23,6 +23,7 @@ def _modules():
         relational2,
         relational3,
         similarity,
+        stats,
         text,
         windows,
     )
@@ -38,6 +39,7 @@ def _modules():
         text,
         multimodal,
         approx,
+        stats,
     ]
 
 
