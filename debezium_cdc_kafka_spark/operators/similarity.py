@@ -145,6 +145,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle regenerates the same family. plane[p][d] ∈ [-1, 1).
 # ---------------------------------------------------------------------------
 
+FILTERED_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, d.lang AS cand_lang,
+         {_COS_SQL} AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id <> a.vec_id
+  JOIN documents d ON d.doc_id = b.vec_id
+  WHERE a.{_QUERY_PRED} AND d.lang = 'en'
+)
+SELECT query_id, cand_id, cand_lang, CAST(rk AS INT) AS rk, round(cos, 3) AS cosine
+FROM scored WHERE rk <= 5
+"""
+
+
+@query("ann_filtered_topk", FILTERED_ORACLE)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the RAG retrieval shape): top-k cosine among
+    candidates whose joined document satisfies a metadata predicate
+    (lang = 'en'). Pre-filtering — the predicate joins and prunes BEFORE
+    scoring, so selective filters shrink the scan instead of discarding
+    scored results (post-filtering loses recall at fixed k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    q = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    )
+    c = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("lang").alias("cand_lang"),
+            F.col("embedding").alias("e2"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "cand_lang", _cosine("e1", "e2").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "cand_lang", "rk", F.round("cos", 3).alias("cosine"))
+    )
+
+
 N_PLANES = 8
 DIM = 64
 

@@ -85,6 +85,19 @@ class ParquetSnapshotTarget:
     def commit(self, df: DataFrame, version: int) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={version}"))
 
+    def compact(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest `keep_last` versions (old snapshots only
+        serve epoch-retry reads, which never reach further back than the
+        previous version). Returns the removed versions. The Delta/Iceberg
+        analogue is VACUUM."""
+        import shutil
+
+        vs = self.versions()
+        doomed = vs[:-keep_last] if keep_last > 0 else vs
+        for v in doomed:
+            shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+        return doomed
+
 
 def merge_batch(
     target: ParquetSnapshotTarget,
