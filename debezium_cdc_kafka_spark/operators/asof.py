@@ -1,0 +1,147 @@
+"""As-of join — the canonical operator Spark lacks natively.
+
+Semantics: for each left row (event), attach the most recent right row
+(order) with the same key and right.time <= left.time.
+
+Implementation is the SCALE pattern, not per-group pandas: union both
+sides tagged, one shuffle on the key, one ordered window pass carrying
+the last-seen right row forward (`last(..., ignorenulls)`), keep left
+rows. Cost: one exchange + one sort — identical shape to a sort-merge
+join, no driver loops, no `merge_asof` memory cliffs. (A Pandas-UDF
+`merge_asof` per group is the fallback when the window state per key
+must stay bounded; not needed here.)
+
+The oracle uses the SAME union+window construction in SQL (DuckDB's
+native ASOF JOIN breaks ties unspecified; this construction pins the
+tiebreak to the highest o_orderkey).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    time_left: str,
+    time_right: str,
+    right_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Generic as-of join via union + keyed window. `tiebreak` is a right
+    column making equal-timestamp matches deterministic (max wins)."""
+    lt = left.select(
+        F.col(key_left).alias("_k"),
+        F.col(time_left).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("long").alias("_tb"),
+        "*",
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
+    )
+    rt = right.select(
+        F.col(key_right).alias("_k"),
+        F.col(time_right).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+        *right_cols,
+    )
+    unioned = lt.unionByName(rt)
+    # order: time, then right-before-left at equal times (an order AT the
+    # event time matches), then tiebreak so the max-tiebreak right row is
+    # the one carried forward
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_tb").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .drop("_k", "_t", "_is_left", "_tb", *right_cols)
+        .select(
+            *[c for c, _ in left.dtypes],
+            *[F.col(f"_asof_{c}").alias(c) for c in right_cols],
+        )
+    )
+
+
+ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id AS k, ts AS t, 1 AS is_left, NULL::BIGINT AS tb,
+         event_id, event_type, NULL::BIGINT AS o_orderkey, NULL::TIMESTAMP AS o_orderdate
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS k, o_orderdate AS t, 0 AS is_left, o_orderkey AS tb,
+         NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type, o_orderkey, o_orderdate
+  FROM orders
+),
+carried AS (
+  SELECT *,
+    last_value(o_orderkey IGNORE NULLS) OVER w   AS asof_orderkey,
+    last_value(o_orderdate IGNORE NULLS) OVER w  AS asof_orderdate
+  FROM tagged
+  WINDOW w AS (PARTITION BY k ORDER BY t, is_left, tb ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, event_type,
+       asof_orderkey AS last_orderkey,
+       strftime(asof_orderdate, '%Y-%m-%d') AS last_orderdate
+FROM carried WHERE is_left = 1 AND event_id % 10 = 0
+"""
+
+
+@query("q_asof_last_order", ASOF_ORACLE)
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each (10th) event joined as-of to the user's most recent order at
+    event time — stream-to-dimension temporal enrichment (FIXTURES.md's
+    events.user_id→customer key ride)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        key_left="user_id",
+        key_right="o_custkey",
+        time_left="ts",
+        time_right="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    return joined.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )

@@ -29,6 +29,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 from ..functions.hashing import (
@@ -398,6 +399,92 @@ def sq_norm_expr(a: str):
         F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph.
+# ---------------------------------------------------------------------------
+
+_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+raw_pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM raw_pairs JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+  WHERE common * 1.0 / (c1.n + c2.n - common) >= 0.8
+)
+"""
+
+CLUSTERS_ORACLE = f"""
+{_PAIRS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)},
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+),
+labeled AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled
+"""
+
+
+@query("dedup_clusters", CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the Jaccard≥0.8 pair
+    graph via iterative min-label propagation — pairs alone under-merge
+    (A~B, B~C but A≁C must still dedup to one canonical doc).
+
+    This is the engine's iterative-algorithm pattern: each iteration is a
+    distributed join+aggregate; only the 1-row convergence check touches
+    the driver. Iterations are bounded by the graph diameter (dup clusters
+    are small — here ≤ 10 hops guards pathological chains). The oracle is
+    a recursive CTE computing the same transitive closure.
+
+    Scale: label propagation is the standard big-graph CC algorithm
+    (GraphX/GraphFrames use the same shape); state per round is one
+    (node, label) table partitioned by node."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("src", "dst").distinct()
+    labels = edges.select(F.col("src").alias("n")).distinct().withColumn(
+        "label", F.col("n")
+    )
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.n)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.n == F.col("n2"), "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), F.col("a.n") == F.col("b.n"))
+            .filter(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = W.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("n").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
 
 

@@ -16,6 +16,7 @@ def _modules():
     # fail loudly here, not be skipped.
     from .operators import (
         approx,
+        asof,
         cdc,
         dedup,
         multimodal,
@@ -40,6 +41,7 @@ def _modules():
         multimodal,
         approx,
         stats,
+        asof,
     ]
 
 
