@@ -124,13 +124,22 @@ AFTER_COLS = ("value", "ts")  # events-derived domain's after-image columns
 
 def materialize(changes: DataFrame, after_cols: tuple[str, ...] = AFTER_COLS) -> DataFrame:
     """A batch of decoded change events → CDC state fragment (one row per
-    key: latest event's after-image, or a tombstone for deletes)."""
-    last = last_event_per_key(well_formed(changes))
+    key: latest event's after-image, or a tombstone for deletes).
+
+    Reduction is ``max_by(struct, offset)`` — a hash AGGREGATE, so Catalyst
+    plans map-side partial reduction and the shuffle carries one candidate
+    row per key per partition. The row_number-window alternative
+    (`last_event_per_key`) sorts every event within each key post-shuffle —
+    same answer (verified), strictly worse movement at scale."""
+    wf = well_formed(changes)
+    last = wf.groupBy("id").agg(
+        F.expr("max_by(struct(op, after, offset), offset)").alias("_last")
+    )
     return last.select(
-        F.col("id"),
-        *[F.col(f"after.{c}").alias(c) for c in after_cols],
-        F.col("offset").alias("_offset"),
-        (F.col("op") == "d").alias("_deleted"),
+        "id",
+        *[F.col(f"_last.after.{c}").alias(c) for c in after_cols],
+        F.col("_last.offset").alias("_offset"),
+        (F.col("_last.op") == "d").alias("_deleted"),
     )
 
 
@@ -140,8 +149,14 @@ def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
     are unique per key), so micro-batches can arrive out of order, be
     retried, or be re-split arbitrarily — the fixpoint is the same.
     One shuffle on the key; at Debezium-keyed-topic scale the input is
-    already partitioned by key, so AQE keeps this cheap."""
-    return last_event_per_key(a.unionByName(b), key="id", order="_offset")
+    already partitioned by key, so AQE keeps this cheap. Same max_by
+    aggregate shape as `materialize` (map-side combinable)."""
+    u = a.unionByName(b)
+    payload = [c for c in u.columns if c != "id"]
+    last = u.groupBy("id").agg(
+        F.expr(f"max_by(struct({', '.join(payload)}), _offset)").alias("_last")
+    )
+    return last.select("id", *[F.col(f"_last.{c}").alias(c) for c in payload])
 
 
 def apply_changes(

@@ -1,0 +1,173 @@
+"""Reshape + advanced window-frame operators: moving averages over RANGE
+frames, unpivot (wide→long), histogram binning, percent-of-total.
+
+All portable column algebra; the unpivot oracle uses the UNION ALL form
+(DuckDB's UNPIVOT and Spark's stack() reach the same rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..functions.money import cents_sum, cents_sum_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+MOVAVG_ORACLE = f"""
+WITH daily AS (
+  SELECT l_suppkey,
+         CAST(datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS INT) AS day_no,
+         {cents_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+  GROUP BY l_suppkey, day_no
+)
+SELECT l_suppkey, day_no,
+       floor(CAST(sum(CAST(round(revenue * 100) AS BIGINT)) OVER w AS BIGINT)
+             * 1.0 / count(*) OVER w) / 100.0 AS mov_avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_no
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_moving_avg_7d", MOVAVG_ORACLE)
+def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue per supplier via a RANGE
+    frame over day numbers — value-based frames include empty days
+    correctly (a ROWS frame would silently span gaps). One shuffle on
+    suppkey; the frame is O(window) per row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    daily = (
+        li.withColumn(
+            "day_no", F.datediff("l_shipdate", F.lit("1995-01-01").cast("date"))
+        )
+        .groupBy("l_suppkey", "day_no")
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = W.partitionBy("l_suppkey").orderBy("day_no").rangeBetween(-6, 0)
+    # integer-cents window sum, then FLOOR-to-cent average: a rounded
+    # average ties at exact half-cents (even count, odd cent sum), where
+    # engine tie-break rules differ — floor has no ties to break
+    cents = F.round(F.col("revenue") * 100).cast("long")
+    return daily.select(
+        "l_suppkey",
+        "day_no",
+        (
+            F.floor(F.sum(cents).over(w) / F.count(F.lit(1)).over(w)) / 100.0
+        ).alias("mov_avg_7d"),
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH agg AS (
+  SELECT c_mktsegment,
+         round(avg(c_acctbal), 2) AS avg_bal,
+         round(max(c_acctbal), 2) AS max_bal,
+         round(min(c_acctbal), 2) AS min_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'avg_bal' AS metric, avg_bal AS value FROM agg
+UNION ALL
+SELECT c_mktsegment, 'max_bal' AS metric, max_bal AS value FROM agg
+UNION ALL
+SELECT c_mktsegment, 'min_bal' AS metric, min_bal AS value FROM agg
+"""
+
+
+@query("q_unpivot_metrics", UNPIVOT_ORACLE)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack() — the inverse of q_pivot_status_by_
+    segment; a projection, not a shuffle (the UNION ALL oracle reads the
+    aggregate three times, stack reads it once)."""
+    cust = load_table(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.expr(
+            "stack(3, 'avg_bal', avg_bal, 'max_bal', max_bal, 'min_bal', min_bal)"
+        ).alias("metric", "value"),
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS bin_min,
+       round(max(o_totalprice), 2) AS bin_max
+FROM orders
+GROUP BY bin
+"""
+
+
+@query("q_histogram_price_bins", HISTOGRAM_ORACLE)
+def q_histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning via floor arithmetic (portable — no
+    width_bucket in DuckDB). Single hash aggregate; at 100 TB this is how
+    distribution dashboards avoid sorting anything."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bin")
+    return orders.groupBy(b).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )
+
+
+PCT_ORACLE = f"""
+WITH per_nation AS (
+  SELECT n_name, {cents_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       round(100.0 * revenue / sum(revenue) OVER (), 4) AS pct_of_total
+FROM per_nation
+"""
+
+
+@query("q_pct_of_total", PCT_ORACLE)
+def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unpartitioned window over the AGGREGATED
+    rows (25 nations) — the global window is fine because it runs on the
+    small post-aggregate table, never on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = W.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "revenue",
+        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(w), 4).alias("pct_of_total"),
+    )

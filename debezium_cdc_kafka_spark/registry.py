@@ -23,6 +23,7 @@ def _modules():
         relational,
         relational2,
         relational3,
+        reshape,
         similarity,
         stats,
         text,
@@ -42,6 +43,7 @@ def _modules():
         approx,
         stats,
         asof,
+        reshape,
     ]
 
 
