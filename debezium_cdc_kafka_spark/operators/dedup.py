@@ -234,7 +234,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersects arrays in-place — cost proportional to collisions, not all
     pairs. This is the 100 TB dedup plan. The band-collision curve
     (1-(1-s^4)^4) puts the LSH knee near Jaccard ≈ 0.7 here."""
-    sharr = doc_shingle_arrays(spark, sf_dir)
+    # the shingle table feeds three consumers (signatures + both sides of
+    # the verification join); cache it so the md5-heavy scan runs once —
+    # same call you'd make on a cluster before a multi-stage reuse
+    sharr = doc_shingle_arrays(spark, sf_dir).persist()
     sig = _minhash_signatures(sharr)
     band_cols = [
         F.concat_ws(

@@ -44,12 +44,14 @@ def test_topk_is_take_ordered_not_global_sort(spark):
 
 
 def test_minhash_signatures_need_no_shuffle(spark):
-    """Signatures compute per-row from shingle arrays: the plan up to the
-    signature projection must contain no Exchange beyond the explicit
-    parallelizing repartition of the scan."""
+    """Signatures compute per-row from shingle arrays: the signature
+    projection must add ZERO exchanges on top of the shingle-table plan
+    (which itself has only the parallelizing scan split — possibly served
+    from cache when the dedup query ran earlier in the session)."""
     sharr = dedup.doc_shingle_arrays(spark, SF_SMOKE)
+    base = plan_facts(sharr).exchanges
     facts = plan_facts(dedup._minhash_signatures(sharr))
-    assert facts.exchanges <= 1, facts  # only the round-robin scan split
+    assert facts.exchanges == base, (facts, base)
 
 
 def test_ann_brute_force_broadcasts_queries(spark):
