@@ -20,6 +20,7 @@ def _modules():
         cdc,
         dedup,
         multimodal,
+        partsupp,
         relational,
         relational2,
         relational3,
@@ -44,6 +45,7 @@ def _modules():
         stats,
         asof,
         reshape,
+        partsupp,
     ]
 
 
