@@ -17,6 +17,7 @@ def _modules():
     from .operators import (
         approx,
         asof,
+        behavior,
         cdc,
         dedup,
         multimodal,
@@ -46,6 +47,7 @@ def _modules():
         asof,
         reshape,
         partsupp,
+        behavior,
     ]
 
 
