@@ -235,15 +235,9 @@ FROM scored WHERE rk <= 3
 """
 
 
-@query("ann_lsh_hyperplane", LSH_ORACLE)
-def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: 8 md5-seeded planes → 8-bit sign bucket;
-    candidates share the query's bucket; exact cosine re-rank inside.
-
-    Scale: bucketing is a projection (8 dots/vector, one pass); the
-    candidate join is an equi-join on bucket — at 100 TB you'd bucket-
-    partition the corpus table so probes prune to one partition, and use
-    multi-probe (flip low-margin bits) to recover recall."""
+def _plane_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, p, dot): each vector's signed distance to each of the 8
+    md5-seeded hyperplanes. One corpus pass, planes broadcast."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = (
         spark.range(N_PLANES)
@@ -260,15 +254,14 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    proj = (
-        emb.join(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "p",
-            dot_expr("w", "embedding").alias("dot"),
-        )
+    return emb.join(F.broadcast(planes)).select(
+        "vec_id", "p", dot_expr("w", "embedding").alias("dot")
     )
-    buckets = proj.groupBy("vec_id").agg(
+
+
+def _sign_buckets(proj: DataFrame) -> DataFrame:
+    """(vec_id, bucket): the 8-bit sign pattern packed into a BIGINT."""
+    return proj.groupBy("vec_id").agg(
         F.sum(
             # shiftleft() needs a literal shift in the Python API; expr form
             # accepts the column
@@ -277,6 +270,19 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket")
     )
+
+
+@query("ann_lsh_hyperplane", LSH_ORACLE)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 md5-seeded planes → 8-bit sign bucket;
+    candidates share the query's bucket; exact cosine re-rank inside.
+
+    Scale: bucketing is a projection (8 dots/vector, one pass); the
+    candidate join is an equi-join on bucket — at 100 TB you'd bucket-
+    partition the corpus table so probes prune to one partition, and use
+    multi-probe (flip low-margin bits) to recover recall (see
+    ann_lsh_multiprobe)."""
+    buckets = _sign_buckets(_plane_projections(spark, sf_dir))
     q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.expr(_QUERY_PRED))
@@ -292,6 +298,106 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(c, (F.col("cbucket") == F.col("bucket")) & (F.col("cand_id") != F.col("query_id")))
+        .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "rk", F.round("cos", 3).alias("cosine"))
+    )
+
+
+MULTIPROBE_ORACLE = f"""
+WITH planes AS (
+  SELECT p, list_transform(range(1, {DIM + 1}), d -> {_PLANE_W_SQL}) AS w
+  FROM (SELECT unnest(range(0, {N_PLANES})) AS p)
+),
+proj AS (
+  SELECT e.vec_id, CAST(pl.p AS INT) AS p,
+         list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> pl.w[i] * CAST(e.embedding[i] AS DOUBLE))) AS dot
+  FROM embeddings e JOIN planes pl ON true
+),
+buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+flips AS (
+  SELECT vec_id, p FROM (
+    SELECT vec_id, p,
+           row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), p) AS mrk
+    FROM proj WHERE {_QUERY_PRED}
+  ) WHERE mrk <= 2
+),
+probes AS (
+  SELECT vec_id, bucket AS probe FROM buckets WHERE {_QUERY_PRED}
+  UNION ALL
+  SELECT f.vec_id, xor(b.bucket, CAST(1 << f.p AS BIGINT)) AS probe
+  FROM flips f JOIN buckets b ON b.vec_id = f.vec_id
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {_COS_SQL} AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM embeddings a
+  JOIN probes pr ON pr.vec_id = a.vec_id
+  JOIN buckets cb ON cb.bucket = pr.probe AND cb.vec_id <> a.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+)
+SELECT query_id, cand_id, CAST(rk AS INT) AS rk, round(cos, 3) AS cosine
+FROM scored WHERE rk <= 3
+"""
+
+
+@query("ann_lsh_multiprobe", MULTIPROBE_ORACLE)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07 idea): besides the query's own
+    sign bucket, probe the two buckets reached by flipping the query's
+    lowest-|margin| plane bits — the planes the vector sits closest to,
+    hence the likeliest sign errors. 3 probes/query ≈ the recall of 8×
+    more hash tables at 1/8 the index size.
+
+    Scale: the probe list is 3 rows per query (tiny, broadcast); the
+    candidate fetch stays an equi-join on bucket, so a bucket-partitioned
+    corpus at 100 TB still prunes to exactly 3 partitions per query. The
+    flip selection reuses the same (vec_id, p, dot) projection that built
+    the buckets — no second corpus pass."""
+    proj = _plane_projections(spark, sf_dir)
+    buckets = _sign_buckets(proj)
+    mrk = W.partitionBy("vec_id").orderBy(F.abs(F.col("dot")), F.col("p"))
+    flips = (
+        proj.filter(F.expr(_QUERY_PRED))
+        .withColumn("mrk", F.row_number().over(mrk))
+        .filter(F.col("mrk") <= 2)
+        .select("vec_id", "p")
+    )
+    q_base = buckets.filter(F.expr(_QUERY_PRED))
+    probes = q_base.select("vec_id", F.col("bucket").alias("probe")).unionAll(
+        flips.join(q_base, "vec_id").select(
+            "vec_id",
+            F.expr("bucket ^ CAST(shiftleft(1, p) AS BIGINT)").alias("probe"),
+        )
+    )
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(_QUERY_PRED))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1"))
+        .join(probes.withColumnRenamed("vec_id", "query_id"), "query_id")
+    )
+    c = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2")
+    ).join(
+        buckets.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(
+            "bucket", "cbucket"
+        ),
+        "cand_id",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cbucket") == F.col("probe")) & (F.col("cand_id") != F.col("query_id")))
         .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))

@@ -37,3 +37,27 @@ def test_ivf_results_are_brute_force_subset_scores(spark):
     for r in ivf:
         if (r.query_id, r.cand_id) in brute:
             assert abs(brute[(r.query_id, r.cand_id)] - r.cosine) < 1e-9
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Multi-probe LSH probes a superset of single-probe's buckets, so its
+    recall@3 against exact top-3 can only improve."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_hyperplane,
+        ann_lsh_multiprobe,
+    )
+
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in ann_bruteforce_topk(spark, SF_SMOKE).filter("rk <= 3").collect()
+    }
+    single = {
+        (r.query_id, r.cand_id) for r in ann_lsh_hyperplane(spark, SF_SMOKE).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id) for r in ann_lsh_multiprobe(spark, SF_SMOKE).collect()
+    }
+    assert len(multi & truth) >= len(single & truth)
+    # and multi-probe actually widens the candidate pool somewhere
+    assert len(multi) >= len(single)
