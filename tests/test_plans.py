@@ -57,3 +57,39 @@ def test_minhash_signatures_need_no_shuffle(spark):
 def test_ann_brute_force_broadcasts_queries(spark):
     facts = plan_facts(similarity.ann_bruteforce_topk(spark, SF_SMOKE))
     assert facts.broadcast_joins + facts.nested_loop_joins >= 1, facts
+
+
+def test_partsupp_q2_all_dims_broadcast_single_window_exchange(spark):
+    """Q2's four dimension joins are broadcast; the only shuffles are the
+    partsupp derivation split and the window partition on ps_partkey."""
+    from debezium_cdc_kafka_spark.operators import partsupp
+
+    facts = plan_facts(partsupp.q02_min_cost_supplier(spark, SF_SMOKE))
+    assert facts.broadcast_joins >= 4, facts
+    assert facts.sort_merge_joins == 0, facts
+
+
+def test_partsupp_q11_total_is_broadcast_not_window(spark):
+    """The grand-total compare must be a broadcast nested-loop (scalar
+    cross join), never a single-partition window."""
+    from debezium_cdc_kafka_spark.operators import partsupp
+    from debezium_cdc_kafka_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(partsupp.q11_important_stock(spark, SF_SMOKE))
+    assert "Window" not in plan, "grand total regressed to a window"
+    facts = plan_facts(partsupp.q11_important_stock(spark, SF_SMOKE))
+    assert facts.nested_loop_joins >= 1 or facts.broadcast_joins >= 1, facts
+
+
+def test_behavior_funnel_stages_reuse_user_partitioning(spark):
+    """All three funnel stages key on user_id; the plan must not contain
+    a sort-merge join (stages are co-partitioned aggregates + broadcasts
+    at this scale; on a bucketed table the shuffles collapse entirely)."""
+    from debezium_cdc_kafka_spark.operators import behavior
+
+    facts = plan_facts(behavior.q_funnel_3step(spark, SF_SMOKE))
+    assert facts.sort_merge_joins == 0, facts
+    assert facts.broadcast_joins >= 2, facts
+    # 3 stage-scans × (parallelize-split + partial/final agg) + stage joins;
+    # a regression that adds a global sort or re-shuffle would push this up
+    assert facts.exchanges <= 16, facts
