@@ -29,6 +29,7 @@ def _modules():
         similarity,
         stats,
         text,
+        timeseries,
         windows,
     )
 
@@ -48,6 +49,7 @@ def _modules():
         reshape,
         partsupp,
         behavior,
+        timeseries,
     ]
 
 
