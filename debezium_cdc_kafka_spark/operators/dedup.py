@@ -508,3 +508,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
     cos = dot_expr("e1", "e2") / F.sqrt(sq_norm_expr("e1") * sq_norm_expr("e2"))
     return pairs.filter(cos >= 0.4).select("v1", "v2", F.round(cos, 3).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Frequency-capped shingles: the skew guard the module docstring promises.
+# ---------------------------------------------------------------------------
+
+CAPPED_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+nd AS (SELECT count(*) AS n_docs FROM documents),
+drop_sh AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1) d, nd
+  WHERE df * 20 > n_docs AND df > 5
+),
+capped AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM drop_sh)),
+ccnt AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+)
+SELECT d1, d2, round(common * 1.0 / (c1.n + c2.n - common), 3) AS jaccard
+FROM pairs JOIN ccnt c1 ON c1.doc_id = d1 JOIN ccnt c2 ON c2.doc_id = d2
+WHERE common * 1.0 / (c1.n + c2.n - common) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard_capped", CAPPED_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard with stop-shingle capping: shingles appearing in
+    more than 5% of documents (and in > 5 documents absolute, so tiny
+    corpora don't degenerate) are dropped BEFORE pair generation.
+
+    This is the guard that makes the inverted-index join survive 100 TB:
+    a boilerplate shingle shared by 10% of a web crawl would otherwise
+    put 1% of all candidate pairs in one reducer (df² pair blowup). The
+    stop list is tiny by construction (only hot shingles qualify), so it
+    broadcasts, and the cap is enforced with a broadcast anti-join — the
+    big table never reshuffles. The 5%-of-n threshold is compared as
+    df·20 > n in exact integers, never a double."""
+    sh = doc_shingles(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    drop_sh = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") * 20 > F.col("n_docs")) & (F.col("df") > 5))
+        .select("sh")
+    )
+    capped = sh.join(F.broadcast(drop_sh), "sh", "left_anti")
+    cnt = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        pairs.join(c1, "d1")
+        .join(c2, "d2")
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.round(jac, 3).alias("jaccard"))
+    )

@@ -61,3 +61,29 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert len(multi & truth) >= len(single & truth)
     # and multi-probe actually widens the candidate pool somewhere
     assert len(multi) >= len(single)
+
+
+def test_stop_shingle_capping_drops_boilerplate_pairs(spark, tmp_path):
+    """30 docs share a long boilerplate sentence; uncapped Jaccard pairs
+    unrelated docs (boilerplate dominates), capped keeps only the true
+    near-dup pair (same unique token)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_cdc_kafka_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_capped,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu"
+    texts = [f"unique{i} {boiler}" for i in range(28)]
+    texts += [f"sameword {boiler}", f"sameword {boiler}"]  # docs 28, 29: true dups
+    tbl = pa.table({"doc_id": list(range(30)), "text": texts})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    uncapped = {(r.d1, r.d2) for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+    capped = {(r.d1, r.d2) for r in dedup_ngram_jaccard_capped(spark, str(tmp_path)).collect()}
+    # boilerplate makes nearly every pair look like a dup without capping
+    assert len(uncapped) > 100
+    # capping leaves exactly the genuine duplicate pair
+    assert capped == {(28, 29)}
