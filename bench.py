@@ -33,7 +33,10 @@ HEADLINE = [
     "q_sessionize_30m",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
+    "ann_lsh_multiprobe",
     "text_quality_stats",
+    "q02_min_cost_supplier",
+    "q_funnel_3step",
 ]
 
 
