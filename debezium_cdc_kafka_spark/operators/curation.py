@@ -1,0 +1,181 @@
+"""Training-data curation operators: the steps between "deduped corpus"
+and "training set" — stratified sampling, deterministic splits, canonical
+selection within duplicate clusters, and benchmark decontamination.
+North-star extensions (the reference has no corpus tooling at all); all
+deterministic column algebra so every query is oracle-gated.
+
+Scale notes: sampling and splitting are hash-ranked windows / projections
+— no global sort, no RNG state. Decontamination reuses the shingle
+inverted index (see operators/dedup.py scale notes: stop-shingle capping
+applies the same way). The eval side of the contamination join is tiny
+(the benchmark), so it broadcasts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..functions.hashing import md5_long
+from .dedup import _SHINGLES_CTE, CLUSTERS_ORACLE, dedup_clusters, doc_shingles
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+STRATIFIED_ORACLE = """
+SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+@query("q_stratified_sample", STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 documents per language, chosen by md5-rank — a deterministic,
+    reproducible stand-in for per-stratum random sampling (same idea as
+    the reference's ORDER BY random() LIMIT 1 row picks, reference:
+    app/utils/postgres.py:165–170, made replayable). Per-partition top-k:
+    bounded by k per stratum, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+SPLIT_ORACLE = """
+SELECT lang, split, count(*) AS n_docs FROM (
+  SELECT lang,
+         CASE WHEN h < 98 THEN 'train' WHEN h = 98 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
+        FROM documents)
+) GROUP BY lang, split
+"""
+
+
+@query("q_dataset_split", SPLIT_ORACLE)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """98/1/1 train/val/test split by content-stable hash of doc_id —
+    membership is a pure projection (reassignable, shardable, no state),
+    the property a 100 TB split must have. Output: per-(lang, split)
+    counts to expose stratification balance."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 98, "train").when(h == 98, "val").otherwise("test").alias("split")
+    )
+    return docs.select("lang", split).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+CANONICAL_ORACLE = f"""
+SELECT cluster_id, doc_id AS canonical_doc, cluster_size AS n_members,
+       n_chars AS kept_chars
+FROM (
+  SELECT c.cluster_id, c.doc_id, c.cluster_size, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rk
+  FROM ({CLUSTERS_ORACLE}) c JOIN documents d ON d.doc_id = c.doc_id
+) WHERE rk = 1
+"""
+
+
+@query("q_dedup_canonical", CANONICAL_ORACLE)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: inside each near-dup cluster (from
+    dedup_clusters' connected components) keep the longest document,
+    tiebreak on smallest doc_id. This is the final step of the dedup
+    pipeline — pairs → clusters → one survivor per cluster. Per-cluster
+    top-1 window; clusters are tiny, so no skew."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("cluster_size").alias("n_members"),
+            F.col("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+overlap AS (
+  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS common
+  FROM ev e JOIN tr t ON e.sh = t.sh
+  GROUP BY 1, 2
+)
+SELECT eval_id,
+       CAST(sum(CASE WHEN common * 2 >= n THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminating,
+       round(max(common * 1.0 / n), 3) AS max_overlap
+FROM overlap JOIN cnt ON cnt.doc_id = eval_id
+GROUP BY eval_id
+"""
+
+
+@query("q_contamination_ngram", CONTAMINATION_ORACLE)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each eval document (doc_id % 97 = 0
+    stands in for the benchmark set), the share of its 3-gram shingles
+    found in each training document; reports how many training docs
+    exceed 50% overlap (exact integer compare: common·2 ≥ n) and the max
+    overlap seen. The eval shingle set is benchmark-sized — broadcast —
+    so the scan over training shingles never shuffles; at 100 TB this is
+    one pass over the corpus index."""
+    sh = doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    tr = sh.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    overlap = (
+        F.broadcast(ev)
+        .join(tr, "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        overlap.join(
+            F.broadcast(cnt.select(F.col("doc_id").alias("eval_id"), "n")), "eval_id"
+        )
+        .groupBy("eval_id")
+        .agg(
+            F.sum(F.when(F.col("common") * 2 >= F.col("n"), 1).otherwise(0)).alias(
+                "n_contaminating"
+            ),
+            F.round(F.max(F.col("common") / F.col("n")), 3).alias("max_overlap"),
+        )
+    )

@@ -19,6 +19,7 @@ def _modules():
         asof,
         behavior,
         cdc,
+        curation,
         dedup,
         multimodal,
         partsupp,
@@ -50,6 +51,7 @@ def _modules():
         partsupp,
         behavior,
         timeseries,
+        curation,
     ]
 
 
