@@ -364,7 +364,14 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate fetch stays an equi-join on bucket, so a bucket-partitioned
     corpus at 100 TB still prunes to exactly 3 partitions per query. The
     flip selection reuses the same (vec_id, p, dot) projection that built
-    the buckets — no second corpus pass."""
+    the buckets.
+
+    proj/buckets appear in several subplans; measured at sf0.1, .cache()
+    is a wash (cache-fill barrier ≈ the cheap recompute), so the plan
+    stays lazy. In production the bucket assignment is the LSH *index* —
+    materialized once as a bucket-partitioned table and reused across
+    query batches, which removes the recompute entirely and is the real
+    100 TB answer (per-query cache is the wrong layer)."""
     proj = _plane_projections(spark, sf_dir)
     buckets = _sign_buckets(proj)
     mrk = W.partitionBy("vec_id").orderBy(F.abs(F.col("dot")), F.col("p"))
