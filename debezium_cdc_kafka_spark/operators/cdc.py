@@ -323,3 +323,49 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     target1 = apply_changes(empty_state(spark), batch1)
     target2 = apply_changes(target1, batch2)
     return state_view(target2).select("id", F.round("value", 2).alias("value"), "ts")
+
+
+CDC_INCR_AGG_ORACLE = f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM well_formed
+)
+SELECT count(*) AS n_live,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total_value
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
+@query("cdc_incremental_agg", CDC_INCR_AGG_ORACLE)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view style): the
+    live-row count and value total of the CDC target, computed from
+    per-event DELTAS — never from the materialized table. Each event's
+    delta is (its after-value) − (the key's previous live value), where
+    the previous value comes from lag() over the key's offset order —
+    exactly the before-image Debezium ships under REPLICA IDENTITY FULL
+    (the reference's envelope carries it too: README.md:212–218). Deltas
+    telescope per key, so their sum equals the final-state aggregate —
+    which is what the oracle computes, proving the equivalence.
+
+    Scale: maintaining an aggregate this way is O(changes), not O(table):
+    at 100 TB the nightly refresh touches only the day's events. Deltas
+    are exact integer cents (see functions/money.py), so partial sums
+    commute across any batch/partition order."""
+    raw = derive_change_events(spark, sf_dir)
+    ch = well_formed(decode_envelope(raw)).select(
+        "id", "op", "offset", F.col("after.value").alias("value")
+    )
+    w = W.partitionBy("id").orderBy("offset")
+    new_value = F.when(F.col("op") != "d", F.col("value"))
+    ch = ch.withColumn("_new", new_value).withColumn("_prior", F.lag("_new").over(w))
+    new_cents = F.coalesce(F.round(F.col("_new") * 100).cast("long"), F.lit(0))
+    prior_cents = F.coalesce(F.round(F.col("_prior") * 100).cast("long"), F.lit(0))
+    live_delta = F.col("_new").isNotNull().cast("long") - F.col(
+        "_prior"
+    ).isNotNull().cast("long")
+    return ch.agg(
+        F.sum(live_delta).alias("n_live"),
+        F.round(F.sum(new_cents - prior_cents) / 100.0, 2).alias("total_value"),
+    )
