@@ -307,3 +307,76 @@ def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("o_orderpriority").agg(
         F.sum("pn").alias("n_orders"), F.round(F.sum("pt") / 100.0, 2).alias("total")
     )
+
+
+Q21_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         datediff('day', o_orderdate, l_shipdate) > 90 AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM li l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE l1.late
+  AND r_name = 'EUROPE'
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+"""
+
+
+@query("q21_suppliers_kept_waiting", Q21_ORACLE)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one region who were the SOLE late
+    supplier on a multi-supplier order (lateness = shipped > 90 days
+    after order date — the schema has no commit/receipt dates; region
+    EUROPE stands in for Q21's single nation, whose supplier count can be
+    zero at tiny SFs). The
+    EXISTS becomes a LEFT SEMI join and the NOT EXISTS a LEFT ANTI join,
+    both on l_orderkey — the same key, so the two probe-side shuffles
+    share one partitioning; the nation filter broadcasts and prunes the
+    fact table before either."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.datediff("l_shipdate", "o_orderdate") > 90).alias("late"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    l1 = (
+        li.filter("late")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.filter("late").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
