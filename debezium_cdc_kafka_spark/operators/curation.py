@@ -179,3 +179,38 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.col("common") / F.col("n")), 3).alias("max_overlap"),
         )
     )
+
+
+PCT_BAND_ORACLE = """
+SELECT lang, count(*) AS n_kept, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM (
+  SELECT lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+)
+WHERE pr >= 0.05 AND pr <= 0.95
+GROUP BY lang
+"""
+
+
+@query("q_quality_percentile_band", PCT_BAND_ORACLE)
+def q_quality_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorizing curation filter: within each language, keep documents
+    between the 5th and 95th length percentiles (drop truncated fragments
+    and concatenation blobs). percent_rank partitions by the stratum, so
+    the sort is per-language — no global window; at 100 TB strata are
+    sub-bucketed or the thresholds come from approx_percentile (see
+    operators/approx.py) and the filter becomes a broadcast compare.
+    doc_id tiebreak makes ranks unique so both engines cut identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("lang", "n_chars", F.percent_rank().over(w).alias("pr"))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

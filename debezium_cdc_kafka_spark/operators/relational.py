@@ -897,3 +897,38 @@ def q_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
         .alias("status_name"),
     )
+
+
+CUBE_ORACLE = """
+SELECT
+  coalesce(o_orderpriority, 'ALL')           AS priority,
+  coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+  count(*)                                   AS n_orders,
+  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+"""
+
+
+@query("q_cube_orders", CUBE_ORACLE)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, year): all four grouping combinations in one
+    pass — Spark expands the cube in the aggregate (partial per grouping
+    id, map-side combined), not as four scans. Completes the rollup /
+    grouping-sets / cube trio. Money via exact integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", F.year("o_orderdate").alias("oy"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            ).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("oy").cast("string"), F.lit("ALL")).alias("o_year"),
+            "n_orders",
+            "total",
+        )
+    )
