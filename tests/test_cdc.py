@@ -182,3 +182,44 @@ def test_streaming_pipeline_matches_batch(spark, tmp_path):
     q2 = run_cdc_stream(spark, file_change_stream(spark, env_dir), target_path, ckpt)
     q2.awaitTermination(60)
     assert target.versions() == versions
+
+
+def test_incremental_agg_maintained_per_batch_equals_one_shot(spark):
+    """Materialized-view maintenance: process the stream in 3 micro-batches,
+    and after each batch update the (n_live, total_cents) aggregate using
+    ONLY the touched keys' before/after state — never a full-table scan.
+    The accumulated aggregate must equal cdc_incremental_agg's one-shot
+    lag-based computation (which itself is oracle-gated against the
+    final-state aggregate)."""
+    from debezium_cdc_kafka_spark.operators.cdc import cdc_incremental_agg
+
+    raw = derive_change_events(spark, SF_SMOKE)
+    cuts = ("2024-01-11", "2024-01-21")
+    batches = [
+        raw.filter(F.col("timestamp") < cuts[0]),
+        raw.filter((F.col("timestamp") >= cuts[0]) & (F.col("timestamp") < cuts[1])),
+        raw.filter(F.col("timestamp") >= cuts[1]),
+    ]
+
+    def agg_of(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)).alias("c"),
+        ).first()
+        return row.n, row.c
+
+    state = empty_state(spark)
+    n_live, total_cents = 0, 0
+    for b in batches:
+        decoded = decode_envelope(b)
+        touched = well_formed(decoded).select("id").distinct()
+        new_state = apply_changes(state, decoded)
+        dn_old, dc_old = agg_of(state_view(state).join(touched, "id"))
+        dn_new, dc_new = agg_of(state_view(new_state).join(touched, "id"))
+        n_live += dn_new - dn_old
+        total_cents += dc_new - dc_old
+        state = new_state
+
+    expected = cdc_incremental_agg(spark, SF_SMOKE).first()
+    assert n_live == expected.n_live
+    assert round(total_cents / 100.0, 2) == expected.total_value
