@@ -90,6 +90,7 @@ def decode_envelope(raw: DataFrame, strict_ops: bool = True, schema=None) -> Dat
         F.coalesce(F.col("envelope.payload.after.id"), F.col("envelope.payload.before.id")).alias(
             "id"
         ),
+        F.col("envelope.payload.ts_ms").alias("ts_ms"),
         F.col("offset"),
         # PERMISSIVE from_json yields a struct with a null payload on corrupt
         # input (not a null struct) — that null payload is the malformed flag
@@ -368,4 +369,47 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.agg(
         F.sum(live_delta).alias("n_live"),
         F.round(F.sum(new_cents - prior_cents) / 100.0, 2).alias("total_value"),
+    )
+
+
+SCD2_ORACLE = f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+versions AS (
+  SELECT user_id AS id, value, op, epoch_ms(ts) AS valid_from_ms,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_ms
+  FROM well_formed
+)
+SELECT id, round(value, 2) AS value, valid_from_ms, valid_to_ms,
+       valid_to_ms IS NULL AS is_current
+FROM versions WHERE op <> 'd'
+"""
+
+
+@query("cdc_scd2_history", SCD2_ORACLE)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from the change stream: one row
+    per version of each key, with [valid_from, valid_to) millisecond
+    bounds and an is_current flag. A version closes when ANY later event
+    touches the key — including a delete, which closes the last version
+    without opening a new one (deleted keys have no current row).
+
+    lead() over (key, offset) is the whole algorithm: one shuffle on the
+    key, no self-join, no serial replay — the standard way to land a CDC
+    feed as a warehouse dimension. Epoch-ms integers (Debezium's ts_ms)
+    keep the interval arithmetic engine-exact."""
+    raw = derive_change_events(spark, sf_dir)
+    ch = well_formed(decode_envelope(raw)).select(
+        "id", "op", "offset", "ts_ms", F.col("after.value").alias("value")
+    )
+    w = W.partitionBy("id").orderBy("offset")
+    return (
+        ch.withColumn("valid_to_ms", F.lead("ts_ms").over(w))
+        .filter(F.col("op") != "d")
+        .select(
+            "id",
+            F.round("value", 2).alias("value"),
+            F.col("ts_ms").alias("valid_from_ms"),
+            "valid_to_ms",
+            F.col("valid_to_ms").isNull().alias("is_current"),
+        )
     )
