@@ -575,3 +575,46 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.8)
         .select("d1", "d2", F.round(jac, 3).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-collapsing exact dedup.
+# ---------------------------------------------------------------------------
+
+NORM_RE = "[^a-z0-9]+"
+
+NORM_EXACT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS uid, text FROM documents
+  UNION ALL
+  -- mutated re-crawl: case + punctuation noise that normalization must erase
+  SELECT doc_id + 10000000 AS uid, upper(text) || ' !!' FROM documents
+),
+normed AS (
+  SELECT uid,
+         trim(regexp_replace(lower(text), '{NORM_RE}', ' ', 'g')) AS norm
+  FROM corpus
+)
+SELECT md5(norm) AS content_hash, min(uid) AS canonical_id, count(*) AS n_copies
+FROM normed GROUP BY content_hash
+"""
+
+
+@query("dedup_normalized_exact", NORM_EXACT_ORACLE)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text normalization (lowercase, non-alphanumerics
+    → space, whitespace collapse): catches the re-crawl that differs only
+    in case/punctuation, which raw-hash dedup misses. The corpus is
+    documents ∪ a mutated copy (uppercased + trailing noise), so every
+    group provably collapses to n_copies ≥ 2. Same one-shuffle hash-
+    groupBy as dedup_exact — normalization is a free map on the scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("uid"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = docs.select(F.col("doc_id").alias("uid"), "text").unionByName(mutated)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), NORM_RE, " "))
+    return corpus.groupBy(F.md5(norm).alias("content_hash")).agg(
+        F.min("uid").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )

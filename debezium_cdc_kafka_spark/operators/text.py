@@ -226,3 +226,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
     t = docs.select("doc_id", F.md5(norm).alias("norm_fp"), F.md5(bag).alias("bag_fp"))
     return t.withColumn("bag_group_size", F.count(F.lit(1)).over(W.partitionBy("bag_fp")))
+
+
+# Dialect-portable regexes: character classes only — no \d, \b, or
+# lookaround, which differ between Java regex (Spark) and RE2-ish engines.
+_EMAIL_RE = "[a-z0-9]+@[a-z][a-z.]*[a-z]"
+_PHONE_RE = "[+]1-555-[0-9]{4}"
+
+REDACT_ORACLE = f"""
+WITH augmented AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example or +1-555-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+FROM augmented
+"""
+
+
+@query("text_redact_pii", REDACT_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: match emails/phones, count them, and replace
+    with placeholder tags. The corpus is synthetic (no real PII), so the
+    query first injects a deterministic email + phone per document — both
+    engines inject identically, and the md5 of the redacted text proves
+    byte-identical redaction output. Pure regexp column algebra: one
+    narrow map over documents, no shuffle, codegen'd in the JVM — the
+    shape of every scrubbing pass in a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
