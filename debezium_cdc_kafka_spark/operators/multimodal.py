@@ -166,3 +166,43 @@ def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:
 
     flat = blobs.select("doc_id", "payload", F.col("meta.format").alias("format"))
     return flat.mapInPandas(run, "doc_id long, payload binary, format string")
+
+
+FRAME_SAMPLE_ORACLE = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST((octet_length(encode(text)) % 240) + 1 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, n_frames,
+       CAST((i * n_frames) // least(8, n_frames) AS INT) AS frame_idx
+FROM (SELECT doc_id, n_frames, unnest(range(0, least(8, n_frames))) AS i FROM meta)
+"""
+
+
+@query("multimodal_frame_sample", FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame sampling for video-style payloads: pick up to 8
+    evenly spaced frame indices per blob — ⌊i·n/k⌋ for i < k = min(8, n),
+    which is strictly increasing, so indices never repeat. Runs entirely
+    from metadata (n_frames, here derived from payload length since the
+    fake codec is single-frame): the expensive per-frame decode downstream
+    then touches ONLY sampled frames. explode() keeps each blob's frames
+    in its partition — no shuffle, scales with the corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        ((F.length(F.encode(F.col("text"), "UTF-8")) % 240) + 1)
+        .cast("int")
+        .alias("n_frames"),
+    )
+    k = F.least(F.lit(8), F.col("n_frames"))
+    return meta.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), k - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        F.expr("CAST((i * n_frames) DIV least(8, n_frames) AS INT)").alias("frame_idx"),
+    )
