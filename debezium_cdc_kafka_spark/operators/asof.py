@@ -49,9 +49,14 @@ def asof_join(
     time_right: str,
     right_cols: list[str],
     tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join via union + keyed window. `tiebreak` is a right
-    column making equal-timestamp matches deterministic (max wins)."""
+    column making equal-timestamp matches deterministic (max wins for
+    backward, min for forward). direction='backward' attaches the most
+    recent right row at-or-before the left time; 'forward' the earliest
+    right row at-or-after it (same single window pass, traversed in
+    descending time)."""
     lt = left.select(
         F.col(key_left).alias("_k"),
         F.col(time_left).alias("_t"),
@@ -70,11 +75,18 @@ def asof_join(
     )
     unioned = lt.unionByName(rt)
     # order: time, then right-before-left at equal times (an order AT the
-    # event time matches), then tiebreak so the max-tiebreak right row is
-    # the one carried forward
+    # event time matches), then tiebreak so the winning right row is the
+    # one carried forward (max tiebreak for backward, min for forward —
+    # forward traverses time descending, so both flips mirror each other)
+    if direction == "backward":
+        order = [F.col("_t"), F.col("_is_left"), F.col("_tb").asc_nulls_last()]
+    elif direction == "forward":
+        order = [F.col("_t").desc(), F.col("_is_left"), F.col("_tb").desc_nulls_last()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     w = (
         W.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_tb").asc_nulls_last())
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
@@ -144,4 +156,59 @@ def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("o_orderkey").alias("last_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )
+
+
+ASOF_FWD_ORACLE = """
+WITH tagged AS (
+  SELECT user_id AS k, ts AS t, 1 AS is_left, NULL::BIGINT AS tb,
+         event_id, event_type, NULL::BIGINT AS o_orderkey, NULL::TIMESTAMP AS o_orderdate
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS k, o_orderdate AS t, 0 AS is_left, o_orderkey AS tb,
+         NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type, o_orderkey, o_orderdate
+  FROM orders
+),
+carried AS (
+  SELECT *,
+    last_value(o_orderkey IGNORE NULLS) OVER w   AS asof_orderkey,
+    last_value(o_orderdate IGNORE NULLS) OVER w  AS asof_orderdate
+  FROM tagged
+  WINDOW w AS (PARTITION BY k ORDER BY t DESC, is_left, tb DESC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, event_type,
+       asof_orderkey AS next_orderkey,
+       strftime(asof_orderdate, '%Y-%m-%d') AS next_orderdate
+FROM carried WHERE is_left = 1 AND event_id % 10 = 0
+"""
+
+
+@query("q_asof_next_order", ASOF_FWD_ORACLE)
+def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each (10th) event joined to the user's EARLIEST
+    order at-or-after the event — attribution's "did the signup convert"
+    shape. Same one-shuffle union+window plan as the backward join,
+    traversed in descending time."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        key_left="user_id",
+        key_right="o_custkey",
+        time_left="ts",
+        time_right="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
+    return joined.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("next_orderdate"),
     )
