@@ -87,3 +87,52 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.round(sigmoid_score(F.col("n_chars")), 6).alias("quality_sigmoid")
     )
+
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+  FROM documents GROUP BY lang
+),
+dev AS (
+  SELECT d.lang, m.med, abs(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m ON d.lang = m.lang
+),
+mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang)
+SELECT dev.lang,
+       round(max(dev.med), 4) AS med_chars,
+       round(max(mad.mad), 4) AS mad_chars,
+       CAST(sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.lang = mad.lang
+GROUP BY dev.lang
+"""
+
+
+@query("q_outliers_mad", MAD_ORACLE)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per language: median absolute deviation
+    (3·MAD rule) over document lengths — the outlier screen that, unlike
+    z-scores, a handful of giant blobs can't poison. Two grouped exact
+    medians (per-stratum, so no global sort) with the tiny per-lang
+    results broadcast back; at 100 TB swap `percentile` for
+    `percentile_approx` (mergeable sketch) and the plan shape is
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(F.max("med"), 4).alias("med_chars"),
+            F.round(F.max("mad"), 4).alias("mad_chars"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
