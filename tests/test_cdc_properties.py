@@ -84,3 +84,65 @@ def test_any_batching_any_order_converges(spark, events, cut_points, order):
     state = apply_changes(state, batches[0])  # redelivery
     got = {r.id: r.value for r in state_view(state).collect()}
     assert got == serial_upsert_replay(events)
+
+
+# ---------------------------------------------------------------------------
+# As-of join property: for random event/order timelines, the attached row
+# is exactly the spec's "latest at-or-before" (resp. "earliest at-or-after").
+# ---------------------------------------------------------------------------
+
+asof_strategy = st.tuples(
+    # left events: (key, time)
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=10
+    ),
+    # right rows: (key, time, rowid)  — rowid unique via enumerate below
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=10
+    ),
+)
+
+
+def _spec_asof(lefts, rights, direction):
+    out = {}
+    for li, (lk, lt) in enumerate(lefts):
+        cands = [
+            (rt, rid)
+            for rid, (rk, rt) in enumerate(rights)
+            if rk == lk and (rt <= lt if direction == "backward" else rt >= lt)
+        ]
+        if not cands:
+            out[li] = None
+        elif direction == "backward":
+            out[li] = max(cands)[1]  # latest time, then max rowid
+        else:
+            out[li] = min(cands, key=lambda c: (c[0], -c[1]))[1]  # earliest, max rowid
+    return out
+
+
+@given(asof_strategy, st.sampled_from(["backward", "forward"]))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_spec(spark, data, direction):
+    from debezium_cdc_kafka_spark.operators.asof import asof_join
+
+    lefts, rights = data
+    left_df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, t long"
+    )
+    right_df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rights)], "rid long, rk long, rt long"
+    )
+    joined = asof_join(
+        left_df,
+        right_df,
+        key_left="k",
+        key_right="rk",
+        time_left="t",
+        time_right="rt",
+        right_cols=["rid"],
+        tiebreak="rid",
+        direction=direction,
+    )
+    got = {r.lid: r.rid for r in joined.collect()}
+    want = _spec_asof(lefts, rights, direction)
+    assert got == want
