@@ -275,3 +275,56 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(aug, F.lit(_PHONE_RE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term, n
+)
+SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+@query("text_tfidf_top_terms", TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction pass of a
+    corpus pipeline. tf is a (doc, term) groupBy; df a term groupBy whose
+    result is vocabulary-sized (tiny relative to the corpus — broadcast);
+    ranking is a per-document top-k window, bounded by k. The score is
+    rounded to 6 decimals BEFORE ranking so a 1-ulp ln() difference
+    between engines can't flip an ordering. At 100 TB both aggregates are
+    partial-combinable and the only large shuffle keys on (doc, term) —
+    uniform by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
