@@ -214,3 +214,43 @@ def q_quality_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+WEIGHTED_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                  / 1152921504606846976.0) / n_chars, 9) AS wkey
+  FROM documents
+)
+SELECT doc_id, n_chars, wkey, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (ORDER BY wkey DESC, doc_id) AS rk FROM keyed
+) WHERE rk <= 20
+"""
+
+
+@query("q_weighted_sample", WEIGHTED_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each document draws u ∈ (0,1] from its md5 hash and ranks by
+    ln(u)/weight (≡ u^(1/w)); the top-k ranks ARE a weighted sample, here
+    weighted by document length. This is THE distributed weighted-sample
+    algorithm: keys compute per-row with no coordination and top-k is a
+    `TakeOrdered` per-partition heap — one pass, no global sort, no RNG
+    state to synchronize across 1000 executors. Keys are rounded to 9
+    decimals before ranking so both engines cut identically; u comes from
+    60 md5 bits (/ 2^60), so ties are impossible."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (md5_long(F.col("doc_id").cast("string")) + 1) / F.lit(float(1 << 60))
+    keyed = docs.select(
+        "doc_id", "n_chars", F.round(F.log(u) / F.col("n_chars"), 9).alias("wkey")
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition k-heaps,
+    # driver merges 32·k rows) — NOT a global-window shuffle of every row.
+    # The row_number window then ranks only the k survivors.
+    top = keyed.orderBy(F.col("wkey").desc(), "doc_id").limit(20)
+    w = W.orderBy(F.col("wkey").desc(), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "n_chars", "wkey", "rk")
+    )
