@@ -413,3 +413,73 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "cand_id", "rk", F.round("cos", 3).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means assignment (one Lloyd iteration) — the quantizer that produces
+# IVF cells in the first place.
+# ---------------------------------------------------------------------------
+
+_D2_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE)) * "
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE))))"
+)
+
+KMEANS_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cluster_id, embedding AS ce
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
+  FROM embeddings e CROSS JOIN seeds s
+), best AS (
+  SELECT vec_id, cluster_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk
+  FROM scored
+)
+SELECT vec_id, cluster_id, d2,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size
+FROM best WHERE rk = 1
+"""
+
+
+@query("ann_kmeans_assign", KMEANS_ORACLE)
+def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step of k-means (k=8) over the corpus — the
+    coarse quantizer that PRODUCES the IVF cell layout ann_ivf_topk
+    probes. Seeds are the 8 vectors with the smallest md5(vec_id)
+    (deterministic k-means|| stand-in); every vector is assigned to its
+    nearest seed by squared L2, computed as the same sequential fold the
+    oracle's list_sum uses so distances match bit-for-bit, then rounded
+    before the argmin so a tie can't be cut differently by the engines.
+
+    Scale shape: seeds are k rows → broadcast; the distance scan is a
+    narrow map (k·dim flops per row, whole-stage codegen'd); the argmin
+    is a per-vector window bounded by k. No shuffle touches the corpus
+    except the k-wide expansion, which AQE coalesces. Iterating Lloyd
+    means re-aggregating centroids per cluster (a partial-combinable
+    groupBy) and re-broadcasting — each iteration is one scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
+    )
+    diffs = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(F.col("ce"), lambda x: x.cast("double")),
+        lambda x, y: (x - y) * (x - y),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return best.select(
+        "vec_id",
+        "cluster_id",
+        "d2",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).cast("int").alias("cluster_size"),
+    )

@@ -328,3 +328,140 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filtering (Gopher-style rules).
+# ---------------------------------------------------------------------------
+
+_BIGRAMS_SQL = f"""
+  CASE WHEN len(tok) >= 2
+       THEN list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+       ELSE [] END
+"""
+
+REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql("text")} AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, tok, {_BIGRAMS_SQL} AS bg FROM t
+), m AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(tok))::DOUBLE / len(tok), 6) AS dup_word_frac,
+         CASE WHEN len(bg) > 0 THEN
+           round(list_max(list_transform(list_distinct(bg),
+                   x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg), 6)
+         ELSE 0.0 END AS top_bigram_frac
+  FROM b
+)
+SELECT doc_id, dup_word_frac, top_bigram_frac,
+       (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.08) AS keep
+FROM m
+"""
+
+
+@query("text_repetition_filter", REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter in the style of the Gopher rules
+    (Rae et al. 2021 §A1.1): docs dominated by repeated words or by one
+    repeated bigram are boilerplate/spam and get keep=false. Two metrics:
+    duplicate-word fraction (1 − distinct/total) and the fraction of all
+    bigram occurrences claimed by the single most frequent bigram.
+
+    All per-row array algebra — bigrams are built O(n) by indexing, the
+    mode count is O(distinct·n) on ≤few-hundred-word docs — so the whole
+    filter is a narrow map that pipelines with the Parquet scan; at
+    100 TB it runs shuffle-free and the keep flag can gate downstream
+    passes via ordinary predicate pushdown."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    tok = F.col("tok")
+    bigrams = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tok, i), F.element_at(tok, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = t.select("doc_id", "tok", bigrams.alias("bg"))
+    bg = F.col("bg")
+    top_count = F.array_max(
+        F.transform(F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x)))
+    )
+    m = b.select(
+        "doc_id",
+        F.round(1.0 - F.size(F.array_distinct(tok)) / F.size(tok), 6).alias("dup_word_frac"),
+        F.when(F.size(bg) > 0, F.round(top_count / F.size(bg), 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+    return m.select(
+        "doc_id",
+        "dup_word_frac",
+        "top_bigram_frac",
+        ((F.col("dup_word_frac") <= 0.6) & (F.col("top_bigram_frac") <= 0.08)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy scoring (char- and word-level).
+# ---------------------------------------------------------------------------
+
+def _entropy_sql(arr: str) -> str:
+    """DuckDB: -Σ p·log2(p) over the sorted distinct elements of arr.
+    Sequential list_sum fold in sorted order = bit-identical to Spark's
+    F.aggregate fold over the same sorted order."""
+    return (
+        f"round(-list_sum(list_transform(list_sort(list_distinct({arr})), "
+        f"x -> (len(list_filter({arr}, y -> y = x))::DOUBLE / len({arr})) "
+        f"* log2(len(list_filter({arr}, y -> y = x))::DOUBLE / len({arr})))), 6)"
+    )
+
+
+ENTROPY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), ''), c -> c <> '') AS cs,
+         {tokens_sql("text")} AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_distinct(cs)) AS INT)  AS n_unique_chars,
+       CAST(len(list_distinct(tok)) AS INT) AS n_unique_words,
+       {_entropy_sql("cs")}  AS char_entropy_bits,
+       {_entropy_sql("tok")} AS word_entropy_bits
+FROM t
+"""
+
+
+def _entropy(arr) -> "F.Column":
+    n = F.size(arr)
+    terms = F.transform(
+        F.array_sort(F.array_distinct(arr)),
+        lambda x: (F.size(F.filter(arr, lambda y: y == x)) / n)
+        * F.log2(F.size(F.filter(arr, lambda y: y == x)) / n),
+    )
+    return F.round(-F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v), 6)
+
+
+@query("text_entropy", ENTROPY_ORACLE)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy at character and word level — the
+    classic cheap perplexity proxy for corpus filtering: near-zero
+    entropy means degenerate repetition, unusually high char entropy
+    means binary junk / encoded blobs. Both entropies fold −Σ p·log2(p)
+    over the SORTED distinct elements so Spark's sequential F.aggregate
+    and DuckDB's list_sum add terms in the same order (float addition
+    isn't associative; sorting makes the fold deterministic across
+    engines). Narrow per-row map, shuffle-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cs = F.filter(F.split(F.lower("text"), ""), lambda c: c != "")
+    t = docs.select("doc_id", cs.alias("cs"), tokens(F.col("text")).alias("tok"))
+    return t.select(
+        "doc_id",
+        F.size(F.array_distinct("cs")).alias("n_unique_chars"),
+        F.size(F.array_distinct("tok")).alias("n_unique_words"),
+        _entropy(F.col("cs")).alias("char_entropy_bits"),
+        _entropy(F.col("tok")).alias("word_entropy_bits"),
+    )
