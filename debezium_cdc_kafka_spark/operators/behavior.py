@@ -144,3 +144,120 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (first-order Markov chain).
+# ---------------------------------------------------------------------------
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n / (sum(n) OVER (PARTITION BY from_type)), 6) AS p
+FROM pairs
+"""
+
+
+@query("q_markov_transitions", MARKOV_ORACLE)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current type). The sequencing window partitions by
+    user (bounded state, ordered by (ts, event_id) so simultaneous events
+    have a total order); the pair counts are a partial-combinable groupBy
+    over at most |types|² keys, and the row-normalizing window runs on
+    that tiny aggregate — so the only full-data shuffle is the per-user
+    window, which a user_id-bucketed events table at 100 TB avoids
+    entirely."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation.
+# ---------------------------------------------------------------------------
+
+RFM_ORACLE = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(datediff('day', max(o_orderdate), (SELECT mx FROM anchor)) AS INT) AS recency_days,
+         CAST(count(*) AS INT) AS frequency,
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT)          AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT)        AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT)         AS m_score
+FROM base
+"""
+
+
+@query("q_rfm_segments", RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (recency,
+    against the corpus max date so the query is reproducible), order count
+    (frequency), and lifetime spend (monetary, exact integer cents), each
+    scored into quintiles — score 1 is best by convention. Every ntile
+    orders with a custkey tiebreaker so both engines cut identical
+    buckets.
+
+    Scale: the per-customer rollup is one partial-combinable groupBy. The
+    ntile windows are global (one partition) over the ALREADY-AGGREGATED
+    per-customer rows — fine into the millions; past that, replace ntile
+    with precomputed quintile boundaries (one approx_percentile pass,
+    broadcast, bucket by comparison) and the plan loses its last global
+    window."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("int").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("mx", "last_order").cast("int").alias("recency_days"),
+            "frequency",
+            F.round(F.col("cents") / 100.0, 2).alias("monetary"),
+        )
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).cast("int").alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).cast("int").alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).cast("int").alias("m_score"),
+    )

@@ -136,3 +136,85 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (data-quality summary, Deequ/Great-Expectations style).
+# ---------------------------------------------------------------------------
+
+def _profile_col_sql(name: str, num_expr: str | None) -> str:
+    """One UNION ALL arm of the oracle: numeric columns report min/max on a
+    shared DOUBLE axis (timestamps as epoch seconds), varchars as NULL."""
+    if num_expr is None:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+    else:
+        mn = f"round(min({num_expr}), 6)"
+        mx = f"round(max({num_expr}), 6)"
+    return f"""
+  SELECT '{name}' AS column_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num
+  FROM orders"""
+
+
+_PROFILE_COLS: list[tuple[str, str | None]] = [
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)"),
+    ("o_orderstatus", None),
+    ("o_totalprice", "o_totalprice"),
+    ("o_orderdate", "CAST(epoch(o_orderdate) AS DOUBLE)"),
+    ("o_orderpriority", None),
+]
+
+PROFILE_ORACLE = "\nUNION ALL\n".join(
+    _profile_col_sql(n, e) for n, e in _PROFILE_COLS
+)
+
+
+@query("q_profile_columns", PROFILE_ORACLE)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of `orders` (the Deequ-style
+    audit every ingestion pipeline runs first): row count, null count,
+    exact distinct count, and min/max on a shared numeric axis
+    (timestamps as epoch seconds; varchar min/max omitted to keep the
+    output monotyped). Computed as ONE aggregate pass over the table —
+    the multiple exact COUNT(DISTINCT)s make Catalyst plan an Expand
+    (one duplicated stream per distinct column), the standard plan for
+    multi-distinct; at 100 TB swap them for approx_count_distinct and
+    the Expand disappears, leaving a single partial-combinable scan.
+    The profile row-set is built with inline(array(struct(...))) — no
+    driver-side loop, no second scan."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    num_exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("double"),
+        "o_custkey": F.col("o_custkey").cast("double"),
+        "o_totalprice": F.col("o_totalprice"),
+        "o_orderdate": F.unix_timestamp("o_orderdate").cast("double"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, _ in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(name).isNull().cast("long")).alias(f"{name}__nulls"))
+        aggs.append(F.countDistinct(name).alias(f"{name}__distinct"))
+        if name in num_exprs:
+            aggs.append(F.round(F.min(num_exprs[name]), 6).alias(f"{name}__min"))
+            aggs.append(F.round(F.max(num_exprs[name]), 6).alias(f"{name}__max"))
+    one = orders.agg(*aggs)
+
+    structs = []
+    for name, _ in _PROFILE_COLS:
+        mn = F.col(f"{name}__min") if name in num_exprs else F.lit(None).cast("double")
+        mx = F.col(f"{name}__max") if name in num_exprs else F.lit(None).cast("double")
+        structs.append(
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{name}__nulls").alias("n_nulls"),
+                F.col(f"{name}__distinct").alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+            )
+        )
+    return one.select(F.inline(F.array(*structs)))
