@@ -261,3 +261,78 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).cast("int").alias("f_score"),
         F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).cast("int").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: last touch before each purchase.
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), tch AS (
+  SELECT event_id AS touch_id, user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+), tagged AS (
+  SELECT user_id AS k, ts AS t, 1 AS is_left, NULL::BIGINT AS tb,
+         event_id, NULL::BIGINT AS touch_id, NULL::VARCHAR AS touch_type,
+         NULL::TIMESTAMP AS t_ts
+  FROM p
+  UNION ALL
+  SELECT user_id, t_ts, 0, touch_id, NULL::BIGINT, touch_id, touch_type, t_ts
+  FROM tch
+), carried AS (
+  SELECT *,
+    last_value(touch_id IGNORE NULLS) OVER w   AS a_id,
+    last_value(touch_type IGNORE NULLS) OVER w AS a_type,
+    last_value(t_ts IGNORE NULLS) OVER w       AS a_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY k ORDER BY t, is_left, tb ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, a_id AS touch_id, a_type AS touch_type,
+       strftime(a_ts, '%Y-%m-%d %H:%M:%S') AS touch_ts,
+       a_ts IS NOT NULL AS attributed
+FROM carried WHERE is_left = 1
+"""
+
+
+@query("q_attribution_last_touch", ATTRIBUTION_ORACLE)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent click or view at-or-before purchase time (equal-timestamp
+    touches match; newest event_id wins the tie deterministically).
+    Purchases with no prior touch stay unattributed (attributed=false) —
+    an as-of LEFT join, not inner. Built on the same union + keyed-window
+    as-of machinery as operators/asof.py: one shuffle on user_id, state
+    bounded per key, no range self-join blowup."""
+    from .asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        key_left="user_id",
+        key_right="user_id",
+        time_left="ts",
+        time_right="t_ts",
+        right_cols=["touch_id", "touch_type", "t_ts"],
+        tiebreak="touch_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        F.date_format("t_ts", "yyyy-MM-dd HH:mm:ss").alias("touch_ts"),
+        F.col("t_ts").isNotNull().alias("attributed"),
+    )

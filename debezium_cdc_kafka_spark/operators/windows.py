@@ -230,3 +230,46 @@ def q_late_events_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_late"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Navigation functions: nth_value / cume_dist / multi-step lead.
+# ---------------------------------------------------------------------------
+
+NAVIGATION_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(cume_dist() OVER w, 6)                              AS cd,
+       nth_value(o_orderkey, 2) OVER w                           AS second_orderkey,
+       lead(o_orderkey, 2, -1) OVER w                            AS after_next_orderkey,
+       strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d')     AS first_orderdate
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_window_navigation", NAVIGATION_ORACLE)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation surface: cume_dist (tie-free order → identical
+    fractions in both engines), nth_value with a running frame (NULL
+    until the partition's second row enters the frame), multi-step lead
+    with an explicit default, and first_value. One per-customer window,
+    totally ordered by (o_orderdate, o_orderkey); partitions are small
+    and keyed, so the single shuffle is the whole cost at any scale."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.cume_dist().over(wo), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+        F.lead("o_orderkey", 2, -1).over(wo).alias("after_next_orderkey"),
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias("first_orderdate"),
+    )
