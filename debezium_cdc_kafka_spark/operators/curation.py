@@ -254,3 +254,135 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rk", F.row_number().over(w))
         .select("doc_id", "n_chars", "wkey", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget source mixing.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 20_000        # target training tokens
+_MIX_CAP_PCT = 30           # no source may exceed 30% of the budget
+
+MIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(est_tokens) AS total FROM per_source)
+SELECT source, est_tokens,
+       CAST(least(
+         est_tokens,
+         {_MIX_BUDGET} * {_MIX_CAP_PCT} // 100,
+         CAST(round({_MIX_BUDGET} * est_tokens / (SELECT total FROM tot)) AS BIGINT)
+       ) AS BIGINT) AS alloc_tokens,
+       round(CAST(least(
+         est_tokens,
+         {_MIX_BUDGET} * {_MIX_CAP_PCT} // 100,
+         CAST(round({_MIX_BUDGET} * est_tokens / (SELECT total FROM tot)) AS BIGINT)
+       ) AS BIGINT) / est_tokens, 6) AS sample_frac
+FROM per_source
+"""
+
+
+@query("q_token_budget_mix", MIX_ORACLE)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing allocation for a fixed training-token budget:
+    each source gets its proportional share of the budget, clipped by a
+    per-source cap (30%, the anti-domination rule) and by what the
+    source actually has. The emitted sample_frac is the per-source
+    retention rate a downstream weighted sampler ([[q_weighted_sample]]
+    / q_stratified_sample) applies. Pure integer arithmetic over a
+    source-level aggregate (|sources| rows) — the corpus is scanned
+    once, partial-combinable, and the mixing math itself costs nothing
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens")
+    )
+    tot = per_source.agg(F.sum("est_tokens").alias("total"))
+    cap = F.lit(_MIX_BUDGET * _MIX_CAP_PCT // 100).cast("long")
+    share = F.round(F.lit(_MIX_BUDGET) * F.col("est_tokens") / F.col("total")).cast("long")
+    alloc = F.least(F.col("est_tokens"), cap, share)
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "est_tokens",
+            alloc.alias("alloc_tokens"),
+            F.round(alloc / F.col("est_tokens"), 6).alias("sample_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk offsets).
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 2048
+
+PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, tokens,
+         sum(tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tokens AS start_off
+  FROM t
+)
+SELECT doc_id, tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {_SEQ_LEN} AS BIGINT) AS start_bin,
+       CAST((start_off + tokens - 1) // {_SEQ_LEN} AS BIGINT) AS end_bin,
+       CAST((start_off + tokens - 1) // {_SEQ_LEN} - start_off // {_SEQ_LEN} + 1 AS INT)
+         AS n_bins
+FROM packed
+"""
+
+
+@query("q_sequence_packing", PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in a
+    deterministic shuffled order (md5 of doc_id) and chunk the token
+    stream into fixed {_SEQ_LEN}-token training sequences. Each document
+    gets its token offset in the stream, the first and last
+    sequence it lands in, and how many sequences it spans — exactly the
+    index a packed-dataset loader needs.
+
+    The demo plan uses one global cumulative-sum window (fine to
+    millions of docs). At 100 TB packing is a textbook two-pass
+    distributed prefix sum: per-partition token totals (one tiny row per
+    partition) → exclusive prefix over those on the driver → broadcast
+    back as per-partition base offsets + the same local cumsum per
+    partition. Same outputs, no global window; the md5 sort key doubles
+    as the partitioner so the order is stable under repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("tokens")
+    )
+    w = (
+        W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = t.select(
+        "doc_id",
+        "tokens",
+        (F.sum("tokens").over(w) - F.col("tokens")).alias("start_off"),
+    )
+    last_tok = F.col("start_off") + F.col("tokens") - 1
+    return packed.select(
+        "doc_id",
+        "tokens",
+        "start_off",
+        F.expr(f"start_off DIV {_SEQ_LEN}").alias("start_bin"),
+        (last_tok - last_tok % _SEQ_LEN).cast("long").alias("_tmp"),
+    ).select(
+        "doc_id",
+        "tokens",
+        "start_off",
+        "start_bin",
+        (F.col("_tmp") / _SEQ_LEN).cast("long").alias("end_bin"),
+        ((F.col("_tmp") / _SEQ_LEN).cast("long") - F.col("start_bin") + 1)
+        .cast("int")
+        .alias("n_bins"),
+    )
