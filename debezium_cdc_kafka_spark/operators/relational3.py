@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 from ..functions.money import cents_sum, cents_sum_sql
@@ -380,3 +381,165 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline).
+# ---------------------------------------------------------------------------
+
+PARETO_ORACLE = """
+SELECT p1.p_partkey, p1.p_retailprice, p1.p_size
+FROM part p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p2
+  WHERE p2.p_retailprice <= p1.p_retailprice AND p2.p_size >= p1.p_size
+    AND (p2.p_retailprice < p1.p_retailprice OR p2.p_size > p1.p_size)
+)
+"""
+
+
+@query("q_pareto_frontier", PARETO_ORACLE)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (cheaper price, bigger
+    size). The textbook formulation is a quadratic NOT EXISTS self-join
+    (the oracle); the engine instead uses the sort-scan skyline: collapse
+    to one row per price (max size), take a running max of size over
+    strictly-cheaper prices, and keep rows whose size beats both that
+    running max and any same-price better row — O(n log n), no self-join.
+    Ties on (price, size) are mutually non-dominating and all kept, which
+    the per-price pre-aggregate preserves by joining back to the base
+    rows. The running max runs over the *distinct-price* table (already
+    tiny); at 100 TB the same two-pass trick as sequence packing applies:
+    range-partition by price, per-partition max, prefix over partition
+    maxima."""
+    part = load_table(spark, sf_dir, "part")
+    by_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    pm = by_price.withColumn("prev_max", F.max("gmax").over(w))
+    return (
+        part.join(F.broadcast(pm), "p_retailprice")
+        .filter(
+            ~(
+                (F.coalesce(F.col("prev_max"), F.lit(-(1 << 31))) >= F.col("p_size"))
+                | (F.col("gmax") > F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (runtime-filter pattern, made explicit).
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16          # 65,536 bits = 1,024 longs
+_BLOOM_SEEDS = (11, 23, 47)    # k = 3 hash functions
+
+BLOOM_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 5000
+)
+GROUP BY l_returnflag
+"""
+
+
+def _bloom_positions(key, seed: int):
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_BITS))
+
+
+@query("q_bloom_semi_join", BLOOM_ORACLE)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from line items of AUTOMOBILE high-balance customers'
+    orders — executed as an explicit runtime bloom filter: the filtered
+    orders build a 64 Kbit / k=3 bloom bitmap (a distributed distinct of
+    bit positions, collapsed to 1,024 longs on the driver — exactly the
+    broadcast build Spark's own runtime row-level filtering does), the
+    bitmap prefilters the fact table BEFORE its shuffle, and an exact
+    left-semi join removes the bloom's false positives. At 100 TB the
+    prefilter is what keeps the big-side shuffle proportional to the
+    match count rather than the table size; correctness never depends on
+    the bloom (it only passes supersets). Pruning effectiveness is
+    test-asserted in test_relational.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 5000)
+    )
+    keys = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    pos_rows = keys.select(
+        F.explode(
+            F.array(*[_bloom_positions(F.col("o_orderkey"), s) for s in _BLOOM_SEEDS])
+        ).alias("pos")
+    ).distinct().collect()
+    words = [0] * (_BLOOM_BITS // 64)
+    for r in pos_rows:
+        words[r.pos >> 6] |= 1 << (r.pos & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hit = None
+    for s in _BLOOM_SEEDS:
+        p = _bloom_positions(F.col("l_orderkey"), s)
+        word = F.element_at(bitmap, (p / F.lit(64)).cast("int") + 1)
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        test = word.bitwiseAND(bit) != 0
+        hit = test if hit is None else (hit & test)
+    prefiltered = li.filter(hit)
+    exact = prefiltered.join(
+        keys.withColumnRenamed("o_orderkey", "k"),
+        F.col("l_orderkey") == F.col("k"),
+        "left_semi",
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.round(rev * 100).cast("long")) / 100.0, 2).alias("revenue"),
+    )
+
+
+def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Measurement hook for tests: lineitem rows before the bloom, after
+    the bloom, and after the exact semi-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 5000)
+    )
+    keys = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    pos_rows = keys.select(
+        F.explode(
+            F.array(*[_bloom_positions(F.col("o_orderkey"), s) for s in _BLOOM_SEEDS])
+        ).alias("pos")
+    ).distinct().collect()
+    words = [0] * (_BLOOM_BITS // 64)
+    for r in pos_rows:
+        words[r.pos >> 6] |= 1 << (r.pos & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+    li = load_table(spark, sf_dir, "lineitem")
+    hit = None
+    for s in _BLOOM_SEEDS:
+        p = _bloom_positions(F.col("l_orderkey"), s)
+        word = F.element_at(bitmap, (p / F.lit(64)).cast("int") + 1)
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        test = word.bitwiseAND(bit) != 0
+        hit = test if hit is None else (hit & test)
+    pre = li.filter(hit)
+    exact = pre.join(
+        keys.withColumnRenamed("o_orderkey", "k"),
+        F.col("l_orderkey") == F.col("k"),
+        "left_semi",
+    )
+    return {"total": li.count(), "bloomed": pre.count(), "exact": exact.count()}

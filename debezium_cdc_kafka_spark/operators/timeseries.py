@@ -142,3 +142,119 @@ def q_locf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("filled_value", F.last("obs", ignorenulls=True).over(w))
         .select("user_id", "day", "filled_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (sequential fold).
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+EWMA_ORACLE = f"""
+WITH user_days AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         max(value) AS obs
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list({{'day': day, 'obs': obs}})), s -> s.obs
+         ) AS xs
+  FROM user_days GROUP BY user_id
+)
+SELECT user_id, CAST(len(xs) AS INT) AS n_days,
+       list_reduce(xs, (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc)
+         AS ewma
+FROM series
+"""
+
+
+@query("q_ewma_user_value", EWMA_ORACLE)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the daily max
+    reading: s₁ = x₁, sᵢ = α·xᵢ + (1−α)·sᵢ₋₁ over the day-ordered series.
+    EWMA is inherently sequential, but only *within* a key — so the
+    distributed shape is groupBy(user) → sorted per-key array → one
+    O(n) fold (``F.aggregate``), embarrassingly parallel across users
+    with a single shuffle. Both engines execute the identical
+    left-to-right double-precision op sequence, so the unrounded result
+    is bit-identical (same trick as the sketch folds in
+    [[spark-duckdb-oracle-parity]]). A key's series must fit in memory —
+    true for any per-entity time series; an unbounded stream would use
+    the streaming state form (one running scalar per key) instead."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max("value").alias("obs"))
+    series = user_days.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "obs"))),
+            lambda s: s["obs"],
+        ).alias("xs")
+    )
+    rest = F.expr("slice(xs, 2, greatest(size(xs) - 1, 0))")
+    fold = F.aggregate(
+        rest,
+        F.element_at("xs", 1),
+        lambda acc, x: F.lit(_EWMA_ALPHA) * x + F.lit(1 - _EWMA_ALPHA) * acc,
+    )
+    return series.select(
+        "user_id", F.size("xs").alias("n_days"), fold.alias("ewma")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup (minute → hour → day, telescoping).
+# ---------------------------------------------------------------------------
+
+def _rollup_level_sql(level: str) -> str:
+    return f"""
+SELECT '{level}' AS resolution,
+       CAST(date_trunc('{level}', ts) AS TIMESTAMP) AS bucket, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0, 6) AS sum_value
+FROM events GROUP BY 2, 3"""
+
+
+MULTIRES_ORACLE = " UNION ALL ".join(
+    _rollup_level_sql(level) for level in ("minute", "hour", "day")
+)
+
+
+@query("q_multires_rollup", MULTIRES_ORACLE)
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at three resolutions
+    (minute/hour/day) in one job. The raw table is scanned ONCE for the
+    minute level; hour re-aggregates the minute aggregate and day the
+    hour aggregate (telescoping — counts and micro-scaled integer sums
+    are exactly re-aggregable), so the coarser levels cost |minute
+    buckets| not |events|. At 100 TB that is the difference between one
+    pass and three; the integer µ-sums also make every level
+    order-independent and oracle-exact ([[spark-duckdb-oracle-parity]])."""
+    events = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1000000).cast("long")
+    minute = events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(v6).alias("v6"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("v6").alias("v6"))
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("v6").alias("v6"))
+
+    def finish(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("resolution"),
+            "bucket",
+            "event_type",
+            "n_events",
+            F.round(F.col("v6") / 1000000.0, 6).alias("sum_value"),
+        )
+
+    return (
+        finish(minute, "minute")
+        .unionAll(finish(hour, "hour"))
+        .unionAll(finish(day, "day"))
+    )
