@@ -483,3 +483,125 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d2",
         F.count(F.lit(1)).over(W.partitionBy("cluster_id")).cast("int").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means centroid UPDATE step (completes the Lloyd iteration).
+# ---------------------------------------------------------------------------
+
+KMEANS_UPDATE_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cluster_id, embedding AS ce
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
+  FROM embeddings e CROSS JOIN seeds s
+), best AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk
+  FROM scored
+), members AS (
+  SELECT vec_id, cluster_id FROM best WHERE rk = 1
+)
+SELECT m.cluster_id, CAST(t.i AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT)
+             / count(*) / 1000000.0, 6) AS centroid_val
+FROM members m
+JOIN embeddings e USING (vec_id)
+CROSS JOIN range(1, 65) AS t(i)
+GROUP BY m.cluster_id, t.i
+"""
+
+
+@query("ann_kmeans_update", KMEANS_UPDATE_ORACLE)
+def ann_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid-update half of a Lloyd iteration (ann_kmeans_assign
+    is the assignment half): new centroid = element-wise mean of each
+    cluster's members, emitted long-form as (cluster_id, dim,
+    centroid_val). Element values are scaled to exact µ-integers before
+    summing so the per-(cluster, dim) mean is order-independent and
+    oracle-exact — floats only reappear in the final single division.
+    Shape: posexplode is a narrow 64× row expansion inside the scan
+    stage; the one shuffle carries (k × dim) partial sums, independent of
+    corpus size; assembling the dense centroid array for the next
+    broadcast is a k-row collect. That is the whole scale story of
+    distributed k-means: every iteration is one scan + one tiny
+    shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
+    )
+    diffs = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(F.col("ce"), lambda x: x.cast("double")),
+        lambda x, y: (x - y) * (x - y),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    members = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster_id")
+    )
+    dims = (
+        emb.join(members, "vec_id")
+        .select("cluster_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "cluster_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.round(F.col("v").cast("double") * 1000000).cast("long").alias("v6"),
+        )
+    )
+    return dims.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("v6") / F.count(F.lit(1)) / 1000000.0, 6).alias("centroid_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 symmetric quantization of the embedding column.
+# ---------------------------------------------------------------------------
+
+QUANTIZE_ORACLE = """
+WITH scaled AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                  1e-12) AS maxabs,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, round(maxabs, 6) AS scale,
+       list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) / maxabs * 127) AS BIGINT))
+         AS qvec
+FROM scaled
+"""
+
+
+@query("q_embedding_quantize", QUANTIZE_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding (q = round(x /
+    maxabs × 127)) with the per-vector scale needed to dequantize — the
+    4× memory/bandwidth reduction step before an ANN index is built or
+    shipped. Purely per-row array math (no shuffle at all): at 100 TB
+    this runs at scan speed and is the cheapest way to shrink the
+    similarity-search working set. The max|x| guard keeps a zero vector
+    from dividing by zero."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.greatest(F.array_max(F.transform(dbl, F.abs)), F.lit(1e-12))
+    q = emb.withColumn("maxabs", maxabs)
+    return q.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("scale"),
+        F.transform(dbl, lambda x: F.round(x / F.col("maxabs") * 127).cast("long")).alias(
+            "qvec"
+        ),
+    )

@@ -218,3 +218,38 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return one.select(F.inline(F.array(*structs)))
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear trend (closed-form OLS aggregates).
+# ---------------------------------------------------------------------------
+
+TREND_ORACLE = """
+SELECT event_type,
+       CAST(regr_count(value, epoch_us(ts) / 86400000000.0) AS BIGINT) AS n,
+       round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4) AS slope_per_day,
+       round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 2) AS intercept,
+       round(regr_r2(value, epoch_us(ts) / 86400000000.0), 4) AS r2
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_regression_trend", TREND_ORACLE)
+def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of the metric over time: OLS slope /
+    intercept / R² via the closed-form regression aggregates (x = days
+    since epoch). Like the moment statistics these are single-pass JVM
+    aggregates with mergeable partials — the shuffle carries six numbers
+    per group no matter how many rows feed them, so the plan is identical
+    at 100 TB. Rounded before comparison because the partial-sum order
+    differs between engines (same policy as q_stats_moments)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / 86400000000.0
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    )

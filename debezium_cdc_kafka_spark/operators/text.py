@@ -465,3 +465,42 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _entropy(F.col("cs")).alias("char_entropy_bits"),
         _entropy(F.col("tok")).alias("word_entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (term → posting list).
+# ---------------------------------------------------------------------------
+
+INVERTED_ORACLE = """
+SELECT t.term,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS doc_freq,
+       CAST(count(*) AS BIGINT) AS term_freq,
+       list_sort(list(DISTINCT d.doc_id)) AS postings
+FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+WHERE t.term <> ''
+GROUP BY t.term
+"""
+
+
+@query("q_inverted_index", INVERTED_ORACLE)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text inverted index: one row per term with document
+    frequency, collection frequency, and the sorted posting list of
+    doc_ids — the core retrieval/BM25 data structure. Shape: explode the
+    token stream (narrow, stays in the scan stage), one shuffle on term.
+    Posting lists are sorted so the output is deterministic
+    ([[spark-duckdb-oracle-parity]]: never emit unsorted collected
+    arrays). At 100 TB postings for stopword-grade terms exceed a single
+    task's memory — the production layout shards the posting list by
+    (term, doc_id DIV B) into fixed-size blocks, which this same plan
+    produces by adding the block id to the groupBy; the tiny vocabulary
+    here doesn't need it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+    )
