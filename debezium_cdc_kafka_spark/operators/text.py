@@ -504,3 +504,176 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("term_freq"),
         F.array_sort(F.collect_set("doc_id")).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the inverted-index statistics.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) / CAST(count(*) AS BIGINT) * 1.0 AS avgdl
+  FROM dl
+), qterms AS (SELECT * FROM (VALUES {_BM25_TERMS_SQL}) AS q(term)),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dl / stats.avgdl)) * 1000000
+         ) AS BIGINT) AS c6
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       round(CAST(sum(c6) AS BIGINT) / 1000000.0, 6) AS bm25,
+       CAST(row_number() OVER (
+         ORDER BY CAST(sum(c6) AS BIGINT) DESC, doc_id) AS INT) AS rk
+FROM contrib
+GROUP BY doc_id
+QUALIFY rk <= {_BM25_TOPK}
+"""
+
+
+@query("q_bm25_search", BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query ({', '.join(_BM25_TERMS)}):
+    Lucene-style idf, k1/b length normalization, top-{_BM25_TOPK} docs.
+    Per-term contributions are rounded to µ-units and summed as exact
+    integers so the 3-term per-doc sum is order-independent (the same
+    policy as every money sum — [[spark-duckdb-oracle-parity]]).
+
+    Scale shape: the token explode stays in the scan stage; tf is
+    filtered to the query's terms BEFORE its shuffle (the whole corpus
+    never shuffles — only matching postings); df and the corpus stats are
+    tiny broadcast aggregates; the final ranking is a top-k over
+    |matching docs|. This is retrieval over the materialized
+    [[q_inverted_index]] in the production layout — here recomputed
+    inline so the query is self-contained."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1)) * 1.0).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    c6 = F.round(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom * 1000000).cast("long")
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", c6.alias("c6"))
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c6").alias("s6"))
+    w = W.orderBy(F.col("s6").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select(
+            "doc_id", F.round(F.col("s6") / 1000000.0, 6).alias("bm25"), "rk"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunking (fixed window + overlap).
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 500
+_CHUNK_STRIDE = 400          # size 500, overlap 100
+
+
+CHUNK_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id, text, n_chars,
+         greatest(1, CAST(ceil((n_chars - {_CHUNK_SIZE - _CHUNK_STRIDE})
+                               / {_CHUNK_STRIDE}.0) AS BIGINT)) AS n_chunks
+  FROM documents
+), exploded AS (
+  SELECT doc_id, text, n_chars, unnest(range(0, n_chunks)) AS i FROM spans
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_off,
+       CAST(least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_chars)
+            - i * {_CHUNK_STRIDE} AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT),
+                  CAST(least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_chars)
+                       - i * {_CHUNK_STRIDE} AS INT))) AS chunk_md5
+FROM exploded
+"""
+
+
+@query("q_doc_chunking", CHUNK_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document ({_CHUNK_SIZE}-char
+    windows, {_CHUNK_SIZE - _CHUNK_STRIDE}-char overlap) — the RAG
+    ingestion step that turns documents into embeddable passages. Each
+    chunk carries its offset, length, and content hash (the hash stands
+    in for the text to keep the result narrow). Pure per-row explode:
+    chunk counts derive from n_chars, windows from substr — no shuffle,
+    no UDF, runs at scan speed at any scale. Token-aware chunking swaps
+    the char arithmetic for the token-offset column of
+    [[q_sequence_packing]]; the plan shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n_chars") - overlap) / float(_CHUNK_STRIDE)).cast("long"),
+    )
+    spans = docs.select(
+        "doc_id", "text", "n_chars", n_chunks.alias("n_chunks")
+    ).select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias("i"),
+    )
+    start = F.col("i") * _CHUNK_STRIDE
+    end = F.least(start + _CHUNK_SIZE, F.col("n_chars"))
+    return spans.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_off"),
+        (end - start).cast("long").alias("chunk_len"),
+        F.md5(
+            F.expr(
+                f"substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), "
+                f"CAST(least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_chars) "
+                f"- i * {_CHUNK_STRIDE} AS INT))"
+            )
+        ).alias("chunk_md5"),
+    )
