@@ -336,3 +336,54 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t_ts", "yyyy-MM-dd HH:mm:ss").alias("touch_ts"),
         F.col("t_ts").isNotNull().alias("attributed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# View→purchase interval join (the batch spec of a stream-stream join).
+# ---------------------------------------------------------------------------
+
+INTERVAL_JOIN_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS micros_between
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+@query("q_view_purchase_interval_join", INTERVAL_JOIN_ORACLE)
+def q_view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (view, purchase) pair by the same user where the purchase
+    lands within an hour of the view — the batch specification of a
+    stream-stream interval join. Batch shape: equi-join on user_id
+    carries the shuffle, the time-range predicate evaluates inside the
+    join — never a cross join. The streaming form (two readStreams +
+    watermarks + this exact join condition) is proven equal to this
+    query in test_stream_join.py; the watermark is what lets Spark age
+    per-key state out instead of buffering both streams forever — the
+    only formulation that survives an unbounded 100 TB/day stream."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") > F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_micros("pts") - F.unix_micros("vts")).alias("micros_between"),
+        )
+    )
