@@ -21,6 +21,7 @@ def _modules():
         cdc,
         curation,
         dedup,
+        layout,
         multimodal,
         partsupp,
         relational,
@@ -52,6 +53,7 @@ def _modules():
         behavior,
         timeseries,
         curation,
+        layout,
     ]
 
 
