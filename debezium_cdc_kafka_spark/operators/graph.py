@@ -1,0 +1,142 @@
+"""Graph analytics: PageRank over the part co-purchase graph.
+
+The reference has no graph surface (it moves single rows, reference:
+app/consumer/consumer.py:55–75); this is north-star widening into the
+iterative-algorithm genre. The engine runs the textbook damped PageRank
+as a Python-side loop of DataFrame joins; the oracle UNROLLS the same
+iterations into chained CTEs, which works because every iteration is
+made exact: ranks live as nano-scaled integers, per-edge contributions
+are rounded to integers BEFORE the incoming-edge sum, so no
+floating-point sum order can differ between engines.
+
+Scale shape per iteration: one join (ranks ⋈ edges, both hash-
+partitioned on the same key so the partitioning is reused across
+iterations) + one aggregation. Lineage grows linearly with iterations —
+at real scale each iteration's result is localCheckpoint()ed (or
+written) to truncate the plan; at test scale 8 iterations compose fine.
+Dangling mass is not redistributed (nodes without co-purchases keep the
+teleport term only) — documented divergence from the matrix form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_ITERS = 8
+_DAMP = 0.85
+_SCALE = 1_000_000_000  # ranks as nano-integers
+
+
+def _oracle_sql() -> str:
+    head = f"""
+WITH nodes AS (
+  SELECT p_partkey AS node FROM part
+), pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY src, dst
+), outdeg AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM pairs GROUP BY src
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+pr0 AS (
+  SELECT node, CAST(round({_SCALE}.0 / n_nodes) AS BIGINT) AS r9
+  FROM nodes CROSS JOIN n
+)"""
+    steps = []
+    for k in range(1, _ITERS + 1):
+        steps.append(f""",
+contrib{k} AS (
+  SELECT p.dst AS node,
+         CAST(sum(CAST(round(CAST(r.r9 AS DOUBLE) * p.w / o.deg) AS BIGINT))
+              AS BIGINT) AS s9
+  FROM pr{k - 1} r JOIN pairs p ON p.src = r.node
+  JOIN outdeg o ON o.src = p.src
+  GROUP BY p.dst
+),
+pr{k} AS (
+  SELECT nodes.node,
+         CAST(round({1 - _DAMP} * {_SCALE}.0 / n.n_nodes) AS BIGINT)
+         + CAST(round({_DAMP} * coalesce(c.s9, 0)) AS BIGINT) AS r9
+  FROM nodes CROSS JOIN n LEFT JOIN contrib{k} c ON c.node = nodes.node
+)""")
+    tail = f"""
+SELECT node AS p_partkey, round(r9 / {_SCALE}.0, 6) AS pagerank
+FROM pr{_ITERS}
+"""
+    return head + "".join(steps) + tail
+
+
+PAGERANK_ORACLE = _oracle_sql()
+
+
+@query("graph_pagerank_copurchase", PAGERANK_ORACLE)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, {_ITERS} iterations) over the directed
+    co-purchase graph: parts are nodes, an edge src→dst weighted by how
+    often the two parts share an order. The engine loops DataFrame
+    join+agg iterations; the oracle unrolls the identical iterations as
+    chained CTEs — equality is exact because ranks are nano-integers and
+    contributions are rounded before summation (every iteration is
+    integer-exact, so engines can't drift)."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outdeg = pairs.groupBy("src").agg(F.sum("w").alias("deg"))
+    edges = pairs.join(outdeg, "src")
+    n_nodes = part.count()
+    base9 = round((1 - _DAMP) * _SCALE / n_nodes)
+    ranks = part.select(
+        "node", F.lit(round(_SCALE / n_nodes)).cast("long").alias("r9")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("r9").cast("double") * F.col("w") / F.col("deg"))
+                .cast("long")
+                .alias("c9"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c9").alias("s9"))
+        )
+        ranks = part.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base9).cast("long")
+                + F.round(_DAMP * F.coalesce(F.col("s9"), F.lit(0))).cast("long")
+            ).alias("r9"),
+        )
+    return ranks.select(
+        F.col("node").alias("p_partkey"),
+        F.round(F.col("r9") / float(_SCALE), 6).alias("pagerank"),
+    )

@@ -21,6 +21,7 @@ def _modules():
         cdc,
         curation,
         dedup,
+        graph,
         layout,
         multimodal,
         partsupp,
@@ -54,6 +55,7 @@ def _modules():
         timeseries,
         curation,
         layout,
+        graph,
     ]
 
 
