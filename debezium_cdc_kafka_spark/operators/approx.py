@@ -20,14 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.hashing import md5_long
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
-def query(name: str):
+def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
         return fn
 
     return deco
@@ -56,3 +59,110 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic, oracle-exact construction).
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TERMS = ("spark", "join", "stream", "data", "the")
+_CMS_TERMS_SQL = ", ".join(f"('{t}')" for t in _CMS_TERMS)
+
+CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), cms AS (
+  SELECT r.i AS d,
+         ('0x' || substr(md5(term || '#' || r.i), 1, 15))::BIGINT % {_CMS_W}
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN range(0, {_CMS_D}) AS r(i)
+  GROUP BY 1, 2
+), qterms AS (SELECT * FROM (VALUES {_CMS_TERMS_SQL}) AS q(term)),
+qbuckets AS (
+  SELECT term, r.i AS d,
+         ('0x' || substr(md5(term || '#' || r.i), 1, 15))::BIGINT % {_CMS_W}
+           AS bucket
+  FROM qterms CROSS JOIN range(0, {_CMS_D}) AS r(i)
+), est AS (
+  SELECT q.term, min(c.cnt) AS cms_estimate
+  FROM qbuckets q JOIN cms c ON c.d = q.d AND c.bucket = q.bucket
+  GROUP BY q.term
+), exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY term
+)
+SELECT e.term, x.exact_count, e.cms_estimate
+FROM est e JOIN exact x USING (term)
+"""
+
+
+@query("q_countmin_sketch", CMS_ORACLE)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: a {_CMS_D}×{_CMS_W} counter
+    table built from md5-derived bucket hashes, queried for five terms
+    with the exact counts alongside (estimate ≥ exact always; equality
+    when no bucket collision). The sketch is DETERMINISTIC — same hash
+    family in both engines ([[spark-duckdb-oracle-parity]] md5 rule) —
+    so unlike approx_count_distinct this sketch is oracle-gated exactly.
+
+    Scale shape: the {_CMS_D}-way explode stays in the scan stage; the
+    sketch aggregation shuffles at most d·w = {_CMS_D * _CMS_W} counter
+    rows regardless of corpus size (partial map-side combine does the
+    heavy lifting), which is the entire point of a CMS at 100 TB: a
+    fixed-size mergeable summary of an unbounded stream. The same
+    construction maintains incrementally under CDC deltas (counts are a
+    commutative monoid, like [[cdc-incremental-agg]])."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+    def bucket(term_col, i: int):
+        return md5_long(F.concat(term_col, F.lit(f"#{i}"))) % _CMS_W
+
+    hashed = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"), bucket(F.col("term"), i).alias("bucket")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.bucket")
+    cms = hashed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    qterms = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CMS_TERMS])).alias("term")
+    )
+    qbuckets = qterms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"), bucket(F.col("term"), i).alias("bucket")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("term", "s.d", "s.bucket")
+    est = (
+        cms.join(F.broadcast(qbuckets), ["d", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    exact = (
+        toks.filter(F.col("term").isin(*_CMS_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "term").select("term", "exact_count", "cms_estimate")

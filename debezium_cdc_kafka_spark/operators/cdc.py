@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..catalog import load_table
 from ..sources.cdc_events import (
     ENVELOPE_SCHEMA,
     MALFORMED_MOD,
@@ -411,5 +412,66 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_ms").alias("valid_from_ms"),
             "valid_to_ms",
             F.col("valid_to_ms").isNull().alias("is_current"),
+        )
+    )
+
+
+IVM_JOIN_ORACLE = f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM well_formed
+), final AS (
+  SELECT user_id, value FROM ranked WHERE rn = 1 AND op <> 'd'
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_live,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS total_value
+FROM final JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("cdc_ivm_join_view", IVM_JOIN_ORACLE)
+def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (target ⋈ customer dim,
+    aggregated per market segment) from the change stream alone — the
+    join-view extension of [[cdc_incremental_agg]], using Z-set weighted
+    deltas (DBSP-style: each change event emits a −1 retraction of the
+    key's prior row and a +1 insertion of its new row; updates are
+    retract+insert pairs). The delta relation joins the static dimension
+    and the weighted sums telescope per key, so Σw and Σ(w·cents) over
+    ALL deltas equal count and sum over the FINAL table state — which is
+    what the oracle computes from last-event-per-key. Never materializes
+    the target.
+
+    Scale: refreshing the view costs O(|changes|) joined against the
+    broadcast dim — independent of table size; deltas are exact integer
+    cents so partial sums commute across batches ([[spark-duckdb-oracle-
+    parity]]). The same delta stream maintains arbitrary additive
+    aggregates over any number of join views from one pass."""
+    raw = derive_change_events(spark, sf_dir)
+    ch = well_formed(decode_envelope(raw)).select(
+        "id", "op", "offset", F.col("after.value").alias("value")
+    )
+    w = W.partitionBy("id").orderBy("offset")
+    new_value = F.when(F.col("op") != "d", F.col("value"))
+    ch = ch.withColumn("_new", new_value).withColumn("_prior", F.lag("_new").over(w))
+    inserts = ch.filter(F.col("_new").isNotNull()).select(
+        "id", F.lit(1).alias("wgt"), F.col("_new").alias("v")
+    )
+    retracts = ch.filter(F.col("_prior").isNotNull()).select(
+        "id", F.lit(-1).alias("wgt"), F.col("_prior").alias("v")
+    )
+    deltas = inserts.unionByName(retracts)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("v") * 100).cast("long")
+    return (
+        deltas.join(F.broadcast(dim), deltas.id == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("wgt").cast("long").alias("n_live"),
+            F.round(F.sum(F.col("wgt") * cents) / 100.0, 2).alias("total_value"),
         )
     )
