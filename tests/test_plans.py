@@ -93,3 +93,53 @@ def test_behavior_funnel_stages_reuse_user_partitioning(spark):
     # 3 stage-scans × (parallelize-split + partial/final agg) + stage joins;
     # a regression that adds a global sort or re-shuffle would push this up
     assert facts.exchanges <= 16, facts
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """BM25's df/stats sides are tiny aggregates — they must broadcast;
+    the corpus-wide token stream must never sort-merge against them."""
+    from debezium_cdc_kafka_spark.operators import text
+
+    facts = plan_facts(text.q_bm25_search(spark, SF_SMOKE))
+    assert facts.broadcast_joins >= 2, facts
+    assert facts.sort_merge_joins == 0, facts
+
+
+def test_pareto_frontier_no_self_join(spark):
+    """The skyline must be the O(n log n) sort-scan form: one broadcast
+    join back to the base table, never a quadratic self nested-loop."""
+    from debezium_cdc_kafka_spark.operators import relational3
+
+    facts = plan_facts(relational3.q_pareto_frontier(spark, SF_SMOKE))
+    assert facts.nested_loop_joins == 0, facts
+    assert facts.broadcast_joins >= 1, facts
+
+
+def test_bloom_prefilter_reaches_scan(spark):
+    """The bloom bit-test must sit in the lineitem scan stage (a filter
+    over the scan), not after the join."""
+    from debezium_cdc_kafka_spark.operators import relational3
+    from debezium_cdc_kafka_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(relational3.q_bloom_semi_join(spark, SF_SMOKE))
+    assert "xxhash64" in plan, "bloom probe expression missing from plan"
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Document chunking is a per-row explode — the only exchange allowed
+    is the catalog's parallelizing repartition of the scan."""
+    from debezium_cdc_kafka_spark.catalog import load_table
+    from debezium_cdc_kafka_spark.operators import text
+
+    base = plan_facts(load_table(spark, SF_SMOKE, "documents")).exchanges
+    facts = plan_facts(text.q_doc_chunking(spark, SF_SMOKE))
+    assert facts.exchanges == base, (facts.exchanges, base)
+
+
+def test_quantize_is_shuffle_free(spark):
+    from debezium_cdc_kafka_spark.catalog import load_table
+    from debezium_cdc_kafka_spark.operators import similarity
+
+    base = plan_facts(load_table(spark, SF_SMOKE, "embeddings")).exchanges
+    facts = plan_facts(similarity.q_embedding_quantize(spark, SF_SMOKE))
+    assert facts.exchanges == base, (facts.exchanges, base)
