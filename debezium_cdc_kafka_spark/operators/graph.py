@@ -24,6 +24,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 
@@ -139,4 +140,86 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("p_partkey"),
         F.round(F.col("r9") / float(_SCALE), 6).alias("pagerank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over the same co-purchase pairs.
+# ---------------------------------------------------------------------------
+
+_RULE_MIN_PAIR = 3
+_RULE_TOPK = 50
+
+ASSOC_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d),
+items AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_n FROM d GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS pair_n
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY src, dst
+  HAVING count(*) >= {_RULE_MIN_PAIR}
+), rules AS (
+  SELECT p.src, p.dst, p.pair_n,
+         round(p.pair_n * 1.0 / si.item_n, 6) AS confidence,
+         round(p.pair_n * 1.0 / si.item_n / (di.item_n * 1.0 / n.n_orders), 6)
+           AS lift
+  FROM pairs p
+  JOIN items si ON si.l_partkey = p.src
+  JOIN items di ON di.l_partkey = p.dst
+  CROSS JOIN n
+)
+SELECT src, dst, pair_n, confidence, lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, src, dst) AS INT) AS rk
+FROM rules
+QUALIFY rk <= {_RULE_TOPK}
+"""
+
+
+@query("graph_association_rules", ASSOC_ORACLE)
+def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules src→dst over order baskets:
+    support (pair count), confidence (pair/src-item count) and lift
+    (confidence over dst base rate), top-{_RULE_TOPK} by lift. The pair
+    generation is the Apriori candidate step restricted to 2-itemsets —
+    the distinct (order, part) table self-joins on the order key, so
+    cost is Σ|basket|², bounded by basket size, not corpus size; the
+    min-support HAVING prunes before the stats joins (both broadcast).
+    Division chains are written identically on both engines and rounded
+    before ranking, with (src, dst) as the deterministic tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d = li.distinct()
+    n_orders = d.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    items = d.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("item_n"))
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _RULE_MIN_PAIR)
+    )
+    si = items.select(F.col("l_partkey").alias("src"), F.col("item_n").alias("src_n"))
+    di = items.select(F.col("l_partkey").alias("dst"), F.col("item_n").alias("dst_n"))
+    conf = F.col("pair_n") * 1.0 / F.col("src_n")
+    lift = conf / (F.col("dst_n") * 1.0 / F.col("n_orders"))
+    rules = (
+        pairs.join(F.broadcast(si), "src")
+        .join(F.broadcast(di), "dst")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "src",
+            "dst",
+            "pair_n",
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+    w = W.orderBy(F.col("lift").desc(), "src", "dst")
+    return (
+        rules.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _RULE_TOPK)
     )

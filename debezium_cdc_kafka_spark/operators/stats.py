@@ -253,3 +253,50 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 2).alias("intercept"),
         F.round(F.regr_r2(y, x), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (data-quality pass over the star schema).
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+REFAUDIT_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{child}.{ck}→{parent}' AS fk,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child_rows,
+       CAST((SELECT count(*) FROM {child}
+             WHERE {ck} NOT IN (SELECT {pk} FROM {parent})) AS BIGINT)
+         AS n_orphans"""
+    for child, ck, parent, pk in _FK_EDGES
+)
+
+
+@query("q_referential_audit", REFAUDIT_ORACLE)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every foreign key of the star
+    schema: child row count + orphan count (children whose key has no
+    parent) per edge. Each orphan check is a LEFT ANTI join with the
+    parent's key column broadcast (a parent key set is always small
+    relative to its fact children), so the whole audit costs one scan
+    per child table and shuffles nothing. This is the ingest gate a
+    CDC-fed warehouse runs before publishing a snapshot — the reference
+    trusts Postgres constraints for this (postgres.py:100–107); an
+    object-store lakehouse has to CHECK it."""
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        orphans = c.join(F.broadcast(p), c[ck] == p[pk], "left_anti")
+        row = c.agg(
+            F.lit(f"{child}.{ck}→{parent}").alias("fk"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        out = row if out is None else out.unionByName(row)
+    return out
