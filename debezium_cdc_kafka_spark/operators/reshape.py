@@ -171,3 +171,57 @@ def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(100.0 * F.col("revenue") / F.sum("revenue").over(w), 4).alias("pct_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar (date-dimension) generation.
+# ---------------------------------------------------------------------------
+
+DATEDIM_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(o_orderdate)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', max(o_orderdate)) AS TIMESTAMP) AS hi
+  FROM orders
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day FROM bounds
+)
+SELECT day,
+       CAST(year(day) AS INT) AS year,
+       CAST(quarter(day) AS INT) AS quarter,
+       CAST(month(day) AS INT) AS month,
+       CAST(weekofyear(day) AS INT) AS iso_week,
+       CAST(dayofweek(day) + 1 AS INT) AS dow,
+       (dayofweek(day) IN (0, 6)) AS is_weekend,
+       (day = CAST(last_day(CAST(day AS DATE)) AS TIMESTAMP)) AS is_month_end
+FROM days
+"""
+
+
+@query("q_date_dimension", DATEDIM_ORACLE)
+def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension spanning the fact table's date range
+    — year/quarter/month/ISO-week/day-of-week/weekend/month-end flags
+    per day. Star-schema warehouses join facts to this instead of
+    re-deriving date parts in every query; it is sequence()-generated
+    from two broadcast scalars (never stored wide), so the \"table\" is
+    free at any scale. Cross-engine traps handled: Spark's dayofweek is
+    1=Sunday vs DuckDB's 0=Sunday (shifted in the oracle), and ISO weeks
+    agree between engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return days.select(
+        "day",
+        F.year("day").alias("year"),
+        F.quarter("day").alias("quarter"),
+        F.month("day").alias("month"),
+        F.weekofyear("day").alias("iso_week"),
+        F.dayofweek("day").alias("dow"),
+        F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+        (F.col("day") == F.last_day("day").cast("timestamp")).alias("is_month_end"),
+    )
