@@ -386,3 +386,82 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline (quality gate → dedup → stratified cap).
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_WORDS = 20
+_PIPE_MIN_CHARS = 100
+_PIPE_MAX_CHARS = 5000
+_PIPE_MIN_ALPHA = 0.55
+_PIPE_CAP = 100
+
+PIPELINE_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents
+  WHERE n_chars BETWEEN {_PIPE_MIN_CHARS} AND {_PIPE_MAX_CHARS}
+    AND len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        t -> t <> '')) >= {_PIPE_MIN_WORDS}
+    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / n_chars
+        > {_PIPE_MIN_ALPHA}
+), hashed AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
+         row_number() OVER (PARTITION BY
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           ORDER BY doc_id) AS dup_rk
+  FROM gated
+), deduped AS (
+  SELECT doc_id, lang, source, n_chars FROM hashed WHERE dup_rk = 1
+)
+SELECT doc_id, lang, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+FROM deduped
+QUALIFY rk <= {_PIPE_CAP}
+"""
+
+
+@query("q_curation_pipeline", PIPELINE_ORACLE)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pre-training curation chain as ONE declarative
+    plan: quality gate (length band, ≥{_PIPE_MIN_WORDS} words, alpha
+    ratio > {_PIPE_MIN_ALPHA}) → normalized exact dedup (first doc_id
+    per content hash survives) → per-language md5-ranked cap of
+    {_PIPE_CAP}. Composing the stages in one DataFrame lets Catalyst
+    pipeline them: the quality predicates evaluate inside the scan
+    stage, the dedup and the cap share nothing but narrow columns (text
+    is dropped after hashing), and the whole pipeline costs two
+    shuffles — content hash, then language. At 100 TB you run exactly
+    this plan; the per-stage operators it composes
+    ([[q_quality_percentile_band]], [[q_dedup_canonical]],
+    [[q_stratified_sample]]) exist for when stages are materialized
+    between runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    gated = docs.filter(
+        F.col("n_chars").between(_PIPE_MIN_CHARS, _PIPE_MAX_CHARS)
+        & (F.size(tok) >= _PIPE_MIN_WORDS)
+        & (alpha * 1.0 / F.col("n_chars") > _PIPE_MIN_ALPHA)
+    )
+    norm_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    )
+    dup_w = W.partitionBy(norm_hash).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("dup_rk", F.row_number().over(dup_w))
+        .filter(F.col("dup_rk") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    cap_w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        deduped.withColumn("rk", F.row_number().over(cap_w).cast("int"))
+        .filter(F.col("rk") <= _PIPE_CAP)
+    )
