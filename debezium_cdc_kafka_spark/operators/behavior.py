@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 
@@ -386,4 +387,75 @@ def q_view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
             "purchase_id",
             (F.unix_micros("pts") - F.unix_micros("vts")).alias("micros_between"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top event-type trigrams within sessions).
+# ---------------------------------------------------------------------------
+
+_PATH_GAP_MIN = 30
+_PATH_TOPK = 20
+
+PATHS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_PATH_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+), grams AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER w2
+           || '>' || lead(event_type, 2) OVER w2 AS path,
+         lead(event_type, 2) OVER w2 AS t3
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS INT) AS rk
+FROM grams WHERE t3 IS NOT NULL
+GROUP BY path
+QUALIFY rk <= {_PATH_TOPK}
+"""
+
+
+@query("q_top_session_paths", PATHS_ORACLE)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step navigation paths WITHIN sessions (30-minute
+    inactivity gap): sessionize with a running is-new-session sum,
+    form event-type trigrams via two leads bounded to the session, and
+    rank globally. Generalizes [[q_markov_transitions]] (1-step) to
+    order-3 patterns. All three windows share the (user_id) shuffle —
+    sessionization, trigram leads, nothing re-keys until the final tiny
+    path count; the path cardinality is |event_types|³ at most, so the
+    global rank is a broadcast-scale aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = (
+        F.lag("ts").over(w).isNull() | (gap_us > _PATH_GAP_MIN * 60 * 1_000_000)
+    ).cast("int")
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "sid",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    w2 = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    t2 = F.lead("event_type", 1).over(w2)
+    t3 = F.lead("event_type", 2).over(w2)
+    grams = sess.select(
+        F.concat_ws(">", F.col("event_type"), t2, t3).alias("path"),
+        t3.alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    counts = grams.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    rk_w = W.orderBy(F.col("n").desc(), "path")
+    return (
+        counts.withColumn("rk", F.row_number().over(rk_w).cast("int"))
+        .filter(F.col("rk") <= _PATH_TOPK)
     )
