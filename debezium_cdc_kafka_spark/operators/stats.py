@@ -18,6 +18,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 
@@ -300,3 +301,34 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quantile (rank) normalization per group.
+# ---------------------------------------------------------------------------
+
+QNORM_ORACLE = """
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id), 6) AS value_pctl
+FROM events
+"""
+
+
+@query("q_quantile_normalize", QNORM_ORACLE)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalize the metric within its event type: every value maps
+    to its within-group percentile in [0, 1] — the distribution-free
+    feature scaling that survives outliers (compare [[q_outliers_mad]]).
+    event_id breaks value ties so both engines rank identically. One
+    shuffle on the group key; per-group sort is the window's — at 100 TB
+    the group must fit a task's spill budget, or swap to approximate
+    percentiles ([[q_approx_quantiles]]) joined back as bucket edges."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("value_pctl"),
+    )
