@@ -225,3 +225,59 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("day").isin(1, 7).alias("is_weekend"),
         (F.col("day") == F.last_day("day").cast("timestamp")).alias("is_month_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-type surface (map construction + higher-order map functions).
+# ---------------------------------------------------------------------------
+
+MAPFN_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), entries AS (
+  SELECT user_id,
+         list_sort(list({'et': event_type, 'n': n})) AS es
+  FROM counts GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(es) AS INT) AS n_types,
+       list_transform(es, e -> e.et) AS types,
+       CAST(list_sum(list_transform(es, e -> e.n)) AS BIGINT) AS total_events,
+       list_transform(list_filter(es, e -> e.n >= 5), e -> e.et) AS heavy_types
+FROM entries
+"""
+
+
+@query("q_map_functions", MAPFN_ORACLE)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType surface: per-user event-type→count maps built with
+    map_from_entries, then interrogated with map_keys / map_values /
+    map_filter and a fold over the values. Maps never appear in the
+    OUTPUT (map iteration order is engine-dependent — the oracle could
+    not hash it deterministically); the sorted entry list fixes the
+    order before the map is built, so every derived column is
+    deterministic. The map side is Spark-only by design: DuckDB's oracle
+    derives the same answers from the sorted entry structs, proving the
+    map algebra against a map-free formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    entries = counts.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("event_type").alias("et"), F.col("n")))
+        ).alias("es")
+    )
+    m = F.map_from_entries(F.col("es"))
+    total = F.aggregate(
+        F.map_values(m), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    heavy = F.map_keys(F.map_filter(m, lambda k, v: v >= 5))
+    return entries.select(
+        "user_id",
+        F.size(m).alias("n_types"),
+        F.map_keys(m).alias("types"),
+        total.alias("total_events"),
+        F.array_sort(heavy).alias("heavy_types"),
+    )
