@@ -50,3 +50,39 @@ def test_zorder_concentrates_box_queries(spark, layouts):
     # whole box into a handful (measured: 1 vs 16 at sf0.01).
     assert h_files >= _N_FILES * 3 // 4
     assert z_files <= 4
+
+
+def test_z_value_is_bijective_on_grid(spark):
+    """Interleaving must be invertible: on a 64×64 grid every (a, b)
+    gets a distinct z, and de-interleaving the even/odd bits recovers
+    the inputs exactly."""
+    from pyspark.sql import functions as F
+
+    from debezium_cdc_kafka_spark.operators.layout import z_value
+
+    grid = (
+        spark.range(64)
+        .select(F.col("id").alias("a"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("b")))
+    )
+    z = grid.withColumn("z", z_value(F.col("a"), F.col("b")))
+    assert z.select("z").distinct().count() == 64 * 64
+    back = z.select(
+        "a",
+        "b",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(15)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (F.floor(F.col("z") / F.pow(F.lit(2.0), i * 2)).cast("long") % 2)
+            * F.pow(F.lit(2.0), i).cast("long"),
+        ).alias("a2"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(15)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (F.floor(F.col("z") / F.pow(F.lit(2.0), i * 2 + 1)).cast("long") % 2)
+            * F.pow(F.lit(2.0), i).cast("long"),
+        ).alias("b2"),
+    )
+    assert back.filter((F.col("a") != F.col("a2")) | (F.col("b") != F.col("b2"))).count() == 0
