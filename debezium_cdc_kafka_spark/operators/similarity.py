@@ -605,3 +605,94 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qvec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: k-means cells, prune high-cosine pairs).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.4
+
+_MEMBERS_CTE = f"""
+seeds AS (
+  SELECT vec_id AS cluster_id, embedding AS ce
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
+  FROM embeddings e CROSS JOIN seeds s
+), best AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk
+  FROM scored
+), members AS (
+  SELECT vec_id, cluster_id FROM best WHERE rk = 1
+)"""
+
+SEMDEDUP_ORACLE = f"""
+WITH {_MEMBERS_CTE},
+pairs AS (
+  SELECT ma.cluster_id, a.vec_id AS v1, b.vec_id AS v2
+  FROM members ma JOIN members mb
+    ON ma.cluster_id = mb.cluster_id AND ma.vec_id < mb.vec_id
+  JOIN embeddings a ON a.vec_id = ma.vec_id
+  JOIN embeddings b ON b.vec_id = mb.vec_id
+  WHERE {EMB_DOT_SQL}
+        / sqrt(({EMB_NORM_SQL.format(t="a")}) * ({EMB_NORM_SQL.format(t="b")}))
+        >= {_SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.cluster_id
+FROM members m
+WHERE m.vec_id NOT IN (SELECT v2 FROM pairs)
+"""
+
+
+@query("semdedup_survivors", SEMDEDUP_ORACLE)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition the corpus into
+    k-means cells (the [[ann_kmeans_assign]] quantizer), compute cosines
+    ONLY within a cell, and drop every vector that is ≥ τ-similar to a
+    lower-id vector in its cell. The cells are what make semantic dedup
+    tractable: the pair space is Σ|cell|² instead of n², and each cell's
+    pairs stay in that cell's partition (one shuffle on cluster_id).
+    Dominance is \"similar to ANY lower id\" (not the greedy
+    keep-chain) so the result is order-free and set-semantic — the
+    difference only matters for chains a~b~c where a̸~c, and makes the
+    operator deterministic under any execution order. Cosines are the
+    bit-identical sequential folds shared with dedup_embedding_cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
+    )
+    diffs = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(F.col("ce"), lambda x: x.cast("double")),
+        lambda x, y: (x - y) * (x - y),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
+    )
+    wm = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    members = (
+        scored.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster_id")
+    )
+    a = members.join(emb, "vec_id").select(
+        "cluster_id", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")
+    )
+    b = members.join(emb, "vec_id").select(
+        F.col("cluster_id").alias("c2"),
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+    )
+    cos = _cosine("e1", "e2")
+    removed = (
+        a.join(b, (F.col("cluster_id") == F.col("c2")) & (F.col("v1") < F.col("v2")))
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+    )
+    return members.join(removed, "vec_id", "left_anti")
