@@ -475,3 +475,64 @@ def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("wgt") * cents) / 100.0, 2).alias("total_value"),
         )
     )
+
+
+ANOMALY_AUDIT_ORACLE = f"""
+WITH strict_raw AS ({CDC_STRICT_ORACLE}),
+strict AS (
+  SELECT id, CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_vals,
+         max(value) AS a_value
+  FROM strict_raw GROUP BY id
+), ideal AS ({CDC_FINAL_ORACLE})
+SELECT CASE
+         WHEN ideal.id IS NULL THEN 'extra_in_strict'
+         WHEN strict.id IS NULL THEN 'missing_in_strict'
+         WHEN strict.total_rows > 1 THEN 'duplicate_insert'
+         WHEN strict.n_vals = 1 AND strict.a_value = ideal.value THEN 'consistent'
+         ELSE 'value_mismatch'
+       END AS disposition,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM strict FULL OUTER JOIN ideal ON strict.id = ideal.id
+GROUP BY disposition
+"""
+
+
+@query("cdc_anomaly_audit", ANOMALY_AUDIT_ORACLE)
+def cdc_anomaly_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the divergence between reference-faithful strict replay
+    (no PK: duplicate inserts survive, update-of-absent-key no-ops —
+    SURVEY §2.2 \"semantics to preserve\") and the engine's default
+    idempotent MERGE semantics, per key: consistent /
+    duplicate_insert (the at-least-once anomaly, consumer.py:73–77) /
+    missing_in_strict (first event was an update: upsert creates it,
+    strict no-ops) / value_mismatch / extra_in_strict (provably empty).
+    Makes the documented divergence an AUDITABLE number instead of a
+    docstring claim; both sides derive from the already-gated state
+    queries, joined full-outer on the key."""
+    strict = (
+        cdc_strict_replay_state(spark, sf_dir)
+        .groupBy("id")
+        .agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_vals"),
+            F.max("value").alias("a_value"),
+        )
+    )
+    ideal = cdc_final_state(spark, sf_dir).select(
+        F.col("id").alias("i_id"), F.col("value").alias("i_value")
+    )
+    joined = strict.join(ideal, strict.id == F.col("i_id"), "full_outer")
+    disposition = (
+        F.when(F.col("i_id").isNull(), "extra_in_strict")
+        .when(F.col("id").isNull(), "missing_in_strict")
+        .when(F.col("total_rows") > 1, "duplicate_insert")
+        .when(
+            (F.col("n_vals") == 1) & (F.col("a_value") == F.col("i_value")),
+            "consistent",
+        )
+        .otherwise("value_mismatch")
+    )
+    return joined.groupBy(disposition.alias("disposition")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
