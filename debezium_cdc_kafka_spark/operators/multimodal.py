@@ -206,3 +206,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.expr("CAST((i * n_frames) DIV least(8, n_frames) AS INT)").alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style shard manifest (byte-budget packing per origin).
+# ---------------------------------------------------------------------------
+
+_SHARD_BYTES = 64 * 1024
+
+
+SHARD_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source AS origin,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), offs AS (
+  SELECT doc_id, origin, n_bytes,
+         sum(n_bytes) OVER (PARTITION BY origin ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_bytes AS start_byte
+  FROM sized
+)
+SELECT doc_id, origin, n_bytes, CAST(start_byte AS BIGINT) AS start_byte,
+       CAST(start_byte // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+       concat(origin, '-', lpad(CAST(start_byte // {_SHARD_BYTES} AS VARCHAR), 5, '0'),
+              '.tar') AS shard_name
+FROM offs
+"""
+
+
+@query("multimodal_shard_manifest", SHARD_ORACLE)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard planning: blobs are packed per origin into
+    ~{_SHARD_BYTES // 1024} KB tar shards in deterministic doc_id order;
+    each blob gets its byte offset, shard id, and shard file name — the
+    manifest a downstream dataloader (or the tar writer itself) consumes.
+    Same distributed-prefix-sum shape as [[q_sequence_packing]], but
+    partitioned by origin so every origin's running sum is an independent
+    window (no global ordering anywhere). A blob larger than the budget
+    just spills its shard over — the standard WebDataset behavior —
+    so the plan never needs bin-packing search."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = with_blob(docs).select(
+        "doc_id",
+        F.col("meta.origin").alias("origin"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("origin")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = sized.withColumn(
+        "start_byte", F.sum("n_bytes").over(w) - F.col("n_bytes")
+    )
+    shard = F.expr(f"start_byte DIV {_SHARD_BYTES}")
+    return offs.select(
+        "doc_id",
+        "origin",
+        "n_bytes",
+        "start_byte",
+        shard.alias("shard_id"),
+        F.concat(
+            F.col("origin"),
+            F.lit("-"),
+            F.lpad(shard.cast("string"), 5, "0"),
+            F.lit(".tar"),
+        ).alias("shard_name"),
+    )
