@@ -665,3 +665,84 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("left_key", "right_key", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level duplication: repeated 8-token windows across documents.
+# ---------------------------------------------------------------------------
+
+SPAN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), spans AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS h
+  FROM (SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - 6, 1))) AS i
+        FROM toks)
+), dup AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_span_ratio
+FROM spans s JOIN dup d USING (h)
+GROUP BY s.doc_id
+"""
+
+
+@query("dedup_span_shingles", SPAN_ORACLE)
+def dedup_span_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection: slide an 8-token window over
+    every document, hash each window, and report per document how many
+    of its windows also occur verbatim in ANOTHER document — the
+    span-level signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better") that catches boilerplate shared between
+    otherwise-distinct pages, which whole-document dedup
+    ([[dedup_exact]], [[dedup_minhash_lsh]]) cannot see. Production
+    would cut the flagged spans; here we emit the per-doc dup ratio the
+    cut decision thresholds on.
+
+    The window enumeration is a per-row explode (sequence + slice, no
+    shuffle); the only corpus-scale shuffle is the groupBy on the
+    16-byte span hash, which is partial-aggregatable and uniformly
+    distributed by construction. The rejoin spans⋈dup is hash-hash on
+    the same key so AQE plans it off the just-shuffled output. At
+    100 TB the dup table gets a frequency cap like
+    [[dedup_ngram_jaccard_capped]] to keep hub spans (empty boilerplate)
+    from skewing the rejoin."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda t: t != "")
+    spans = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.when(
+                    F.size("tk") >= 8,
+                    F.sequence(F.lit(1), F.size("tk") - 7),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(8)))).alias("h"),
+        )
+    )
+    dup = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    is_dup = (F.col("nd") > 1).cast("int")
+    return (
+        spans.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(is_dup).cast("long").alias("n_dup_spans"),
+            F.round(F.sum(is_dup) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "dup_span_ratio"
+            ),
+        )
+    )

@@ -223,3 +223,72 @@ def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         rules.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _RULE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the undirected co-purchase graph.
+# ---------------------------------------------------------------------------
+
+TRIANGLE_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+"""
+
+
+@query("graph_triangle_count", TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected co-purchase graph
+    (parts are nodes; an edge connects two parts that ever share an
+    order). Standard distributed node-iterator: orient every edge
+    low-id -> high-id, join edges on the middle vertex to enumerate
+    open wedges (a<b<c), then close each wedge with a semi-join back to
+    the edge set. Each triangle is found exactly once, then credited to
+    its three corners.
+
+    Scale shape: the wedge join shuffles edges on their endpoints (two
+    hash joins, partial-aggregatable corner credit after). Orientation
+    by id caps the wedge count at sum(deg_out^2); at true scale the same
+    plan orients by (degree, id) instead so hub nodes land on the probe
+    side and out-degrees stay near-uniform - the plan shape is identical,
+    only the comparator changes. Basket-capped edge generation (distinct
+    pairs per order) bounds the self-join at sum(|basket|^2) like
+    [[graph_association_rules]]."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d = li.distinct()
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closing = edges.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
+    tri = wedges.join(
+        closing,
+        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+        "inner",
+    ).select("u", "v", "w")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    ).select(F.col("node").alias("p_partkey"), "n_triangles")

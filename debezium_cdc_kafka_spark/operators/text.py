@@ -677,3 +677,81 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (the CCNet-style perplexity proxy).
+# ---------------------------------------------------------------------------
+
+UNIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM counts
+), contrib AS (
+  SELECT t.doc_id,
+         CAST(round((ln(c.cnt) - ln(tt.tot)) * 1000000) AS BIGINT) AS lp6
+  FROM toks t JOIN counts c USING (term) CROSS JOIN total tt
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lp6) AS BIGINT) AS s6
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(s6 AS DOUBLE) / n_tokens / 1000000.0, 6) AS avg_logprob,
+       CAST(ntile(10) OVER (
+         ORDER BY CAST(s6 AS DOUBLE) / n_tokens DESC, doc_id) AS INT)
+         AS quality_decile
+FROM per_doc
+"""
+
+
+@query("text_unigram_logprob", UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under a language model
+    fit on the corpus itself, plus a quality decile — the CCNet recipe
+    (score each doc under a reference LM, keep the best tail) with the
+    KenLM model swapped for a self-trained unigram table so the whole
+    pass stays in SQL. High-probability (common-word) docs land in
+    decile 1, rare/garbled text in decile 10.
+
+    Cross-engine exactness: each token's log-prob is rounded to µ-units
+    and the per-doc mean is an exact integer sum divided once at the
+    end, the same policy as [[q_bm25_search]]. The decile split orders
+    by the exact ratio with doc_id as tiebreak, so ntile cuts
+    identically on both engines.
+
+    Scale shape: the term-count table is one partial-aggregatable
+    groupBy over the token explode; it is then REJOINED to the token
+    stream on term — a broadcast join for any real vocabulary (Zipf:
+    vocab grows ~ sqrt(corpus)), so the corpus itself never shuffles.
+    The only corpus-keyed shuffle is the per-doc sum, keyed by doc_id.
+    The final ntile is a global sort over one row per doc; at 100 TB
+    that column is ~1e9 rows — rangepartition-sortable — or the decile
+    becomes an approx-quantile threshold lookup instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    lp6 = F.round((F.log("cnt") - F.log("tot")) * 1000000).cast("long")
+    contrib = (
+        toks.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp6.alias("lp6"))
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp6").alias("s6")
+    )
+    ratio = F.col("s6").cast("double") / F.col("n_tokens")
+    w = W.orderBy(ratio.desc(), "doc_id")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(ratio / 1000000.0, 6).alias("avg_logprob"),
+        F.ntile(10).over(w).cast("int").alias("quality_decile"),
+    )
