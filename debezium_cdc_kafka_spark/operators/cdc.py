@@ -536,3 +536,82 @@ def cdc_anomaly_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(disposition.alias("disposition")).agg(
         F.count(F.lit(1)).alias("n_keys")
     )
+
+
+SCD2_PROBE_ORACLE = f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+versions AS (
+  SELECT user_id AS id, value, op, epoch_ms(ts) AS vf,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS vt
+  FROM well_formed
+), dim AS (
+  SELECT id, value, vf, vt FROM versions WHERE op <> 'd'
+), probes AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS t_ms, round(value, 2) AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.amount,
+       round(d.value, 2) AS dim_value,
+       d.vf AS version_from_ms,
+       d.id IS NOT NULL AS matched
+FROM probes p LEFT JOIN dim d
+  ON d.id = p.user_id AND d.vf < p.t_ms AND (d.vt IS NULL OR d.vt >= p.t_ms)
+"""
+
+
+@query("cdc_scd2_probe", SCD2_PROBE_ORACLE)
+def cdc_scd2_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension lookup at event time: every purchase fact is
+    joined to the [[cdc_scd2_history]] version that was current
+    STRICTLY BEFORE the purchase instant (vf < t <= vt) — "what did we
+    know about this user as the purchase arrived", the point-in-time
+    join every warehouse does against a Type-2 dimension, and the
+    strictly-before bound is exactly the leakage rule a feature store
+    enforces (the purchase's own dimension update must not describe
+    itself). Purchases whose user has no prior live version survive
+    with matched=false (left join), mirroring the reference's no-op
+    UPDATE on a missing key (app/utils/postgres.py:173-185: UPDATE
+    affecting 0 rows is not an error).
+
+    The interval predicate makes this a range join: both engines
+    evaluate the same (vf < t AND (vt IS NULL OR vt >= t)) bounds, and
+    version chains are disjoint per key so at most one version matches.
+    Physically Spark plans equi-join on id + interval filter; per-key
+    version counts are small (bounded by per-user event counts), so
+    the expansion is bounded. At scale the dim side is bucketed by id,
+    and the probe becomes a broadcast when the dimension's current
+    window fits - the plan is the batch twin of a temporal-table join
+    in a stream processor."""
+    raw = derive_change_events(spark, sf_dir)
+    ch = well_formed(decode_envelope(raw)).select(
+        "id", "op", "offset", "ts_ms", F.col("after.value").alias("value")
+    )
+    w = W.partitionBy("id").orderBy("offset")
+    dim = (
+        ch.withColumn("vt", F.lead("ts_ms").over(w))
+        .filter(F.col("op") != "d")
+        .select("id", "value", F.col("ts_ms").alias("vf"), "vt")
+    )
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("t_ms"),
+            F.round("value", 2).alias("amount"),
+        )
+    )
+    cond = (
+        (dim.id == probes.user_id)
+        & (dim.vf < probes.t_ms)
+        & (dim.vt.isNull() | (dim.vt >= probes.t_ms))
+    )
+    return probes.join(dim, cond, "left").select(
+        "event_id",
+        "user_id",
+        "amount",
+        F.round(dim.value, 2).alias("dim_value"),
+        dim.vf.alias("version_from_ms"),
+        dim.id.isNotNull().alias("matched"),
+    )

@@ -696,3 +696,141 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return members.join(removed, "vec_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: encode + asymmetric-distance (ADC) search.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces (64-d -> 8 x 8-d)
+_PQ_K = 16         # centroids per subspace
+_PQ_TOPK = 10
+
+_PQ_D2_SQL = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "(CAST({a}.embedding[CAST(s.j * 8 + i AS INT)] AS DOUBLE)"
+    " - CAST(m.ce[CAST(s.j * 8 + i AS INT)] AS DOUBLE)) * "
+    "(CAST({a}.embedding[CAST(s.j * 8 + i AS INT)] AS DOUBLE)"
+    " - CAST(m.ce[CAST(s.j * 8 + i AS INT)] AS DOUBLE))))"
+)
+
+PQ_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS ce
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}
+), sub AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+enc AS (
+  SELECT e.vec_id, s.j, m.cid,
+         round({_PQ_D2_SQL.format(a="e")}, 6) AS d2
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN seeds m
+), codes AS (
+  SELECT vec_id, j, cid AS code,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rk
+  FROM enc QUALIFY rk = 1
+), qd AS (
+  SELECT q.vec_id AS query_id, s.j, m.cid,
+         CAST(round({_PQ_D2_SQL.format(a="q")} * 1000000) AS BIGINT) AS qd6
+  FROM embeddings q CROSS JOIN sub s CROSS JOIN seeds m
+  WHERE q.{_QUERY_PRED}
+), adc AS (
+  SELECT qd.query_id, c.vec_id AS cand_id, CAST(sum(qd.qd6) AS BIGINT) AS adc6
+  FROM codes c JOIN qd ON qd.j = c.j AND qd.cid = c.code
+  WHERE c.vec_id <> qd.query_id
+  GROUP BY qd.query_id, c.vec_id
+)
+SELECT query_id, cand_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY adc6, cand_id) AS INT) AS rk,
+       round(adc6 / 1000000.0, 6) AS adc_d2
+FROM adc QUALIFY rk <= {_PQ_TOPK}
+"""
+
+
+@query("ann_pq_adc", PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search"): split each 64-d vector into {_PQ_M}
+    8-d subvectors, encode each against a {_PQ_K}-entry per-subspace
+    codebook (argmin squared-L2, seeds chosen by the same deterministic
+    md5 rule as [[ann_kmeans_assign]]), then answer queries by
+    ASYMMETRIC distance — the query stays un-quantized, each candidate
+    costs {_PQ_M} table lookups into the query's precomputed
+    query->centroid distance table instead of 64 multiplies. Top-{_PQ_TOPK}
+    per query by reconstructed distance.
+
+    Exactness: per-subspace encode distances round to 1e-6 before the
+    argmin (ties cut by centroid id); ADC contributions are µ-unit
+    integers summed exactly, so both engines rank identically.
+
+    Scale shape: this is the memory story of billion-scale ANN - codes
+    are {_PQ_M} bytes per vector (vs 256 bytes raw), so the candidate
+    scan reads 30x less. The encode pass expands each vector by
+    {_PQ_M}x{_PQ_K} inside one codegen'd stage (codebook broadcast, argmin
+    via bounded window); the search joins codes against the broadcast
+    distance table on (subspace, code) - narrow ints - and the per-pair
+    {_PQ_M}-row sum is partial-aggregatable. In production the codes are
+    materialized once and reused per query batch; IVF cells
+    ([[ann_ivf_topk]]) would prune the scan on top (IVF-PQ/FAISS)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    sub_j = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+
+    def _sub_d2(vec: str):
+        dv = F.slice(
+            F.transform(F.col(vec), lambda x: x.cast("double")),
+            F.col("j") * 8 + 1,
+            F.lit(8),
+        )
+        dc = F.slice(
+            F.transform(F.col("ce"), lambda x: x.cast("double")),
+            F.col("j") * 8 + 1,
+            F.lit(8),
+        )
+        sq = F.zip_with(dv, dc, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+
+    enc = (
+        emb.select("vec_id", "embedding", sub_j)
+        .join(F.broadcast(seeds))
+        .select("vec_id", "j", "cid", F.round(_sub_d2("embedding"), 6).alias("d2"))
+    )
+    w_enc = W.partitionBy("vec_id", "j").orderBy("d2", "cid")
+    codes = (
+        enc.withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "j", F.col("cid").alias("code"))
+    )
+    qd = (
+        emb.filter(F.expr(_QUERY_PRED))
+        .select(F.col("vec_id").alias("query_id"), "embedding", sub_j)
+        .join(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "j",
+            "cid",
+            F.round(_sub_d2("embedding") * 1000000).cast("long").alias("qd6"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (qd.j == codes.j) & (qd.cid == codes.code) & (codes.vec_id != qd.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("qd6").alias("adc6"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc6", "cand_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            "rk",
+            F.round(F.col("adc6") / 1000000.0, 6).alias("adc_d2"),
+        )
+    )
