@@ -465,3 +465,146 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.withColumn("rk", F.row_number().over(cap_w).cast("int"))
         .filter(F.col("rk") <= _PIPE_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule gate: the classic boolean filter battery, composed.
+# ---------------------------------------------------------------------------
+
+C4_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+), rules AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) >= 5 AS INT)                         AS r_min_words,
+         CAST(len(toks) <= 100000 AS INT)                    AS r_max_words,
+         CAST(NOT contains(lower(text), 'lorem ipsum') AS INT) AS r_lorem,
+         CAST(NOT contains(text, '{') AS INT)                AS r_brace,
+         CAST(len(list_filter(toks, w -> length(w) > 25)) = 0 AS INT)
+                                                             AS r_word_len,
+         CAST((length(text) - length(replace(text, '.', ''))) * 1.0
+              / greatest(len(toks), 1) <= 0.5 AS INT)        AS r_dot_ratio
+  FROM t
+)
+SELECT doc_id, lang,
+       r_min_words, r_max_words, r_lorem, r_brace, r_word_len, r_dot_ratio,
+       CAST(r_min_words + r_max_words + r_lorem + r_brace + r_word_len
+            + r_dot_ratio = 6 AS INT) AS keep
+FROM rules
+"""
+
+
+@query("q_c4_rule_gate", C4_ORACLE)
+def q_c4_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rule battery (Raffel et al., appendix) as one
+    boolean gate per document, with each rule's verdict kept as its own
+    column so the pipeline can report WHY a doc was dropped (the
+    rejection-reason histogram every curation run ships): minimum/
+    maximum word count, no 'lorem ipsum', no code braces, no >25-char
+    junk token, bounded dot-per-word ratio. `keep` is the conjunction.
+
+    Pure per-row column algebra over one scan — no shuffle, no UDF;
+    the rule columns are one codegen stage wide, so adding a rule costs
+    nothing at any scale. Downstream composes `keep = 1` into the
+    [[q_curation_pipeline]] gate; the per-rule columns aggregate into
+    drop-reason counts with one partial-aggregatable groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n = F.size(toks)
+    r_min_words = (n >= 5).cast("int")
+    r_max_words = (n <= 100000).cast("int")
+    r_lorem = (~F.lower("text").contains("lorem ipsum")).cast("int")
+    r_brace = (~F.col("text").contains("{")).cast("int")
+    r_word_len = (
+        F.size(F.filter(toks, lambda w: F.length(w) > 25)) == 0
+    ).cast("int")
+    r_dot = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit(""))))
+        * 1.0
+        / F.greatest(n, F.lit(1))
+        <= 0.5
+    ).cast("int")
+    out = docs.select(
+        "doc_id",
+        "lang",
+        r_min_words.alias("r_min_words"),
+        r_max_words.alias("r_max_words"),
+        r_lorem.alias("r_lorem"),
+        r_brace.alias("r_brace"),
+        r_word_len.alias("r_word_len"),
+        r_dot.alias("r_dot_ratio"),
+    )
+    total = (
+        F.col("r_min_words") + F.col("r_max_words") + F.col("r_lorem")
+        + F.col("r_brace") + F.col("r_word_len") + F.col("r_dot_ratio")
+    )
+    return out.withColumn("keep", (total == 6).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive pairs.
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+
+NEGSAMPLE_ORACLE = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label FROM embeddings WHERE vec_id % 50 = 0
+), ranked AS (
+  SELECT a.anchor_id, e.vec_id AS negative_id, e.label AS neg_label,
+         row_number() OVER (
+           PARTITION BY a.anchor_id
+           ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':' ||
+                        CAST(e.vec_id AS VARCHAR)), e.vec_id
+         ) AS rk
+  FROM anchors a JOIN embeddings e
+    ON e.label <> a.label AND e.vec_id <> a.anchor_id
+)
+SELECT anchor_id, negative_id, neg_label, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_NEG_K}
+"""
+
+
+@query("q_negative_samples", NEGSAMPLE_ORACLE)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor (every 50th vector), draw {_NEG_K} negatives from
+    OTHER label classes, "randomly" but reproducibly — candidates are
+    ranked by md5(anchor:candidate), a salted hash, so each anchor gets
+    an independent pseudo-random draw and the same draw on every engine
+    and every rerun (the property a training pipeline needs for
+    resumable epoch shuffling; same policy as [[q_deterministic_sample]]).
+
+    Scale shape: anchors broadcast against the corpus scan (label
+    filter pushed into the join), and the per-anchor top-{_NEG_K} window
+    is bounded. At real scale the full cross product is pruned first —
+    hash-bucket candidates per anchor so each anchor scans ~{_NEG_K}x10
+    candidates instead of the corpus — the plan gains one clustered
+    shuffle, nothing else changes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("neg_label")
+    )
+    joined = F.broadcast(anchors).join(
+        cands,
+        (F.col("neg_label") != F.col("a_label"))
+        & (F.col("negative_id") != F.col("anchor_id")),
+    )
+    salt = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("anchor_id").cast("string"),
+            F.col("negative_id").cast("string"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(salt, "negative_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("anchor_id", "negative_id", "neg_label", "rk")
+    )
