@@ -119,3 +119,24 @@ def derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
     )
     return base.drop("_op_hint").unionByName(tombstones)
+
+
+def widened_envelope_schema(*extra_after: T.StructField) -> T.StructType:
+    """ENVELOPE_SCHEMA with extra columns appended to the `after` struct —
+    the schema-evolution path. Debezium adds source columns to new
+    messages as they appear; `from_json` under the widened schema reads
+    BOTH generations: old envelopes simply yield null for the new fields
+    (PERMISSIVE missing-field semantics), so one decode plan serves the
+    whole topic history without reprocessing. The reference would need
+    its hard-coded DDL and column lists edited by hand
+    (app/utils/postgres.py:100–107, 136, 174–177)."""
+    payload = ENVELOPE_SCHEMA["payload"].dataType
+    after = payload["after"].dataType
+    new_after = T.StructType(list(after.fields) + list(extra_after))
+    new_payload = T.StructType(
+        [
+            f if f.name != "after" else T.StructField("after", new_after)
+            for f in payload.fields
+        ]
+    )
+    return T.StructType([T.StructField("payload", new_payload)])
