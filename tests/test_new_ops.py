@@ -1,0 +1,159 @@
+"""Behavioral tests for the triangle-count, span-dedup, unigram-LM, PQ,
+C4-gate, and negative-sampling operators (their exactness is oracle-gated;
+these pin the SEMANTICS on known inputs)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_cdc_kafka_spark.operators.curation import (
+    q_c4_rule_gate,
+    q_negative_samples,
+)
+from debezium_cdc_kafka_spark.operators.dedup import dedup_span_shingles
+from debezium_cdc_kafka_spark.operators.graph import graph_triangle_count
+from debezium_cdc_kafka_spark.operators.similarity import ann_pq_adc
+from debezium_cdc_kafka_spark.operators.text import text_unigram_logprob
+from tests.conftest import SF_SMOKE
+
+
+def write_docs(tmp_path, texts):
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    """One K4 basket → every member sits in C(3,2)=3 triangles; a 2-item
+    basket contributes no triangle and its parts don't appear."""
+    rows = [(100, p) for p in (1, 2, 3, 4)] + [(200, 5), (200, 6)]
+    tbl = pa.table(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.p_partkey: r.n_triangles
+        for r in graph_triangle_count(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_span_dedup_flags_shared_boilerplate(spark, tmp_path):
+    """Docs 0 and 1 share a verbatim 10-token run (→ three shared 8-token
+    windows each); doc 2 is unrelated; doc 3 is too short to window."""
+    run = "one two three four five six seven eight nine ten"
+    sf = write_docs(
+        tmp_path,
+        [
+            f"intro {run} tail0 tailx",
+            f"other {run} tail1 taily",
+            "a completely different document with enough words to window over",
+            "too short",
+        ],
+    )
+    got = {r.doc_id: r for r in dedup_span_shingles(spark, sf).collect()}
+    assert got[0].n_dup_spans == 3 and got[1].n_dup_spans == 3
+    assert got[2].n_dup_spans == 0
+    assert 3 not in got  # < 8 tokens → no windows → absent
+    assert got[0].dup_span_ratio == pytest.approx(3 / got[0].n_spans)
+
+
+def test_unigram_logprob_ranks_common_words_first(spark, tmp_path):
+    """A doc of corpus-frequent words must land in a better (lower)
+    quality decile than a doc of hapax tokens."""
+    common = "spark row table " * 20
+    sf = write_docs(
+        tmp_path,
+        [common.strip()] * 9 + ["zxqv wploc vvnrt qqaze mmjuy kkbro"],
+    )
+    rows = {r.doc_id: r for r in text_unigram_logprob(spark, sf).collect()}
+    assert rows[0].quality_decile < rows[9].quality_decile
+    assert rows[9].avg_logprob < rows[0].avg_logprob
+
+
+def test_pq_adc_recall_against_exact_l2(spark):
+    """PQ is lossy but must stay close: per-query top-10 by ADC distance
+    should recover most of the exact-L2 top-10 on the smoke corpus."""
+    from pyspark.sql.window import Window as W
+
+    pq_top = ann_pq_adc(spark, SF_SMOKE)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform("e1", lambda x: x.cast("double")),
+            F.transform("e2", lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "cand_id")
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+    truth = {(r.query_id, r.cand_id) for r in exact.collect()}
+    got = {(r.query_id, r.cand_id) for r in pq_top.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"PQ recall degraded: {recall}"
+
+
+def test_c4_gate_rules_fire_individually(spark, tmp_path):
+    sf = write_docs(
+        tmp_path,
+        [
+            "a perfectly ordinary sentence with enough words here",
+            "short one",                       # < 5 words
+            "this has lorem ipsum filler text inside it",
+            "code block { return x } with braces in the text",
+            "contains the toolongtokenaaaaaaaaaaaaaaaaaaaaaaa word here five",
+            "dots . . . . . everywhere . . . . making . ratio . high .",
+        ],
+    )
+    rows = {r.doc_id: r for r in q_c4_rule_gate(spark, sf).collect()}
+    assert rows[0].keep == 1
+    assert rows[1].r_min_words == 0 and rows[1].keep == 0
+    assert rows[2].r_lorem == 0 and rows[2].keep == 0
+    assert rows[3].r_brace == 0 and rows[3].keep == 0
+    assert rows[4].r_word_len == 0 and rows[4].keep == 0
+    assert rows[5].r_dot_ratio == 0 and rows[5].keep == 0
+
+
+def test_negative_samples_cross_label_and_deterministic(spark):
+    out1 = q_negative_samples(spark, SF_SMOKE)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+    )
+    joined = out1.join(emb, "anchor_id").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r.neg_label != r.a_label
+        assert 1 <= r.rk <= 4
+    # reproducible draw: second run identical
+    again = {
+        (r.anchor_id, r.rk): r.negative_id
+        for r in q_negative_samples(spark, SF_SMOKE).collect()
+    }
+    first = {(r.anchor_id, r.rk): r.negative_id for r in joined}
+    assert first == again
