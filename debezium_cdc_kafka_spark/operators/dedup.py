@@ -55,10 +55,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition the raw docs by doc_id before CPU-heavy per-doc work
+    (tokenize → shingle → md5). A small parquet file arrives as ONE input
+    split, which would serialize the whole shingle pass on one core; the
+    shuffle moves only the raw text once and buys full parallelism. On a
+    cluster the same call is the defense against skewed input splits."""
+    sess = docs.sparkSession
+    return docs.repartition(sess.sparkContext.defaultParallelism, "doc_id")
+
+
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct 3-gram shingles per document, exploded
     (the inverted-index representation for pair-generation joins)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("sh")
     )
@@ -70,7 +80,7 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     this shape with NO shuffle at all — at 100 TB the signature pass
     pipelines with the Parquet scan. Docs with < 3 tokens drop out,
     matching the exploded representation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     shs = shingles(tokens(F.col("text")))
     return (
         docs.select("doc_id", shs.alias("shs"))
