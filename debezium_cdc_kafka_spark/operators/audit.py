@@ -1,0 +1,278 @@
+"""Privacy / compliance / data-quality audit operators (north-star
+extensions for a training-data pipeline).
+
+The reference's only "compliance" surface is row deletion by primary key
+(/root/reference/app/utils/postgres.py:193-224); these operators extend
+that idea to the dataset level: plan a referential cascade for a
+forget-set (GDPR erasure), audit re-identification risk (k-anonymity),
+release noisy aggregates (differential-privacy shape), and screen
+numeric columns for fabrication (Benford's law).
+
+All four are pure DataFrame algebra — no UDFs — and every float that
+feeds a comparison or a published value is rounded in-query on both
+engines (the repo-wide oracle-exactness policy).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import md5_long, md5_long_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers.
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+K_ANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS INT) AS bal_band
+  FROM customer
+)
+SELECT c_nationkey, c_mktsegment, bal_band,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(CASE WHEN count(*) >= {_K_ANON} THEN 1 ELSE 0 END AS INT)
+         AS k_anonymous
+FROM qi
+GROUP BY c_nationkey, c_mktsegment, bal_band
+"""
+
+
+@query("q_k_anonymity", K_ANON_ORACLE)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: bucket every customer by the quasi-identifier
+    tuple (nation, market segment, account-balance band of 1000) and
+    flag equivalence classes smaller than k=5 — the groups whose members
+    a release would re-identify, i.e. the rows a suppression or
+    generalization pass must handle before the table ships as training
+    data.
+
+    Scale: one partial-aggregatable groupBy on a compound low-cardinality
+    key; output is bounded by the QI-space size, not the row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("int")
+    return (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "group_n",
+            (F.col("group_n") >= _K_ANON).cast("int").alias("k_anonymous"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure cascade planning.
+# ---------------------------------------------------------------------------
+
+CASCADE_ORACLE = """
+WITH forget AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), o AS (
+  SELECT o_orderkey, o_custkey
+  FROM orders JOIN forget ON o_custkey = c_custkey
+), li AS (
+  SELECT o.o_custkey, count(*) AS n
+  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+  GROUP BY o.o_custkey
+), oc AS (
+  SELECT o_custkey, count(*) AS n FROM o GROUP BY o_custkey
+)
+SELECT f.c_custkey,
+       CAST(COALESCE(oc.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(li.n, 0) AS BIGINT) AS n_lineitems,
+       CAST(COALESCE(oc.n, 0) + COALESCE(li.n, 0) + 1 AS BIGINT)
+         AS total_rows_to_purge
+FROM forget f
+LEFT JOIN oc ON oc.o_custkey = f.c_custkey
+LEFT JOIN li ON li.o_custkey = f.c_custkey
+"""
+
+
+@query("q_cascade_delete", CASCADE_ORACLE)
+def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-cascade plan: for a deterministic forget-set of customers
+    (custkey % 97 = 0), count every dependent row that referential
+    integrity obliges us to purge — their orders, and those orders'
+    lineitems — plus the customer row itself. This is the reference's
+    delete-by-key (postgres.py:193-224) lifted to a fan-out plan across
+    the schema's foreign-key graph; the counts are what an erasure job
+    reports before (dry-run) and after (audit) the actual anti-join
+    rewrite of each table.
+
+    Scale: the forget-set is a tiny broadcast side against orders; the
+    lineitem pass joins on l_orderkey against only the affected orders
+    (again broadcast-sized unless the forget-set is a large fraction of
+    customers, in which case the shuffle join is the right plan and AQE
+    picks it). No full-table aggregation anywhere — cost scales with the
+    purge set, not the corpus."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey
+    ).select("o_orderkey", "o_custkey")
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_o"))
+    lic = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+    )
+    n_o = F.coalesce(F.col("n_o"), F.lit(0)).cast("long")
+    n_l = F.coalesce(F.col("n_l"), F.lit(0)).cast("long")
+    return (
+        forget.join(oc, forget.c_custkey == oc.o_custkey, "left")
+        .drop("o_custkey")
+        .join(lic, forget.c_custkey == lic.o_custkey, "left")
+        .select(
+            "c_custkey",
+            n_o.alias("n_orders"),
+            n_l.alias("n_lineitems"),
+            (n_o + n_l + 1).alias("total_rows_to_purge"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screening.
+# ---------------------------------------------------------------------------
+
+BENFORD_ORACLE = """
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice > 0
+), digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS first_digit
+  FROM cents
+), obs AS (
+  SELECT first_digit, CAST(count(*) AS BIGINT) AS n
+  FROM digits GROUP BY first_digit
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs)
+SELECT first_digit, n,
+       round(CAST(n AS DOUBLE) / t.t, 6) AS observed_share,
+       round(log10(1.0 + 1.0 / first_digit), 6) AS benford_share,
+       round((CAST(n AS DOUBLE) / t.t - log10(1.0 + 1.0 / first_digit))
+             * (CAST(n AS DOUBLE) / t.t - log10(1.0 + 1.0 / first_digit))
+             / log10(1.0 + 1.0 / first_digit), 9) AS chi2_term
+FROM obs CROSS JOIN tot t
+"""
+
+
+@query("q_benford_price", BENFORD_ORACLE)
+def q_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on l_extendedprice: distribution of first
+    significant digits vs the log10(1+1/d) expectation, with a per-digit
+    chi-square term. Fabricated or truncated numeric columns jump out as
+    digit-share anomalies — a standard forensic pass before a numeric
+    table is trusted for training.
+
+    Exactness: the first digit comes from the DECIMAL STRING of the
+    cent-integer (never floor(log10(x)), whose ulp error flips digits at
+    powers of ten); shares and the Benford expectation round in-query.
+
+    Scale: a 9-group aggregation over a projected single column —
+    partial agg does all the work map-side; the digit extraction is
+    whole-stage-codegen string slicing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.filter(F.col("l_extendedprice") > 0).select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    obs = (
+        cents.select(
+            F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    share = F.col("n").cast("double") / F.col("t")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n",
+            F.round(share, 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round((share - benford) * (share - benford) / benford, 9).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private-shaped noisy counts (deterministic Laplace).
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+DP_ORACLE = f"""
+WITH cnts AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS exact_n
+  FROM customer GROUP BY c_nationkey
+), u AS (
+  SELECT c_nationkey, exact_n,
+         (({md5_long_sql("CAST(c_nationkey AS VARCHAR)")}) % 1000000 + 0.5)
+           / 1000000.0 - 0.5 AS uu
+  FROM cnts
+)
+SELECT c_nationkey, exact_n,
+       round(exact_n + (-1.0 / {_DP_EPS})
+             * CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END
+             * ln(1.0 - 2.0 * abs(uu)), 3) AS noisy_n
+FROM u
+"""
+
+
+@query("q_dp_noisy_counts", DP_ORACLE)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-noised per-nation customer counts — the release shape of a
+    differentially private aggregate (sensitivity-1 count, scale 1/ε,
+    ε=1). The noise draw is the textbook inverse-CDF transform
+    noise = -(1/ε)·sign(u)·ln(1-2|u|) for u ∈ (-½,½), with u derived
+    from md5 of the group key so both engines (and reruns) draw
+    identically — the derandomization makes the operator oracle-testable;
+    a production release would substitute a real RNG, everything else is
+    the same plan.
+
+    Scale: groupBy + per-row scalar math; the noise adds zero shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    cnts = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    h = md5_long(F.col("c_nationkey").cast("string"))
+    uu = (h % 1000000 + 0.5) / F.lit(1000000.0) - 0.5
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.when(uu >= 0, 1.0).otherwise(-1.0)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(uu))
+    )
+    return cnts.select(
+        "c_nationkey",
+        "exact_n",
+        F.round(F.col("exact_n") + noise, 3).alias("noisy_n"),
+    )

@@ -755,3 +755,117 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio / 1000000.0, 6).alias("avg_logprob"),
         F.ntile(10).over(w).cast("int").alias("quality_decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring: interpolated with the unigram model.
+# ---------------------------------------------------------------------------
+
+BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), ucnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY term
+), utot AS (SELECT CAST(sum(cu) AS BIGINT) AS tot FROM ucnt),
+big AS (
+  SELECT doc_id,
+         t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM big GROUP BY w1
+), contrib AS (
+  SELECT b.doc_id,
+         CAST(round(ln(0.7 * (CAST(c2.n2 AS DOUBLE) / c1.n1)
+                       + 0.3 * (CAST(u.cu AS DOUBLE) / tt.tot)) * 1000000)
+              AS BIGINT) AS lp6
+  FROM big b
+  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1
+  JOIN ucnt u ON u.term = b.w2
+  CROSS JOIN utot tt
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lp6) AS BIGINT) AS s6
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(CAST(s6 AS DOUBLE) / n_bigrams / 1000000.0, 6) AS avg_logprob,
+       CAST(ntile(10) OVER (
+         ORDER BY CAST(s6 AS DOUBLE) / n_bigrams DESC, doc_id) AS INT)
+         AS quality_decile
+FROM per_doc
+"""
+
+
+@query("text_bigram_logprob", BIGRAM_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under a self-trained
+    2-gram model interpolated with the unigram model
+    (p = 0.7·c(w1w2)/c(w1·) + 0.3·p_uni(w2)) — one rung up the
+    perplexity-filter ladder from [[text_unigram_logprob]]: word-salad
+    documents whose individual words are common now score badly because
+    their TRANSITIONS are rare. Docs with fewer than 2 tokens drop out.
+
+    Cross-engine exactness: the unigram policy — per-bigram log-probs in
+    µ-units, exact integer sums per doc, one division at the end, ntile
+    ordered by the exact ratio with doc_id tiebreak. The interpolation
+    expression is written with identical operation order in both
+    engines so the doubles agree before rounding.
+
+    Scale shape: bigram extraction is per-row array zipping (no
+    shuffle); the three model tables (bigram counts, left-context
+    counts, unigram counts) are Zipf-small and broadcast back onto the
+    bigram stream; the only corpus-keyed shuffle is the per-doc sum.
+    The same plan at 100 TB materializes the count tables once and
+    reuses them (they ARE the trained LM)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda t: t != "")
+    toks = docs.select("doc_id", arr.alias("t"))
+    uni = toks.select("doc_id", F.explode("t").alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    utot = ucnt.agg(F.sum("cu").alias("tot"))
+    n1arr = F.greatest(F.size("t") - 1, F.lit(1))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, n1arr),
+                    F.slice("t", 2, n1arr),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    p = F.lit(0.7) * (F.col("n2").cast("double") / F.col("n1")) + F.lit(0.3) * (
+        F.col("cu").cast("double") / F.col("tot")
+    )
+    contrib = (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(ucnt.withColumnRenamed("term", "w2")), "w2")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "doc_id", F.round(F.log(p) * 1000000).cast("long").alias("lp6")
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp6").alias("s6")
+    )
+    ratio = F.col("s6").cast("double") / F.col("n_bigrams")
+    w = W.orderBy(ratio.desc(), "doc_id")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(ratio / 1000000.0, 6).alias("avg_logprob"),
+        F.ntile(10).over(w).cast("int").alias("quality_decile"),
+    )

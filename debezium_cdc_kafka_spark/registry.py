@@ -16,6 +16,7 @@ def _modules():
     # fail loudly here, not be skipped.
     from .operators import (
         approx,
+        audit,
         asof,
         behavior,
         cdc,
@@ -56,6 +57,7 @@ def _modules():
         curation,
         layout,
         graph,
+        audit,
     ]
 
 
