@@ -52,8 +52,8 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join via union + keyed window. `tiebreak` is a right
-    column making equal-timestamp matches deterministic (max wins for
-    backward, min for forward). direction='backward' attaches the most
+    column making equal-timestamp matches deterministic (the MAX tiebreak
+    wins in both directions). direction='backward' attaches the most
     recent right row at-or-before the left time; 'forward' the earliest
     right row at-or-after it (same single window pass, traversed in
     descending time)."""
@@ -75,13 +75,14 @@ def asof_join(
     )
     unioned = lt.unionByName(rt)
     # order: time, then right-before-left at equal times (an order AT the
-    # event time matches), then tiebreak so the winning right row is the
-    # one carried forward (max tiebreak for backward, min for forward —
-    # forward traverses time descending, so both flips mirror each other)
+    # event time matches), then tiebreak ASC so the winning right row —
+    # the last one carried into the window — is the MAX tiebreak in both
+    # directions (forward traverses time descending, but the within-tie
+    # order is the same)
     if direction == "backward":
         order = [F.col("_t"), F.col("_is_left"), F.col("_tb").asc_nulls_last()]
     elif direction == "forward":
-        order = [F.col("_t").desc(), F.col("_is_left"), F.col("_tb").desc_nulls_last()]
+        order = [F.col("_t").desc(), F.col("_is_left"), F.col("_tb").asc_nulls_last()]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     w = (
@@ -174,7 +175,7 @@ carried AS (
     last_value(o_orderkey IGNORE NULLS) OVER w   AS asof_orderkey,
     last_value(o_orderdate IGNORE NULLS) OVER w  AS asof_orderdate
   FROM tagged
-  WINDOW w AS (PARTITION BY k ORDER BY t DESC, is_left, tb DESC NULLS LAST
+  WINDOW w AS (PARTITION BY k ORDER BY t DESC, is_left, tb ASC NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, k AS user_id, event_type,
