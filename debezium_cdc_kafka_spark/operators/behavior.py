@@ -459,3 +459,89 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(rk_w).cast("int"))
         .filter(F.col("rk") <= _PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Max concurrent sessions per day: distributed sweep-line.
+# ---------------------------------------------------------------------------
+
+CONCURRENCY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_no
+  FROM flagged
+),
+bounds AS (
+  SELECT user_id, session_no,
+         min(ts) AS s,
+         make_timestamp(epoch_us(max(ts)) + 60000000) AS e
+  FROM sessions GROUP BY user_id, session_no
+),
+pts AS (
+  SELECT s AS ts, 1 AS delta FROM bounds
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM bounds
+),
+net AS (SELECT ts, CAST(sum(delta) AS BIGINT) AS net FROM pts GROUP BY ts),
+run AS (
+  SELECT ts, CAST(sum(net) OVER (ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS conc
+  FROM net
+)
+SELECT CAST(ts AS DATE) AS day, CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM run GROUP BY day
+"""
+
+
+@query("q_max_concurrent_sessions", CONCURRENCY_ORACLE)
+def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak load per day: sessionize (30-min gap, same boundaries as
+    [[q_sessionize_30m]]), give each session a 60 s tail past its last
+    event, then sweep: +1 at session start, −1 at end, net the deltas
+    per distinct timestamp, and take the running sum's daily max. Netting
+    per timestamp makes the running sum deterministic (no tie-order
+    dependence) and defines touching sessions as a seamless handoff, not
+    an overlap.
+
+    Scale shape: the sweep's global ordered running sum is the only
+    non-keyed step; its input is one row per distinct boundary timestamp
+    (two per session before netting), orders of magnitude smaller than
+    events. At 100 TB the same sum is a two-pass range-partitioned
+    prefix sum (per-partition totals broadcast back), the
+    [[q_sequence_packing]] pattern — nothing collects to the driver."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_ord))
+    flagged = ev.withColumn(
+        "is_new", F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    bounds = sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s"),
+        F.timestamp_micros(F.unix_micros(F.max("ts")) + 60_000_000).alias("e"),
+    )
+    pts = bounds.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        bounds.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    net = pts.groupBy("ts").agg(F.sum("delta").alias("net"))
+    w_sweep = W.orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = net.select("ts", F.sum("net").over(w_sweep).alias("conc"))
+    return run.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max("conc").alias("max_concurrent")
+    )

@@ -1,0 +1,209 @@
+"""Corpus-level composition analysis (north-star extensions): the
+reports a training-data pipeline runs over the WHOLE corpus rather than
+per document — tokenizer-training statistics (BPE merge candidates),
+vocabulary scaling (Heaps' law), and source-mix diversity.
+
+Per-document scoring lives in operators/text.py; these aggregate across
+documents. Everything is exact integer or µ-unit arithmetic so the
+DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..functions.textfns import tokens, tokens_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# BPE first-merge candidates: weighted adjacent-character-pair counts.
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({tokens_sql("text")}) AS word FROM documents
+), wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY word
+), chars AS (
+  SELECT word, f, string_split(word, '') AS cs FROM wf
+), pairs AS (
+  SELECT cs[CAST(i AS INT)] AS c1, cs[CAST(i + 1 AS INT)] AS c2, f
+  FROM chars, UNNEST(range(1, greatest(len(cs) - 1, 0) + 1)) AS u(i)
+), agg AS (
+  SELECT c1, c2, CAST(sum(f) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY c1, c2
+)
+SELECT c1, c2, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, c1, c2) AS INT) AS rk
+FROM agg QUALIFY rk <= {_BPE_TOPK}
+"""
+
+
+@query("text_bpe_pair_counts", BPE_ORACLE)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics pass of one BPE training step (Sennrich et al.):
+    corpus-weighted counts of adjacent symbol pairs inside words, top-20
+    merge candidates. Iterating (merge the winner, recount) yields the
+    full tokenizer vocabulary; each iteration is this same plan over the
+    progressively merged symbol sequences.
+
+    Exactness: pure integer counting; rank tiebreaks on (count desc,
+    c1, c2).
+
+    Scale shape: counting pairs over the WORD-FREQUENCY table instead of
+    the raw token stream is the classic trick — vocab is Zipf-small, so
+    the char-pair explode touches |vocab| rows, not |corpus| rows; the
+    corpus is only scanned once for the word counts (one
+    partial-aggregatable groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+    wf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    cs = F.split(F.col("word"), "")
+    n1 = F.greatest(F.size(cs) - 1, F.lit(1))
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "f",
+            F.explode(
+                F.zip_with(
+                    F.slice(cs, 1, n1),
+                    F.slice(cs, 2, n1),
+                    lambda a, b: F.struct(a.alias("c1"), b.alias("c2")),
+                )
+            ).alias("p"),
+        )
+        .select("p.c1", "p.c2", "f")
+    )
+    agg = pairs.groupBy("c1", "c2").agg(F.sum("f").alias("pair_count"))
+    w = W.orderBy(F.col("pair_count").desc(), "c1", "c2")
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BPE_TOPK)
+        .select("c1", "c2", "pair_count", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law: vocabulary growth per source.
+# ---------------------------------------------------------------------------
+
+HEAPS_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({tokens_sql("text")}) AS term FROM documents
+), per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS vocab
+  FROM toks GROUP BY source
+)
+SELECT source, n_tokens, vocab,
+       round(log10(CAST(vocab AS DOUBLE)) / log10(CAST(n_tokens AS DOUBLE)), 6)
+         AS heaps_beta
+FROM per
+"""
+
+
+@query("q_heaps_law", HEAPS_ORACLE)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary scaling per source: token count N, distinct vocabulary
+    V, and the one-point Heaps'-law exponent β = log V / log N (V ≈ N^β,
+    β ≈ 0.5 for natural text). Sources whose β drifts are the ones whose
+    text is template-generated (low β: vocab saturates) or noise/ids
+    (β → 1: every token new) — a cheap corpus-composition screen before
+    mixing sources into a training run.
+
+    Scale: one groupBy(source) with a count-distinct — Spark expands it
+    to a two-phase partial aggregate; per-source output is tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    per = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab"),
+    )
+    beta = F.log10(F.col("vocab").cast("double")) / F.log10(
+        F.col("n_tokens").cast("double")
+    )
+    return per.select(
+        "source", "n_tokens", "vocab", F.round(beta, 6).alias("heaps_beta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix diversity: token shares + Shannon entropy of the mixture.
+# ---------------------------------------------------------------------------
+
+MIX_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({tokens_sql("text")}) AS term FROM documents
+), per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY source
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+terms AS (
+  SELECT p.source, p.n_tokens,
+         CAST(p.n_tokens AS DOUBLE) / t.t AS share,
+         CAST(round(-(CAST(p.n_tokens AS DOUBLE) / t.t)
+                    * ln(CAST(p.n_tokens AS DOUBLE) / t.t) * 1000000000)
+              AS BIGINT) AS h9
+  FROM per p CROSS JOIN tot t
+)
+SELECT source, n_tokens, round(share, 6) AS token_share,
+       round(CAST(sum(h9) OVER () AS DOUBLE) / 1000000000.0, 6) AS mix_entropy,
+       round(exp(CAST(sum(h9) OVER () AS DOUBLE) / 1000000000.0), 4)
+         AS effective_sources
+FROM terms
+"""
+
+
+@query("q_source_mix_entropy", MIX_ORACLE)
+def q_source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture diagnostics: each source's token share, the
+    Shannon entropy of the source mixture, and its exponential (the
+    "effective number of sources" — 4 equal sources → 4.0; one dominant
+    source pulls it toward 1). The number a data-mixing report leads
+    with when rebalancing corpus composition.
+
+    Exactness: per-source entropy terms round to nano-units and sum as
+    exact integers (the window sum), so the shared entropy columns agree
+    across engines despite float summation order.
+
+    Scale: one groupBy(source) over the token explode, then a window
+    over the handful of source rows — all heavy lifting is the first
+    partial aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    per = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    share = F.col("n_tokens").cast("double") / F.col("t")
+    h9 = F.round(-share * F.log(share) * 1000000000).cast("long")
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens", share.alias("share"), h9.alias("h9")
+    )
+    went = W.partitionBy()
+    ent = F.sum("h9").over(went).cast("double") / 1000000000.0
+    return terms.select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(ent, 6).alias("mix_entropy"),
+        F.round(F.exp(ent), 4).alias("effective_sources"),
+    )

@@ -17,6 +17,7 @@ def _modules():
     from .operators import (
         approx,
         audit,
+        corpus,
         asof,
         behavior,
         cdc,
@@ -58,6 +59,7 @@ def _modules():
         layout,
         graph,
         audit,
+        corpus,
     ]
 
 
