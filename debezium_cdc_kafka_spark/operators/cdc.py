@@ -615,3 +615,70 @@ def cdc_scd2_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim.vf.alias("version_from_ms"),
         dim.id.isNotNull().alias("matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-consistent apply: buffer-until-commit semantics.
+# ---------------------------------------------------------------------------
+
+_TX_SIZE = 8        # events per source transaction (offset DIV 16: offsets
+                    # are 2*event_id, tombstones odd, so one tx spans 16)
+_TX_ABORT_MOD = 53
+_TX_ABORT_REM = 7
+
+CDC_TX_ORACLE = f"""
+WITH tx AS (
+  SELECT user_id, value, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+         event_id // {_TX_SIZE} AS tx_id,
+         CASE WHEN event_id % {MALFORMED_MOD} = {MALFORMED_REM} THEN 1 ELSE 0 END AS bad
+  FROM events
+),
+txstat AS (
+  SELECT tx_id, count(*) AS n, sum(bad) AS n_bad FROM tx GROUP BY tx_id
+),
+committed AS (
+  SELECT tx_id FROM txstat
+  WHERE n = {_TX_SIZE} AND n_bad = 0 AND tx_id % {_TX_ABORT_MOD} <> {_TX_ABORT_REM}
+),
+applied AS (SELECT t.* FROM tx t JOIN committed USING (tx_id)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM applied
+)
+SELECT user_id AS id, round(value, 2) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
+@query("cdc_tx_consistent_state", CDC_TX_ORACLE)
+def cdc_tx_consistent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-consistent CDC apply: group change events into source
+    transactions ({_TX_SIZE} events each, via Debezium's transaction
+    metadata — here derived as offset DIV 16) and apply a transaction
+    ONLY if it is complete (all {_TX_SIZE} events arrived), contains no
+    malformed message, and wasn't aborted (tx_id % {_TX_ABORT_MOD} =
+    {_TX_ABORT_REM} simulates rollbacks). Partial/poisoned transactions
+    are quarantined WHOLE — the target never exposes a half-applied
+    transaction, the atomicity the reference's one-statement-per-message
+    loop (consumer.py:55–75) cannot provide.
+
+    Scale shape: the tx-completeness stats and the membership semi-join
+    both key on tx_id, so one shuffle partitioning serves both; the
+    final last-event-wins is the usual key shuffle. Nothing buffers on
+    the driver — 'buffer until commit' is just a semi-join filter."""
+    raw = derive_change_events(spark, sf_dir)
+    decoded = decode_envelope(raw).withColumn("tx_id", F.expr("offset DIV 16"))
+    stats = decoded.groupBy("tx_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_malformed").cast("int")).alias("n_bad"),
+    )
+    committed = stats.filter(
+        (F.col("n") == _TX_SIZE)
+        & (F.col("n_bad") == 0)
+        & (F.col("tx_id") % _TX_ABORT_MOD != _TX_ABORT_REM)
+    ).select("tx_id")
+    applied = decoded.join(committed, "tx_id", "left_semi")
+    final = final_state_upsert(applied)
+    return final.select("id", F.round("value", 2).alias("value"), "ts")

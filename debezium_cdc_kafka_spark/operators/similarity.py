@@ -900,3 +900,67 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("adc6") / 1000000.0, 6).alias("adc_d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: 64-d -> 16-d Rademacher.
+# ---------------------------------------------------------------------------
+
+_JL_IN = 64
+_JL_OUT = 16
+
+
+def _jl_sign(j: int, k: int) -> float:
+    """Deterministic Rademacher entry ±1/sqrt(_JL_OUT), from md5 so both
+    engines (and every run) see the same projection matrix."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl{j}_{k}".encode()).hexdigest()[:15], 16)
+    return (1.0 if h % 2 == 0 else -1.0) * 0.25
+
+
+def _jl_term_sql(k: int) -> str:
+    terms = " + ".join(
+        f"({_jl_sign(j, k)} * CAST(embedding[{j + 1}] AS DOUBLE))"
+        for j in range(_JL_IN)
+    )
+    return f"round({terms}, 6)"
+
+
+JL_ORACLE = f"""
+SELECT vec_id,
+       [{", ".join(_jl_term_sql(k) for k in range(_JL_OUT))}] AS jl_vec
+FROM embeddings
+"""
+
+
+@query("q_jl_projection", JL_ORACLE)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each 64-d
+    embedding to 16-d with a deterministic Rademacher matrix (entries
+    ±1/sqrt(16), signs from md5 of the cell index). JL guarantees pairwise
+    distances survive within (1±ε) w.h.p., so downstream ANN
+    ([[ann_bruteforce_topk]], [[ann_pq_adc]]) runs on vectors 4× smaller —
+    the standard first move when the embedding column dominates scan cost.
+    Distance preservation is asserted empirically in test_new_ops.py.
+
+    Exactness: each output coordinate is a fixed left-to-right sum of 64
+    literal-coefficient products — identical IEEE evaluation order in both
+    engines — rounded to 1e-6.
+
+    Scale shape: a pure per-row projection inside whole-stage codegen; no
+    shuffle, no UDF. The matrix is baked into the plan as literals (the
+    16x64 coefficients), so executors need no broadcast at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def coord(k: int):
+        term = None
+        for j in range(_JL_IN):
+            t = F.lit(_jl_sign(j, k)) * F.element_at(arr, j + 1)
+            term = t if term is None else term + t
+        return F.round(term, 6)
+
+    return emb.select(
+        "vec_id", F.array(*[coord(k) for k in range(_JL_OUT)]).alias("jl_vec")
+    )

@@ -157,3 +157,66 @@ def test_negative_samples_cross_label_and_deterministic(spark):
     }
     first = {(r.anchor_id, r.rk): r.negative_id for r in joined}
     assert first == again
+
+
+def test_jl_projection_preserves_pairwise_distances(spark):
+    """JL with 16 Rademacher dims: squared distances between projected
+    pairs should straddle the originals (mean ratio near 1, no collapse)."""
+    from debezium_cdc_kafka_spark.operators.similarity import q_jl_projection
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    jl = q_jl_projection(spark, SF_SMOKE)
+    both = emb.join(jl, "vec_id").filter(F.col("vec_id") < 40)
+    rows = both.collect()
+    ratios = []
+    for i in range(0, len(rows) - 1, 2):
+        a, b = rows[i], rows[i + 1]
+        d_orig = sum((x - y) ** 2 for x, y in zip(a.e, b.e))
+        d_proj = sum((x - y) ** 2 for x, y in zip(a.jl_vec, b.jl_vec))
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 <= mean <= 1.3, f"JL mean distortion off: {mean}"
+    assert all(0.2 <= r <= 2.5 for r in ratios), f"JL pair collapsed: {ratios}"
+
+
+def test_tx_consistent_state_quarantines_partial_and_poisoned(spark, tmp_path):
+    """24 events = 3 txs of 8. Tx 0 is clean -> applied. Tx 1 contains the
+    malformed event_id 13 -> whole tx quarantined (its users keep tx-0
+    state or stay absent). Tx 2 is short one event -> not applied."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_cdc_kafka_spark.operators.cdc import cdc_tx_consistent_state
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(23):  # 23 events: tx2 has only 7 of 8
+        rows.append(
+            (
+                eid,
+                base + dt.timedelta(minutes=eid),
+                100 + eid % 4,
+                "signup" if eid % 8 == 0 else "purchase",
+                float(eid),
+                "{}",
+            )
+        )
+    tbl = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": [r[5] for r in rows],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {r.id: r.value for r in cdc_tx_consistent_state(spark, str(tmp_path)).collect()}
+    # only tx 0 (events 0-7) applies: last value per user among events 0-7
+    assert got == {100: 4.0, 101: 5.0, 102: 6.0, 103: 7.0}
