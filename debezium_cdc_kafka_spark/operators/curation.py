@@ -608,3 +608,45 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _NEG_K)
         .select("anchor_id", "negative_id", "neg_label", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced class resampling: downsample every label to the minority count.
+# ---------------------------------------------------------------------------
+
+BALANCED_ORACLE = """
+WITH cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+m AS (SELECT min(n) AS m FROM cnt),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rn
+  FROM embeddings
+)
+SELECT vec_id, label, CAST(rn AS INT) AS rn
+FROM ranked, m WHERE rn <= m.m
+"""
+
+
+@query("q_balanced_classes", BALANCED_ORACLE)
+def q_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing for training: downsample every label to the
+    minority class's size, drawing each label's survivors by md5 rank
+    (deterministic, uniform, reproducible — the same draw every run and
+    in the oracle). The output is exactly balanced, which is what a
+    contrastive/classification fine-tune wants when label skew would
+    otherwise dominate the loss.
+
+    Scale: one count aggregate (broadcast single-row min) + one
+    label-partitioned rank window — the same shape as
+    [[q_stratified_sample]] but with the cap derived from the data
+    instead of fixed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = cnt.agg(F.min("n").alias("m"))
+    w = W.partitionBy("label").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    ranked = emb.select("vec_id", "label", F.row_number().over(w).cast("int").alias("rn"))
+    return ranked.crossJoin(F.broadcast(m)).filter(F.col("rn") <= F.col("m")).select(
+        "vec_id", "label", "rn"
+    )

@@ -869,3 +869,98 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio / 1000000.0, 6).alias("avg_logprob"),
         F.ntile(10).over(w).cast("int").alias("quality_decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF document similarity via the inverted index.
+# ---------------------------------------------------------------------------
+
+_DOCSIM_TAU = 0.3
+
+DOCSIM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+wts AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS w
+  FROM tf JOIN df ON tf.term = df.term, n
+  WHERE df.df <= greatest(n.n_docs // 5, 2)
+),
+nrm AS (
+  SELECT doc_id, CAST(sum(CAST(round(w * w * 1000000) AS BIGINT)) AS BIGINT) AS n6
+  FROM wts GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(sum(CAST(round(a.w * b.w * 1000000) AS BIGINT)) AS BIGINT) AS dot6
+  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+)
+SELECT d1, d2,
+       round((dot6 / 1000000.0)
+             / sqrt((n1.n6 / 1000000.0) * (n2.n6 / 1000000.0)), 3) AS cosine
+FROM dots JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
+WHERE (dot6 / 1000000.0)
+      / sqrt((n1.n6 / 1000000.0) * (n2.n6 / 1000000.0)) >= {_DOCSIM_TAU}
+"""
+
+
+@query("text_tfidf_doc_similarity", DOCSIM_ORACLE)
+def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse document similarity: cosine over TF-IDF vectors computed
+    through the inverted index — the term-keyed self-join touches only
+    term-sharing pairs, never the all-pairs cross product. The lexical
+    complement of [[dedup_embedding_cosine]]: catches near-identical
+    wording that different embeddings may score apart, and vice versa.
+    Terms appearing in more than 1/5 of docs are dropped (stop-term cap,
+    same guard as [[dedup_ngram_jaccard_capped]]) — they add join fanout
+    but no discriminative weight.
+
+    Exactness: weights round to 1e-6 first; dot products and norms are
+    µ-unit integer sums; the final cosine divides once and rounds.
+
+    Scale shape: tf/df/norms are partial-aggregatable; the pair join
+    keys on term with the hot head capped, so fanout is bounded by the
+    df cap; per-pair accumulation keys on (d1, d2). This is the classic
+    sparse-similarity plan (ElasticSearch's more-like-this, Spark's
+    ColumnSimilarity) expressed in two shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= F.greatest(F.expr("n_docs DIV 5"), F.lit(2)))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("w"),
+        )
+    )
+    w6 = lambda c: F.round(c * 1000000).cast("long")
+    nrm = wts.groupBy("doc_id").agg(F.sum(w6(F.col("w") * F.col("w"))).alias("n6"))
+    a = wts.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))
+    b = wts.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(w6(F.col("w1") * F.col("w2"))).alias("dot6"))
+    )
+    n1 = nrm.select(F.col("doc_id").alias("d1"), F.col("n6").alias("n1_6"))
+    n2 = nrm.select(F.col("doc_id").alias("d2"), F.col("n6").alias("n2_6"))
+    cos = (F.col("dot6") / 1000000.0) / F.sqrt(
+        (F.col("n1_6") / 1000000.0) * (F.col("n2_6") / 1000000.0)
+    )
+    return (
+        dots.join(n1, "d1")
+        .join(n2, "d2")
+        .filter(cos >= _DOCSIM_TAU)
+        .select("d1", "d2", F.round(cos, 3).alias("cosine"))
+    )
