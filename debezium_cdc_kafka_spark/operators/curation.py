@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
-from ..functions.hashing import md5_long
+from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.textfns import tokens, tokens_sql
 from .dedup import _SHINGLES_CTE, CLUSTERS_ORACLE, dedup_clusters, doc_shingles
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -649,4 +650,113 @@ def q_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = emb.select("vec_id", "label", F.row_number().over(w).cast("int").alias("rn"))
     return ranked.crossJoin(F.broadcast(m)).filter(F.col("rn") <= F.col("m")).select(
         "vec_id", "label", "rn"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram features).
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 128  # feature buckets
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({tokens_sql("text")}) AS term FROM documents
+),
+tb AS (
+  SELECT doc_id, lang, {md5_long_sql("term")} % {_DSIR_B} AS b FROM toks
+),
+docb AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2),
+raw AS (SELECT b, count(*) AS rc FROM tb GROUP BY 1),
+tgt AS (SELECT b, count(*) AS tc FROM tb WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT count(*) AS rn, count(*) FILTER (lang = 'en') AS tn FROM tb
+),
+wts AS (
+  SELECT raw.b,
+         CAST(round((ln((coalesce(tgt.tc, 0) + 1.0) / (tot.tn + {_DSIR_B}))
+                     - ln((raw.rc + 1.0) / (tot.rn + {_DSIR_B}))) * 1000000)
+              AS BIGINT) AS lr6
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+),
+agg AS (
+  SELECT d.doc_id, CAST(sum(d.c * w.lr6) AS BIGINT) AS s6,
+         CAST(sum(d.c) AS BIGINT) AS n
+  FROM docb d JOIN wts w ON d.b = w.b GROUP BY 1
+)
+SELECT doc_id, CAST(n AS INT) AS n_tok,
+       round(s6 / (1000000.0 * n), 6) AS dsir_score,
+       CAST(row_number() OVER (ORDER BY s6 / (1000000.0 * n) DESC, doc_id)
+            AS INT) AS rk
+FROM agg
+"""
+
+
+@query("q_dsir_weights", DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the average log importance ratio of its hashed unigram features
+    between a target distribution (here: the English slice, standing in
+    for "high-quality target domain") and the raw corpus, with add-1
+    smoothing over {_DSIR_B} buckets. High-rank documents look like the
+    target; resampling by this weight shifts the corpus mixture toward
+    it without hand-written rules — the model-free complement of
+    [[q_c4_rule_gate]] and the lexical analogue of [[semdedup_survivors]].
+
+    Exactness: the bucket weight table rounds each log-ratio to 1e-6
+    once ({_DSIR_B} rows, so any ulp disagreement between engines' ln()
+    would surface as a hash mismatch loudly, not silently); per-document
+    scores are then integer dot products (token-count x lr6), divided
+    and rounded once at the end.
+
+    Scale shape: one token explode feeds three partial-aggregatable
+    counts; the weight table is {_DSIR_B} rows and broadcasts; scoring
+    is a map-side join + per-doc sum. The only global operation is the
+    final rank — at 100 TB replace it with a quantile threshold from
+    approx_quantile (selection, not ranking, is what resampling needs).
+    Reference has no corpus tooling; this extends SURVEY SS2 north-star."""
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).select("doc_id", "lang", (md5_long(F.col("term")) % _DSIR_B).alias("b"))
+    docb = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = tb.agg(
+        F.count(F.lit(1)).alias("rn"),
+        F.count_if(F.col("lang") == "en").alias("tn"),
+    )
+    wts = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tn") + _DSIR_B))
+                    - F.log((F.col("rc") + 1.0) / (F.col("rn") + _DSIR_B))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lr6"),
+        )
+    )
+    agg = (
+        docb.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lr6")).alias("s6"), F.sum("c").alias("n"))
+    )
+    score = F.col("s6") / (1000000.0 * F.col("n"))
+    w = W.orderBy(score.desc(), "doc_id")
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tok"),
+        F.round(score, 6).alias("dsir_score"),
+        F.row_number().over(w).cast("int").alias("rk"),
     )

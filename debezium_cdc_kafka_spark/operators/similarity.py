@@ -964,3 +964,87 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.array(*[coord(k) for k in range(_JL_OUT)]).alias("jl_vec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid distance: noisy-label / outlier pruning.
+# ---------------------------------------------------------------------------
+
+CENTROID_OUTLIER_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label, CAST(t.i AS INT) AS dim,
+         CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+),
+cent AS (
+  SELECT label, dim,
+         round(CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT)
+               / count(*) / 1000000.0, 6) AS c
+  FROM dims GROUP BY label, dim
+),
+terms AS (
+  SELECT d.vec_id, d.label,
+         CAST(round((d.v - c.c) * (d.v - c.c) * 1000000) AS BIGINT) AS t6
+  FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+),
+d2 AS (
+  SELECT vec_id, label, CAST(sum(t6) AS BIGINT) AS s6
+  FROM terms GROUP BY vec_id, label
+)
+SELECT vec_id, label, round(s6 / 1000000.0, 6) AS d2_centroid,
+       CAST(CASE WHEN percent_rank() OVER (
+                        PARTITION BY label ORDER BY s6, vec_id
+                      ) >= 0.9 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM d2
+"""
+
+
+@query("q_label_centroid_outliers", CENTROID_OUTLIER_ORACLE)
+def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label screening: squared L2 distance from every vector to
+    its own label's centroid, flagging the farthest decile per label as
+    suspect (mislabeled or out-of-distribution — the curation step that
+    precedes training a classifier on weak labels; complements
+    [[q_balanced_classes]], which fixes counts but not quality).
+
+    Exactness: centroids use the [[ann_kmeans_update]] recipe (µ-integer
+    dim sums, one division, one round); per-dim squared deviations are
+    rounded to µ-integers and summed exactly, so the distance — and the
+    decile cut, which orders by the integer sum — is engine-independent.
+
+    Scale shape: two corpus scans (centroid partial-agg, then score).
+    The centroid table is |labels|·dim rows → broadcast back; the only
+    corpus-sized shuffle keys on vec_id with bounded (64-term) groups.
+    The decile cut is a per-label window, parallel across labels."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("v") * 1000000).cast("long"))
+            / F.count(F.lit(1))
+            / 1000000.0,
+            6,
+        ).alias("c")
+    )
+    terms = dims.join(F.broadcast(cent), ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        F.round((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")) * 1000000)
+        .cast("long")
+        .alias("t6"),
+    )
+    d2 = terms.groupBy("vec_id", "label").agg(F.sum("t6").alias("s6"))
+    w = W.partitionBy("label").orderBy("s6", "vec_id")
+    return d2.select(
+        "vec_id",
+        "label",
+        F.round(F.col("s6") / 1000000.0, 6).alias("d2_centroid"),
+        (F.percent_rank().over(w) >= 0.9).cast("int").alias("is_outlier"),
+    )

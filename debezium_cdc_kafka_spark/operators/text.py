@@ -964,3 +964,91 @@ def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _DOCSIM_TAU)
         .select("d1", "d2", F.round(cos, 3).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: a linear probe over heuristic features.
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {tokens_sql("text")} AS toks FROM documents),
+feats AS (
+  SELECT doc_id,
+    round(CAST(len(list_filter(toks, t -> list_contains({_SW_LIST_SQL}, t))) AS DOUBLE)
+          / greatest(len(toks), 1), 4) AS sw,
+    round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1), 4) AS punct,
+    least(len(toks), 300) AS nt,
+    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / greatest(len(toks), 1), 4) AS al
+  FROM t
+),
+z AS (
+  SELECT doc_id, sw, punct,
+         ((((-2.0 + 6.0 * sw) - 8.0 * punct) + 0.01 * nt) + 0.2 * al) AS z
+  FROM feats
+)
+SELECT doc_id, sw AS stopword_ratio, punct AS punct_ratio,
+       round(1.0 / (1.0 + exp(-round(z, 6))), 4) AS quality_score,
+       CAST(1.0 / (1.0 + exp(-round(z, 6))) >= 0.5 AS INT) AS keep
+FROM z
+"""
+
+
+@query("text_quality_classifier", CLASSIFIER_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the FineWeb-Edu / CCNet pattern): a
+    logistic probe over the heuristic features of [[text_quality_stats]]
+    — stopword ratio up-weighted, punctuation ratio down-weighted, token
+    count and token length as mild priors — squashed through a sigmoid
+    into a calibrated-looking [0,1] score with a 0.5 keep cut. Weights
+    are fixed literals baked into the plan: in production they come from
+    a probe trained offline on labeled pages, and scoring stays exactly
+    this — a narrow, shuffle-free map over the corpus, whole-stage
+    codegen'd, no model server in the loop.
+
+    Exactness: features round to 4dp first; the logit is one fixed
+    parenthesized chain (identical association order in both engines),
+    rounded to 6dp before exp() so the sigmoid sees the same double."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    sw_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).cast("double")
+        / F.greatest(n_toks, F.lit(1)),
+        4,
+    )
+    punct = F.round(
+        F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    )
+    nt = F.least(n_toks, F.lit(300))
+    al = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / F.greatest(n_toks, F.lit(1)),
+        4,
+    )
+    feats = docs.select(
+        "doc_id", sw.alias("sw"), punct.alias("punct"), nt.alias("nt"), al.alias("al")
+    )
+    z = F.round(
+        (
+            (
+                (F.lit(-2.0) + F.lit(6.0) * F.col("sw"))
+                - F.lit(8.0) * F.col("punct")
+            )
+            + F.lit(0.01) * F.col("nt")
+        )
+        + F.lit(0.2) * F.col("al"),
+        6,
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.col("sw").alias("stopword_ratio"),
+        F.col("punct").alias("punct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+        (score >= 0.5).cast("int").alias("keep"),
+    )
