@@ -220,3 +220,93 @@ def test_tx_consistent_state_quarantines_partial_and_poisoned(spark, tmp_path):
     got = {r.id: r.value for r in cdc_tx_consistent_state(spark, str(tmp_path)).collect()}
     # only tx 0 (events 0-7) applies: last value per user among events 0-7
     assert got == {100: 4.0, 101: 5.0, 102: 6.0, 103: 7.0}
+
+
+def test_dsir_weights_rank_target_slice_higher(spark):
+    """DSIR with target = the English slice must, on average, score
+    English documents above non-English ones — that is the entire point
+    of importance resampling (hashed unigram features of the target
+    distribution get positive log-ratios)."""
+    from debezium_cdc_kafka_spark.catalog import load_table
+    from debezium_cdc_kafka_spark.operators.curation import q_dsir_weights
+
+    scores = q_dsir_weights(spark, SF_SMOKE)
+    langs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    by_lang = (
+        scores.join(langs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_score").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r.m for r in by_lang}
+    assert means[True] > means[False]
+
+
+def test_label_centroid_outliers_flag_farthest_decile(spark):
+    """Per label: ~10% flagged (percent_rank >= 0.9), flagged distances
+    strictly dominate unflagged ones."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        q_label_centroid_outliers,
+    )
+
+    out = q_label_centroid_outliers(spark, SF_SMOKE)
+    per = (
+        out.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_outlier").alias("k"),
+            F.min(F.when(F.col("is_outlier") == 1, F.col("d2_centroid"))).alias(
+                "min_out"
+            ),
+            F.max(F.when(F.col("is_outlier") == 0, F.col("d2_centroid"))).alias(
+                "max_in"
+            ),
+        )
+        .collect()
+    )
+    for r in per:
+        assert 0 < r.k <= max(1, round(0.11 * r.n) + 1)
+        assert r.min_out >= r.max_in
+
+
+def test_quality_classifier_scores_calibrated_and_monotone(spark, tmp_path):
+    """Pure-punctuation noise scores below plain stopword-rich prose;
+    all scores live in (0, 1) and keep == (score >= 0.5)."""
+    from debezium_cdc_kafka_spark.operators.text import text_quality_classifier
+
+    sf = write_docs(
+        tmp_path,
+        [
+            "the cat sat on the mat and the dog slept in the sun for a while",
+            "%%% !!! ### $$$ ^^^ &&& *** ((( ))) @@@ ~~~ ??? ;;; :::",
+        ],
+    )
+    rows = {r.doc_id: r for r in text_quality_classifier(spark, sf).collect()}
+    assert 0.0 < rows[0].quality_score < 1.0
+    assert rows[0].quality_score > rows[1].quality_score
+    for r in rows.values():
+        assert r.keep == int(r.quality_score >= 0.5)
+
+
+def test_balanced_classes_equalizes_label_counts(spark):
+    """Every label's kept count equals the minority-class size."""
+    from debezium_cdc_kafka_spark.operators.curation import q_balanced_classes
+
+    out = q_balanced_classes(spark, SF_SMOKE)
+    counts = [r.n for r in out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(set(counts)) == 1
+
+
+def test_tfidf_doc_similarity_bounds_and_symmetry_free(spark):
+    """Cosines lie in [tau, 1+eps] and each unordered pair appears once
+    (d1 < d2 canonical form)."""
+    from debezium_cdc_kafka_spark.operators.text import text_tfidf_doc_similarity
+
+    rows = text_tfidf_doc_similarity(spark, SF_SMOKE).collect()
+    assert rows, "sf0.001 corpus should contain near-identical rewrites"
+    seen = set()
+    for r in rows:
+        assert r.d1 < r.d2
+        assert 0.3 <= r.cosine <= 1.001
+        assert (r.d1, r.d2) not in seen
+        seen.add((r.d1, r.d2))
