@@ -720,32 +720,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
     ).select("doc_id", "lang", (md5_long(F.col("term")) % _DSIR_B).alias("b"))
-    docb = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        tb.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # One explode + one (doc, bucket) aggregate; raw AND target bucket
+    # counts come out of a single conditional aggregate over it (one
+    # shuffle, no branch divergence), and the per-doc scoring join reuses
+    # the same docb exchange, so the corpus is tokenized exactly once.
+    docb = tb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    bkt = docb.groupBy("b").agg(
+        F.sum("c").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("tc"),
     )
-    tot = tb.agg(
-        F.count(F.lit(1)).alias("rn"),
-        F.count_if(F.col("lang") == "en").alias("tn"),
-    )
-    wts = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tn") + _DSIR_B))
-                    - F.log((F.col("rc") + 1.0) / (F.col("rn") + _DSIR_B))
-                )
-                * 1000000
+    tot = bkt.agg(F.sum("rc").alias("rn"), F.sum("tc").alias("tn"))
+    wts = bkt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("tc") + 1.0) / (F.col("tn") + _DSIR_B))
+                - F.log((F.col("rc") + 1.0) / (F.col("rn") + _DSIR_B))
             )
-            .cast("bigint")
-            .alias("lr6"),
+            * 1000000
         )
+        .cast("bigint")
+        .alias("lr6"),
     )
     agg = (
         docb.join(F.broadcast(wts), "b")
