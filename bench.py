@@ -37,6 +37,9 @@ HEADLINE = [
     "text_quality_stats",
     "q02_min_cost_supplier",
     "q_funnel_3step",
+    "q_dsir_weights",
+    "text_tfidf_doc_similarity",
+    "q_label_centroid_outliers",
 ]
 
 
