@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1047,4 +1048,182 @@ def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.col("s6") / 1000000.0, 6).alias("d2_centroid"),
         (F.percent_rank().over(w) >= 0.9).cast("int").alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (the RAG retrieval step after ANN).
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5        # results to select
+_MMR_CAND = 20    # ANN candidate pool per query
+# λ = 0.7: relevance weight; 0.3: redundancy penalty
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-CTE oracle: each MMR step joins the candidate pool against
+    the union of prior selections, exactly mirroring the Spark loop."""
+    dot = EMB_DOT_SQL
+    na = EMB_NORM_SQL.format(t="a")
+    nb = EMB_NORM_SQL.format(t="b")
+    head = f"""
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+co AS (
+  SELECT a.qid, b.vec_id AS cid, b.embedding,
+         CAST(round(1000000 * {dot} / sqrt(({na}) * ({nb}))) AS BIGINT) AS s6
+  FROM (SELECT qid, embedding FROM q) a
+  JOIN embeddings b ON b.vec_id <> a.qid
+),
+cand AS (
+  SELECT qid, cid, s6 FROM (
+    SELECT qid, cid, s6,
+           row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, cid) AS rk
+    FROM co
+  ) WHERE rk <= {_MMR_CAND}
+),
+pair AS (
+  SELECT x.qid, x.cid AS c1, y.cid AS c2,
+         CAST(round(1000000 * {dot} / sqrt(({na}) * ({nb}))) AS BIGINT) AS p6
+  FROM cand x JOIN embeddings a ON a.vec_id = x.cid
+  JOIN cand y ON y.qid = x.qid AND y.cid <> x.cid
+  JOIN embeddings b ON b.vec_id = y.cid
+),
+s1 AS (
+  SELECT qid, cid, 7 * s6 AS score_i, 1 AS step FROM (
+    SELECT qid, cid, s6,
+           row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, cid) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sel1 AS (SELECT qid, cid FROM s1)"""
+    parts = [head]
+    for k in range(2, _MMR_K + 1):
+        p = k - 1
+        parts.append(f""",
+s{k} AS (
+  SELECT qid, cid, score_i, {k} AS step FROM (
+    SELECT c.qid, c.cid, 7 * c.s6 - 3 * mx.m AS score_i,
+           row_number() OVER (
+             PARTITION BY c.qid
+             ORDER BY 7 * c.s6 - 3 * mx.m DESC, c.cid
+           ) AS rn
+    FROM cand c
+    JOIN (SELECT p.qid, p.c1, max(p.p6) AS m
+          FROM pair p JOIN sel{p} s ON s.qid = p.qid AND s.cid = p.c2
+          GROUP BY p.qid, p.c1) mx
+      ON mx.qid = c.qid AND mx.c1 = c.cid
+    LEFT JOIN sel{p} e ON e.qid = c.qid AND e.cid = c.cid
+    WHERE e.cid IS NULL
+  ) WHERE rn = 1
+),
+sel{k} AS (SELECT qid, cid FROM sel{p} UNION ALL SELECT qid, cid FROM s{k})""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{k}" for k in range(1, _MMR_K + 1))
+    parts.append(
+        f"\nSELECT qid AS query_id, cid AS vec_id, score_i / 10000000.0 AS mmr_score, CAST(step AS INT) AS step\nFROM ({union})"
+    )
+    return "".join(parts)
+
+
+@query("ann_mmr_rerank", _mmr_oracle())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) diversified re-ranking — the step
+    a RAG retriever runs AFTER ann_bruteforce_topk/ann_ivf_topk hands it a
+    candidate pool: greedily pick {_MMR_K} of {_MMR_CAND} candidates,
+    each step maximizing λ·sim(query, c) − (1−λ)·max_{{s∈selected}}
+    sim(c, s) with λ=0.7, so near-duplicate passages can't crowd the
+    context window (Carbonell & Goldstein 1998).
+
+    The greedy loop is data-dependent but BOUNDED (k steps), so it
+    unrolls into the plan like [[graph_pagerank_copurchase]]'s iterations:
+    each step is an anti-join (drop selected) + a broadcast-sized max-sim
+    join + a per-query argmax window. All cosines are snapped to integer
+    micro-units (round(1e6·cos) as bigint) before any comparison, the MMR
+    score 7·s − 3·m stays in exact integer arithmetic, and ties break on
+    vec_id — so selection is engine-exact with no float rounding ties.
+
+    Scale shape: everything after the ANN scan operates on k·|queries|
+    rows partitioned by query_id — the corpus is touched only by the
+    candidate generation (delegated to the ANN operators). cand and pair
+    are persisted: every unrolled step reuses them, and recomputing the
+    candidate scan {_MMR_K}× is the one real cost at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    dotq = F.zip_with(
+        F.transform(F.col("qe"), lambda x: x.cast("double")),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        lambda x, y: x * y,
+    )
+    simq = F.round(
+        F.lit(1000000.0)
+        * F.aggregate(dotq, F.lit(0.0), lambda acc, x: acc + x)
+        / F.sqrt(sq_norm_expr("qe") * sq_norm_expr("embedding"))
+    ).cast("bigint")
+    co = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), "embedding", simq.alias("s6"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("s6").desc(), "cid")
+    cand = (
+        co.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _MMR_CAND)
+        .select("qid", "cid", "s6", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    x = cand.select("qid", F.col("cid").alias("c1"), F.col("embedding").alias("e1"))
+    y = cand.select(F.col("qid").alias("qid2"), F.col("cid").alias("c2"), F.col("embedding").alias("e2"))
+    dotp = F.zip_with(
+        F.transform(F.col("e1"), lambda v: v.cast("double")),
+        F.transform(F.col("e2"), lambda v: v.cast("double")),
+        lambda u, v: u * v,
+    )
+    ps = F.round(
+        F.lit(1000000.0)
+        * F.aggregate(dotp, F.lit(0.0), lambda acc, v: acc + v)
+        / F.sqrt(sq_norm_expr("e1") * sq_norm_expr("e2"))
+    ).cast("bigint")
+    pair = (
+        x.join(y, (F.col("qid") == F.col("qid2")) & (F.col("c1") != F.col("c2")))
+        .select("qid", "c1", "c2", ps.alias("p6"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    slim = cand.select("qid", "cid", "s6")
+    w1 = W.partitionBy("qid").orderBy(F.col("s6").desc(), "cid")
+    sel = (
+        slim.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            "cid",
+            (F.lit(7) * F.col("s6")).alias("score_i"),
+            F.lit(1).alias("step"),
+        )
+    )
+    for k in range(2, _MMR_K + 1):
+        picked = sel.select("qid", "cid")
+        mx = (
+            pair.join(
+                picked.select("qid", F.col("cid").alias("c2")), ["qid", "c2"]
+            )
+            .groupBy("qid", "c1")
+            .agg(F.max("p6").alias("m"))
+            .select(F.col("qid").alias("qid_m"), F.col("c1"), F.col("m"))
+        )
+        score = F.lit(7) * F.col("s6") - F.lit(3) * F.col("m")
+        wk = W.partitionBy("qid").orderBy(score.desc(), "cid")
+        pick = (
+            slim.join(picked, ["qid", "cid"], "left_anti")
+            .join(mx, (F.col("qid") == F.col("qid_m")) & (F.col("cid") == F.col("c1")))
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select("qid", "cid", score.alias("score_i"), F.lit(k).alias("step"))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("vec_id"),
+        (F.col("score_i") / F.lit(10000000.0)).alias("mmr_score"),
+        F.col("step").cast("int").alias("step"),
     )

@@ -87,3 +87,28 @@ def test_stop_shingle_capping_drops_boilerplate_pairs(spark, tmp_path):
     assert len(uncapped) > 100
     # capping leaves exactly the genuine duplicate pair
     assert capped == {(28, 29)}
+
+
+def test_mmr_rerank_greedy_invariants(spark):
+    """MMR selection is a greedy chain: per query, exactly one pick per
+    step 1..K, no candidate picked twice, step 1 is the raw-relevance
+    argmax, and every later pick's score is penalized (score <= 0.7*sim
+    of the best remaining candidate)."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        _MMR_K,
+        ann_mmr_rerank,
+    )
+
+    rows = ann_mmr_rerank(spark, SF_SMOKE).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, picks in by_q.items():
+        steps = sorted(p.step for p in picks)
+        assert steps == list(range(1, _MMR_K + 1)), qid
+        assert len({p.vec_id for p in picks}) == len(picks), qid
+        ordered = sorted(picks, key=lambda p: p.step)
+        # step-1 score is pure relevance (0.7 * cosine), so it bounds all
+        # later penalized scores from above
+        assert all(ordered[0].mmr_score >= p.mmr_score - 1e-9 for p in ordered[1:]), qid
