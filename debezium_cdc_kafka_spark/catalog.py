@@ -61,17 +61,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    Parquet reader rejects by default. Read nanos as int64 and truncate to
-    microsecond timestamps (exactly what DuckDB's µs TIMESTAMP does), so
-    oracle comparisons line up."""
+    """Normalize ``events.ts`` to a microsecond TIMESTAMP regardless of how
+    the driver generated the parquet — TIMESTAMP(NANOS) (readable only as
+    int64 via ``nanosAsLong``), TIMESTAMP_NTZ (µs, no zone), or plain
+    TIMESTAMP all land on the same session-UTC µs timestamp DuckDB sees,
+    so oracle comparisons line up across driver data regenerations."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not float division: epoch-nanos exceed 2^53, so a double
-    # intermediate would round the microsecond off by one
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # integer DIV, not float division: epoch-nanos exceed 2^53, so a
+        # double intermediate would round the microsecond off by one
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # NTZ→TIMESTAMP under a UTC session is an exact relabel, no shift
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

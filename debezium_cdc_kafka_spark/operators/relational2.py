@@ -178,8 +178,8 @@ def q_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAYAGG_ORACLE = """
 SELECT p_brand,
-       coalesce(list(p_name ORDER BY p_retailprice DESC, p_partkey)
-                  FILTER (WHERE p_retailprice > 980), []) AS pricey_parts
+       coalesce(string_agg(p_name, '|' ORDER BY p_retailprice DESC, p_partkey)
+                  FILTER (WHERE p_retailprice > 980), '') AS pricey_parts
 FROM part
 GROUP BY p_brand
 """
@@ -190,7 +190,10 @@ def q_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically-ordered collect per group: sort a struct array
     after collecting (Spark's collect_list has no ORDER BY; sorting the
     (key, value) structs then projecting gives DuckDB's `list(... ORDER
-    BY)` semantics exactly)."""
+    BY)` semantics exactly). The ordered list is serialized to a
+    '|'-joined string because the driver's comparator canonicalizes via
+    pandas sort, which cannot hash list-valued cells — the ordering
+    semantics under test are unchanged."""
     from ..catalog import load_table
 
     part = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 980)
@@ -204,8 +207,11 @@ def q_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brands.join(collected, "p_brand", "left").select(
         "p_brand",
         F.coalesce(
-            F.transform(F.array_sort("raw"), lambda s: s.getField("p_name")),
-            F.array().cast("array<string>"),
+            F.array_join(
+                F.transform(F.array_sort("raw"), lambda s: s.getField("p_name")),
+                "|",
+            ),
+            F.lit(""),
         ).alias("pricey_parts"),
     )
 

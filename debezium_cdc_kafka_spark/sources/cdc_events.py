@@ -101,24 +101,35 @@ def derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     malformed = (F.col("event_id") % MALFORMED_MOD) == MALFORMED_REM
-    base = ev.select(
+    body = F.when(malformed, F.lit('{"payload": <corrupt>')).otherwise(envelope)
+    # One record per event, plus a trailing tombstone for deletes, emitted
+    # from a SINGLE scan: building the (≤2)-element record array and
+    # exploding beats the union-of-two-branches formulation, which scans the
+    # parquet (and pays the to_json) twice. At 100 TB that halves source I/O.
+    record = lambda value, off: F.struct(  # noqa: E731
+        value.alias("value"), off.alias("offset")
+    )
+    records = F.when(
+        op == "d",
+        F.array(
+            record(body, F.col("event_id") * 2),
+            record(F.lit(None).cast("string"), F.col("event_id") * 2 + 1),
+        ),
+    ).otherwise(F.array(record(body, F.col("event_id") * 2)))
+    return ev.select(
         F.col("user_id").cast("string").alias("key"),
-        F.when(malformed, F.lit('{"payload": <corrupt>')).otherwise(envelope).alias("value"),
+        F.explode(records).alias("_rec"),
         F.lit(TOPIC).alias("topic"),
         F.lit(0).alias("partition"),
-        (F.col("event_id") * 2).alias("offset"),
         F.col("ts").alias("timestamp"),
-        op.alias("_op_hint"),  # only for building tombstones; dropped below
-    )
-    tombstones = base.filter(F.col("_op_hint") == "d").select(
+    ).select(
         "key",
-        F.lit(None).cast("string").alias("value"),
+        F.col("_rec.value").alias("value"),
         "topic",
         "partition",
-        (F.col("offset") + 1).alias("offset"),
+        F.col("_rec.offset").alias("offset"),
         "timestamp",
     )
-    return base.drop("_op_hint").unionByName(tombstones)
 
 
 def widened_envelope_schema(*extra_after: T.StructField) -> T.StructType:
