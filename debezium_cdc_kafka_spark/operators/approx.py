@@ -166,3 +166,38 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
     return est.join(exact, "term").select("term", "exact_count", "cms_estimate")
+
+
+@query("q_hll_sketch_union")
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user sketches via Apache DataSketches HLL
+    (built into Spark as `hll_sketch_agg`/`hll_union_agg`): one sketch
+    per event type, then the GLOBAL distinct estimate obtained by
+    UNIONING the per-type sketches — never re-touching the raw events.
+    This is the 100 TB cardinality pattern: partial sketches are a few KB
+    each, re-aggregable along any dimension hierarchy (type→all here),
+    shippable across clusters, and storable next to the rollup.
+    Deterministic for a given input multiset (the sketch hash is fixed),
+    but engine-specific — DuckDB's approx_count_distinct uses a
+    different HLL, so no value oracle exists: the driver records the
+    rows-only check and tests/test_approx.py bounds the estimates
+    against exact counts instead."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.round(F.hll_sketch_estimate("sk")).cast("long").alias("hll_estimate"),
+        "exact_distinct",
+    )
+    overall = per_type.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum(F.lit(0)).alias("_z"),  # placeholder keeps agg non-empty on 0 rows
+    ).select(
+        F.lit("_all_types").alias("event_type"),
+        F.round(F.hll_sketch_estimate("sk")).cast("long").alias("hll_estimate"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return typed.unionByName(overall)

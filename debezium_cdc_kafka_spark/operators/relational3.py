@@ -596,3 +596,92 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.round(rev * 100).cast("long")) / 100.0, 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware NOT IN (the anti-join semantics SQL gets wrong-by-surprise).
+# ---------------------------------------------------------------------------
+
+NOT_IN_NULL_ORACLE = """
+WITH poor_segments AS (
+  SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal < -900
+)
+SELECT 'clean_inner' AS probe, count(*) AS n_rows
+FROM customer
+WHERE nullif(c_mktsegment, 'MACHINERY') NOT IN (SELECT c_mktsegment FROM poor_segments)
+UNION ALL
+SELECT 'null_in_inner' AS probe, count(*) AS n_rows
+FROM customer
+WHERE c_mktsegment NOT IN (SELECT nullif(c_mktsegment, c_mktsegment) FROM customer)
+"""
+
+
+@query("q_not_in_null_aware", NOT_IN_NULL_ORACLE)
+def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN is NOT an anti-join when NULLs are in play — three-valued
+    logic makes `x NOT IN (S)` UNKNOWN (dropped) when x is NULL, and
+    makes it UNKNOWN for EVERY x when S contains a NULL. Both probes are
+    exercised: rows whose tested value is NULL vanish from the first
+    count, and the second count is exactly 0. Spark plans this as a
+    null-aware anti join (LeftAnti with the extra null disjunct — a
+    dedicated physical path since naive hash anti-join would keep the
+    wrong rows); expressed through the SQL surface because the DataFrame
+    `isin` negation has subtly different (two-valued) semantics."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH poor_segments AS (
+          SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal < -900
+        )
+        SELECT 'clean_inner' AS probe, count(*) AS n_rows
+        FROM customer
+        WHERE nullif(c_mktsegment, 'MACHINERY')
+              NOT IN (SELECT c_mktsegment FROM poor_segments)
+        UNION ALL
+        SELECT 'null_in_inner' AS probe, count(*) AS n_rows
+        FROM customer
+        WHERE c_mktsegment NOT IN (SELECT nullif(c_mktsegment, c_mktsegment) FROM customer)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL join (correlated per-row top-k subquery).
+# ---------------------------------------------------------------------------
+
+LATERAL_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_acctbal > 9000
+"""
+
+
+@query("q_lateral_top_orders", LATERAL_ORACLE)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: for each rich customer, their top-2
+    orders by price — the per-row-subquery formulation of what
+    `row_number() ≤ 2` expresses with a window. Catalyst decorrelates the
+    lateral into exactly that join+window plan (DecorrelateInnerQuery),
+    so the declared per-row loop executes as ONE shuffle on the join key —
+    no nested-loop re-execution per outer row, which is what makes the
+    construct usable at 100 TB. Deterministic: (price, orderkey) total
+    order breaks ties."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_acctbal > 9000
+        """
+    )

@@ -1227,3 +1227,151 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("score_i") / F.lit(10000000.0)).alias("mmr_score"),
         F.col("step").cast("int").alias("step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance matrix of the embedding corpus (one-pass Gram), and the
+# PCA projection built from it.
+# ---------------------------------------------------------------------------
+
+_COV_D = 64
+_COV_SCALE = 1_000_000  # per-coordinate µ-int scale
+
+COV_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_COV_SCALE}) AS BIGINT)
+           AS e6
+  FROM embeddings
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+sums AS (SELECT i, CAST(sum(e6) AS BIGINT) AS s6 FROM flat GROUP BY i),
+gram AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.e6 * b.e6) AS BIGINT) AS gram6
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT g.i, g.j, g.gram6,
+       CAST(nn.n * g.gram6 - sa.s6 * sb.s6 AS DOUBLE)
+         / (nn.n * (nn.n - 1.0)) / 1e12 AS cov
+FROM gram g, nn, sums sa, sums sb
+WHERE sa.i = g.i AND sb.i = g.j
+"""
+
+
+def _gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One data pass → augmented Gram matrix rows (i ≤ j ≤ 64).
+
+    Each partition's batch stacks its µ-int-scaled vectors — scaled
+    JVM-side with round() so the integerization matches the oracle's,
+    never numpy's banker's rounding — into an int64 matrix with a
+    constant ``SCALE`` column appended (homogeneous coordinate), and
+    emits its local AᵀA upper triangle. Dimension 64 therefore carries
+    the per-dim sums (gram(i,64) = SCALE·Σxᵢ) and the count
+    (gram(64,64) = SCALE²·n), so covariance needs NO second scan of the
+    corpus. Each partition contributes ≤ 2145 rows regardless of row
+    count — the reduce side is O(d²), constant in corpus size; int64
+    matmul is exact (bounds: |e6| ≤ 5.3e5 → products < 2^63 up to ~10⁷
+    rows; beyond that, split batches or widen to object/Python ints)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _COV_SCALE).cast("long"),
+        ).alias("e6")
+    )
+
+    def partial_gram(batches):
+        acc = np.zeros((_COV_D + 1, _COV_D + 1), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["e6"].to_numpy()).astype(np.int64)
+            a = np.hstack([a, np.full((a.shape[0], 1), _COV_SCALE, dtype=np.int64)])
+            acc += a.T @ a
+            seen = True
+        if seen:
+            iu, ju = np.triu_indices(_COV_D + 1)
+            yield pd.DataFrame({"i": iu.astype("int32"), "j": ju.astype("int32"),
+                                "gram6": acc[iu, ju]})
+
+    partials = emb.mapInPandas(partial_gram, "i int, j int, gram6 long")
+    return partials.groupBy("i", "j").agg(F.sum("gram6").alias("gram6"))
+
+
+@query("q_embedding_covariance", COV_ORACLE)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample covariance of every coordinate pair of the embedding
+    corpus — the input to PCA whitening — computed in ONE pass as an
+    integer Gram matrix (see `_gram_rows`), then finished on the O(d²)
+    aggregate: cov(i,j) = (n·Gᵢⱼ − SᵢSⱼ) / (n(n−1)), kept exact in int64
+    and only divided at the very end, so both engines emit bit-identical
+    doubles. The oracle cross-checks via the naive unnest-self-join
+    formulation — same numbers, quadratically more movement."""
+    g65 = _gram_rows(spark, sf_dir).persist()
+    n = g65.filter((F.col("i") == _COV_D) & (F.col("j") == _COV_D)).select(
+        F.expr(f"gram6 DIV {_COV_SCALE}::LONG DIV {_COV_SCALE}::LONG").alias("n")
+    )
+    sums = g65.filter((F.col("j") == _COV_D) & (F.col("i") < _COV_D)).select(
+        "i", F.expr(f"gram6 DIV {_COV_SCALE}").alias("s6")
+    )
+    gram = g65.filter(F.col("j") < _COV_D)
+    sa = sums.select(F.col("i").alias("_ia"), F.col("s6").alias("sa"))
+    sb = sums.select(F.col("i").alias("_ib"), F.col("s6").alias("sb"))
+    return (
+        gram.join(F.broadcast(sa), gram.i == sa._ia)
+        .join(F.broadcast(sb), gram.j == sb._ib)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            "gram6",
+            (
+                (F.col("n") * F.col("gram6") - F.col("sa") * F.col("sb")).cast(
+                    "double"
+                )
+                / (F.col("n") * (F.col("n") - 1.0))
+                / F.lit(1e12)
+            ).alias("cov"),
+        )
+    )
+
+
+@query("q_pca_top2_project")
+def q_pca_top2_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-2 principal components. The d×d
+    covariance (tiny for any corpus size) is collected to the driver,
+    eigendecomposed with numpy, and the two leading eigenvectors are
+    baked into the plan as LITERALS — the projection pass is then pure
+    whole-stage-codegen column algebra over one corpus scan, the same
+    shape at 100 TB. Eigenvector sign is fixed (largest-|component|
+    positive) so output is deterministic; no SQL oracle — DuckDB has no
+    eigensolver — the driver's rows-only gate plus test-asserted
+    variance ordering cover it."""
+    import numpy as np
+
+    cov_rows = q_embedding_covariance(spark, sf_dir).select("i", "j", "cov").collect()
+    cov = np.zeros((_COV_D, _COV_D))
+    for r in cov_rows:
+        cov[r.i, r.j] = cov[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    means = None  # projection on raw (uncentered) coords keeps the plan scan-only
+    out_cols = []
+    emb = load_table(spark, sf_dir, "embeddings")
+    for rank, k in enumerate((-1, -2)):
+        v = vecs[:, k]
+        v = v if v[int(np.argmax(np.abs(v)))] >= 0 else -v
+        proj = F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(float(c)) for c in v]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        out_cols.append(F.round(proj, 4).alias(f"pc{rank + 1}"))
+    return emb.select("vec_id", "label", *out_cols)

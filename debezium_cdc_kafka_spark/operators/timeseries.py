@@ -258,3 +258,180 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(finish(hour, "hour"))
         .unionAll(finish(day, "day"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection.
+# ---------------------------------------------------------------------------
+
+_ZS_WIN = 20     # trailing window length (rows, excluding current)
+_ZS_MIN = 10     # minimum history before scoring
+_ZS_CUT = 3.0    # |z| threshold
+
+ZSCORE_ORACLE = f"""
+WITH scored AS (
+  SELECT user_id, event_id, value,
+         CAST(round(value * 1000) AS BIGINT) AS v3,
+         sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS s,
+         sum(CAST(round(value * 1000) AS BIGINT)
+             * CAST(round(value * 1000) AS BIGINT)) OVER w AS q,
+         count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_ZS_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, round(value, 2) AS value,
+       round((v3 - s / n) / sqrt((q - s * s / n) / (n - 1)), 4) AS zscore
+FROM scored
+WHERE n >= {_ZS_MIN}
+  AND (q - s * s / n) / (n - 1) > 0
+  AND abs((v3 - s / n) / sqrt((q - s * s / n) / (n - 1))) > {_ZS_CUT}
+"""
+
+
+@query("q_rolling_zscore_anomaly", ZSCORE_ORACLE)
+def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly screen: each reading is scored
+    against the mean/std of its own TRAILING window (current row excluded,
+    so an outlier can't mask itself), flagging |z| > 3 once ≥10 readings of
+    history exist. The window statistics are sums of milli-scaled integers
+    — exact under any evaluation order — and the z expression is the same
+    double op sequence in both engines, so even threshold-adjacent rows
+    agree bit-for-bit ([[spark-duckdb-oracle-parity]]). One shuffle on
+    user_id; the rows-frame keeps per-key state bounded at 20 rows, which
+    is also exactly the streaming-state form of this monitor."""
+    events = load_table(spark, sf_dir, "events")
+    v3 = F.round(F.col("value") * 1000).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZS_WIN, -1)
+    )
+    scored = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        v3.alias("v3"),
+        F.sum(v3).over(w).alias("s"),
+        F.sum(v3 * v3).over(w).alias("q"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("v3") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        scored.filter((F.col("n") >= _ZS_MIN) & (var > 0) & (F.abs(z) > _ZS_CUT))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal baseline (cyclic aggregation).
+# ---------------------------------------------------------------------------
+
+SEASONAL_ORACLE = """
+WITH hod AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+         count(*) AS n_events,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS v6
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n_events,
+       ((2 * v6 + n_events) // (2 * n_events)) / 1000000.0 AS avg_value,
+       ((2 * 10000 * n_events + sum(n_events) OVER (PARTITION BY event_type))
+          // (2 * sum(n_events) OVER (PARTITION BY event_type))) / 10000.0
+         AS hour_share
+FROM hod
+"""
+
+
+@query("q_seasonal_hourly_baseline", SEASONAL_ORACLE)
+def q_seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic seasonal profile: collapse the timeline onto hour-of-day per
+    event type — the baseline table an anomaly monitor compares live
+    traffic against. Aggregates to ≤ types×24 rows in one map-side-combined
+    groupBy; the share-of-day window then runs on that tiny aggregate, not
+    the raw table. µ-scaled integer sums keep the averages exact, and the
+    final rounding is integer half-up division ((2a+b) DIV 2b) — Spark's
+    round() on doubles rounds the shortest decimal repr while DuckDB
+    rounds the binary value, so tie-adjacent quotients would disagree."""
+    events = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1000000).cast("long")
+    hod = events.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(v6).alias("v6"))
+    with_total = hod.withColumn(
+        "tot", F.sum("n_events").over(W.partitionBy("event_type"))
+    )
+    return with_total.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.expr("((2 * v6 + n_events) DIV (2 * n_events)) / 1e6").alias("avg_value"),
+        F.expr("((2 * 10000 * n_events + tot) DIV (2 * tot)) / 1e4").alias(
+            "hour_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands: consecutive-active-day streaks.
+# ---------------------------------------------------------------------------
+
+_STREAK_MIN = 3
+
+STREAK_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+           AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, count(*) AS streak_len, max(anchor + 1) AS _o
+  FROM islands GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY user_id
+HAVING max(streak_len) >= {_STREAK_MIN}
+"""
+
+
+@query("q_streak_gaps_islands", STREAK_ORACLE)
+def q_streak_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of consecutive active days,
+    found by the classic anchor trick — day minus row_number is constant
+    exactly within a consecutive run, so one window plus one groupBy finds
+    every island without self-joins or iteration. Reports users whose
+    longest streak reaches 3 days. All three stages (distinct days,
+    row_number, island aggregate) share the single user_id shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.sum("streak_len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .filter(F.col("longest_streak") >= _STREAK_MIN)
+    )

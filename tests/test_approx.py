@@ -36,3 +36,24 @@ def test_approx_quantiles_close_to_exact(spark):
     for k in exact:
         rel = abs(approx[k] - exact[k]) / max(exact[k], 1.0)
         assert rel < 0.05, (k, approx[k], exact[k])
+
+
+def test_hll_sketch_union_bounds_and_merge(spark):
+    from debezium_cdc_kafka_spark.operators.approx import q_hll_sketch_union
+
+    rows = {r.event_type: r for r in q_hll_sketch_union(spark, SF_SMOKE).collect()}
+    assert "_all_types" in rows
+    for t, r in rows.items():
+        if t == "_all_types":
+            continue
+        # lgK=12 → rse ≈ 1.6%; allow 5% + small absolute slack
+        assert abs(r.hll_estimate - r.exact_distinct) <= max(3, 0.05 * r.exact_distinct)
+    exact_all = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    est_all = rows["_all_types"].hll_estimate
+    assert abs(est_all - exact_all) <= max(3, 0.05 * exact_all)
+    # the union estimate can never undershoot its largest component much
+    assert est_all >= max(
+        r.hll_estimate for t, r in rows.items() if t != "_all_types"
+    ) * 0.95

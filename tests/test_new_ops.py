@@ -310,3 +310,30 @@ def test_tfidf_doc_similarity_bounds_and_symmetry_free(spark):
         assert 0.3 <= r.cosine <= 1.001
         assert (r.d1, r.d2) not in seen
         seen.add((r.d1, r.d2))
+
+
+def test_pca_projection_variance_ordering(spark):
+    import numpy as np
+
+    from debezium_cdc_kafka_spark.catalog import load_table
+    from debezium_cdc_kafka_spark.operators.similarity import q_pca_top2_project
+
+    rows = q_pca_top2_project(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    pc1 = np.array([r.pc1 for r in rows])
+    pc2 = np.array([r.pc2 for r in rows])
+    # leading component captures at least as much variance as the second,
+    # and both capture more than a typical raw coordinate
+    assert pc1.var() >= pc2.var() > 0
+    raw = np.stack(
+        [
+            np.array(r.embedding, dtype=float)
+            for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        ]
+    )
+    assert pc1.var() >= raw.var(axis=0).max() * 0.99
+    # projections are deterministic across re-runs (literal eigenvectors)
+    again = q_pca_top2_project(spark, SF_SMOKE).collect()
+    assert sorted((r.vec_id, r.pc1, r.pc2) for r in again) == sorted(
+        (r.vec_id, r.pc1, r.pc2) for r in rows
+    )
