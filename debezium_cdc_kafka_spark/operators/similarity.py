@@ -1252,7 +1252,8 @@ gram AS (
   GROUP BY 1, 2
 )
 SELECT g.i, g.j, g.gram6,
-       CAST(nn.n * g.gram6 - sa.s6 * sb.s6 AS DOUBLE)
+       CAST(CAST(nn.n AS HUGEINT) * g.gram6
+            - CAST(sa.s6 AS HUGEINT) * sb.s6 AS DOUBLE)
          / (nn.n * (nn.n - 1.0)) / 1e12 AS cov
 FROM gram g, nn, sums sa, sums sb
 WHERE sa.i = g.i AND sb.i = g.j
@@ -1306,38 +1307,24 @@ def _gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sample covariance of every coordinate pair of the embedding
     corpus — the input to PCA whitening — computed in ONE pass as an
-    integer Gram matrix (see `_gram_rows`), then finished on the O(d²)
-    aggregate: cov(i,j) = (n·Gᵢⱼ − SᵢSⱼ) / (n(n−1)), kept exact in int64
-    and only divided at the very end, so both engines emit bit-identical
-    doubles. The oracle cross-checks via the naive unnest-self-join
-    formulation — same numbers, quadratically more movement."""
-    g65 = _gram_rows(spark, sf_dir).persist()
-    n = g65.filter((F.col("i") == _COV_D) & (F.col("j") == _COV_D)).select(
-        F.expr(f"gram6 DIV {_COV_SCALE}::LONG DIV {_COV_SCALE}::LONG").alias("n")
-    )
-    sums = g65.filter((F.col("j") == _COV_D) & (F.col("i") < _COV_D)).select(
-        "i", F.expr(f"gram6 DIV {_COV_SCALE}").alias("s6")
-    )
-    gram = g65.filter(F.col("j") < _COV_D)
-    sa = sums.select(F.col("i").alias("_ia"), F.col("s6").alias("sa"))
-    sb = sums.select(F.col("i").alias("_ib"), F.col("s6").alias("sb"))
-    return (
-        gram.join(F.broadcast(sa), gram.i == sa._ia)
-        .join(F.broadcast(sb), gram.j == sb._ib)
-        .crossJoin(F.broadcast(n))
-        .select(
-            "i",
-            "j",
-            "gram6",
-            (
-                (F.col("n") * F.col("gram6") - F.col("sa") * F.col("sb")).cast(
-                    "double"
-                )
-                / (F.col("n") * (F.col("n") - 1.0))
-                / F.lit(1e12)
-            ).alias("cov"),
-        )
-    )
+    integer Gram matrix (see `_gram_rows`). The reduce output is a FIXED
+    O(d²) = 2145 rows regardless of corpus size, so the finish
+    cov(i,j) = (n·Gᵢⱼ − SᵢSⱼ) / (n(n−1)) runs driver-side on collected
+    rows with arbitrary-precision Python ints: n·Gᵢⱼ − SᵢSⱼ overflows
+    int64 past ~6·10³ rows (n²·max(e6)² > 2⁶³), so the exact product is
+    formed in Python and only the final value is rounded to double —
+    matching the oracle's HUGEINT (int128) arithmetic bit-for-bit. One
+    corpus scan, no persist, no self-joins; the same shape at 100 TB
+    (the scan is distributed, the finish is d×d)."""
+    g65 = {(r["i"], r["j"]): r["gram6"] for r in _gram_rows(spark, sf_dir).collect()}
+    n = g65[(_COV_D, _COV_D)] // _COV_SCALE // _COV_SCALE
+    s6 = {i: g65[(i, _COV_D)] // _COV_SCALE for i in range(_COV_D)}
+    rows = [
+        (i, j, g, float(n * g - s6[i] * s6[j]) / (n * (n - 1.0)) / 1e12)
+        for (i, j), g in sorted(g65.items())
+        if j < _COV_D
+    ]
+    return spark.createDataFrame(rows, "i int, j int, gram6 long, cov double")
 
 
 @query("q_pca_top2_project")
@@ -1347,7 +1334,10 @@ def q_pca_top2_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigendecomposed with numpy, and the two leading eigenvectors are
     baked into the plan as LITERALS — the projection pass is then pure
     whole-stage-codegen column algebra over one corpus scan, the same
-    shape at 100 TB. Eigenvector sign is fixed (largest-|component|
+    shape at 100 TB. Scores are UNCENTERED: each pcₖ is offset by the
+    constant ⟨mean, vₖ⟩ relative to textbook PCA scores (component
+    directions, variance ordering, and pairwise distances are
+    unaffected). Eigenvector sign is fixed (largest-|component|
     positive) so output is deterministic; no SQL oracle — DuckDB has no
     eigensolver — the driver's rows-only gate plus test-asserted
     variance ordering cover it."""
@@ -1358,7 +1348,6 @@ def q_pca_top2_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in cov_rows:
         cov[r.i, r.j] = cov[r.j, r.i] = r.cov
     vals, vecs = np.linalg.eigh(cov)  # ascending
-    means = None  # projection on raw (uncentered) coords keeps the plan scan-only
     out_cols = []
     emb = load_table(spark, sf_dir, "embeddings")
     for rank, k in enumerate((-1, -2)):

@@ -358,7 +358,12 @@ def q_seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw table. µ-scaled integer sums keep the averages exact, and the
     final rounding is integer half-up division ((2a+b) DIV 2b) — Spark's
     round() on doubles rounds the shortest decimal repr while DuckDB
-    rounds the binary value, so tie-adjacent quotients would disagree."""
+    rounds the binary value, so tie-adjacent quotients would disagree.
+    Sign safety: Spark `DIV` and DuckDB integer `//` BOTH truncate toward
+    zero (pinned by tests/test_divsafety.py), so a negative v6 sum — legal
+    if the driver regenerates events with negative values — still agrees
+    bit-for-bit; the quotient is then half-away-from-zero rather than
+    half-up for negatives, identically in both engines."""
     events = load_table(spark, sf_dir, "events")
     v6 = F.round(F.col("value") * 1000000).cast("long")
     hod = events.groupBy(

@@ -38,28 +38,35 @@ def _modules():
         windows,
     )
 
+    # Order matters: the driver's correctness gate records the FIRST 50
+    # queries in registry iteration order. Rounds 1–2 gated the relational
+    # modules (48 green rows); round 3 rotates the never-gated surface to
+    # the front: cdc (10, incl. strict-replay + incremental-merge, the
+    # reference's actual semantics) + dedup (10) + similarity (15) +
+    # text (15) = exactly 50. Relational modules move to the back — their
+    # green rows are on record in CORRECTNESS_r01/r02.json.
     return [
-        relational,
-        relational2,
-        relational3,
         cdc,
-        windows,
         dedup,
         similarity,
         text,
+        curation,
+        corpus,
         multimodal,
+        graph,
+        audit,
+        timeseries,
+        behavior,
         approx,
         stats,
         asof,
         reshape,
         partsupp,
-        behavior,
-        timeseries,
-        curation,
         layout,
-        graph,
-        audit,
-        corpus,
+        windows,
+        relational3,
+        relational2,
+        relational,
     ]
 
 
