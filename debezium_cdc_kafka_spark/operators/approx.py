@@ -7,9 +7,13 @@ their exact cousins (q_distinct_agg, q_quantiles_per_segment): HLL++
 (`percentile_approx`) are single-pass, bounded-memory, and mergeable
 map-side, so the shuffle carries sketches instead of raw values.
 
-Sketch internals are engine-specific, so there is no DuckDB oracle —
-the driver records a rows-only check, and tests/test_approx.py bounds the
-error against the exact operators instead.
+Sketch internals are engine-specific, so the sketch VALUES cannot be
+hash-compared against DuckDB. Instead the sketched queries emit
+error-bound BOOLEANS (|sketch − exact| ≤ ε with ε from the sketch's
+published guarantee, widened conservatively): Spark computes the real
+comparison, the oracle emits the exact group keys/counts plus literal
+TRUE — so the driver's value-hash gates the bound itself, not nothing.
+tests/test_approx.py additionally bounds the raw estimates.
 """
 
 from __future__ import annotations
@@ -36,28 +40,94 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-@query("q_approx_distinct")
+_ACD_RSD = 0.02
+_ACD_TOL = 5 * _ACD_RSD  # ±10%: 5 standard errors of the rsd-2% HLL++
+
+ACD_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS parts_within_bound,
+       TRUE AS supps_within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q_approx_distinct", ACD_ORACLE)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct counts per returnflag (rsd 2%) — replaces the exact
     expand-and-count at scale; the sketch merges map-side so the shuffle
-    is O(groups × sketch), independent of row count."""
+    is O(groups × sketch), independent of row count. Output carries the
+    exact counts plus `*_within_bound` booleans asserting the sketch is
+    inside ±5·rsd of exact; the oracle emits the same exact counts with
+    literal TRUE, so the driver hash-gates the error bound (the sketch
+    value itself is engine-specific and cannot be cross-hashed)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", _ACD_RSD).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", _ACD_RSD).alias("approx_supps"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
+    def within(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= F.lit(_ACD_TOL) * F.col(exact)
+        )
 
-@query("q_approx_quantiles")
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        "n_rows",
+        within("approx_parts", "exact_parts").alias("parts_within_bound"),
+        within("approx_supps", "exact_supps").alias("supps_within_bound"),
+    )
+
+
+_Q_RANK_TOL = 0.02  # rank window ±2%: 200× the 1/accuracy=1e-4 guarantee
+
+QUANT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       TRUE AS median_within_bound,
+       TRUE AS p95_within_bound
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("q_approx_quantiles", QUANT_ORACLE)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketched quantiles of order totals per priority (accuracy 10000 ≈
-    0.01% rank error) — single pass, no per-group sort."""
+    0.01% rank error) — single pass, no per-group sort. The bound check
+    verifies each sketch value lies between the EXACT order statistics at
+    rank p ± 2% (a rank window, the guarantee `percentile_approx`
+    actually makes — not a value window): the returned element's rank is
+    within 1/accuracy of p, so sitting inside the much wider ±2% rank
+    envelope is deterministic. The oracle emits the group keys/counts and
+    literal TRUE; the driver hash-gates the rank bound."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    agg = orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
+        F.expr(
+            f"percentile(o_totalprice, array({0.5 - _Q_RANK_TOL},"
+            f" {0.5 + _Q_RANK_TOL}, {0.95 - _Q_RANK_TOL},"
+            f" {min(0.95 + _Q_RANK_TOL, 1.0)}))"
+        ).alias("ex"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("approx_median").between(F.col("ex")[0], F.col("ex")[1]).alias(
+            "median_within_bound"
+        ),
+        F.col("approx_p95").between(F.col("ex")[2], F.col("ex")[3]).alias(
+            "p95_within_bound"
+        ),
     )
 
 
@@ -168,7 +238,20 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "term").select("term", "exact_count", "cms_estimate")
 
 
-@query("q_hll_sketch_union")
+_HLL_LGK = 12
+_HLL_TOL = 0.10  # ±10%: ≈6 standard errors at lgK=12 (rsd = 1.04/2^6 ≈ 1.6%)
+
+HLL_UNION_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '_all_types', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+"""
+
+
+@query("q_hll_sketch_union", HLL_UNION_ORACLE)
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-user sketches via Apache DataSketches HLL
     (built into Spark as `hll_sketch_agg`/`hll_union_agg`): one sketch
@@ -177,27 +260,40 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB cardinality pattern: partial sketches are a few KB
     each, re-aggregable along any dimension hierarchy (type→all here),
     shippable across clusters, and storable next to the rollup.
-    Deterministic for a given input multiset (the sketch hash is fixed),
-    but engine-specific — DuckDB's approx_count_distinct uses a
-    different HLL, so no value oracle exists: the driver records the
-    rows-only check and tests/test_approx.py bounds the estimates
-    against exact counts instead."""
+    DuckDB has no DataSketches HLL, so the sketch value can't be
+    cross-hashed; instead each row carries the exact distinct count and a
+    `within_bound` boolean (estimate inside ±10% of exact — ≈6 standard
+    errors at lgK=12), with the oracle emitting literal TRUE: the driver
+    hash-gates the union's accuracy, including the merged _all_types
+    sketch against the global exact count."""
     events = load_table(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk"),
         F.countDistinct("user_id").alias("exact_distinct"),
     )
+    est = F.round(F.hll_sketch_estimate("sk")).cast("long")
     typed = per_type.select(
         "event_type",
-        F.round(F.hll_sketch_estimate("sk")).cast("long").alias("hll_estimate"),
         "exact_distinct",
+        est.alias("hll_estimate"),
     )
-    overall = per_type.agg(
-        F.hll_union_agg("sk").alias("sk"),
-        F.sum(F.lit(0)).alias("_z"),  # placeholder keeps agg non-empty on 0 rows
-    ).select(
-        F.lit("_all_types").alias("event_type"),
-        F.round(F.hll_sketch_estimate("sk")).cast("long").alias("hll_estimate"),
-        F.lit(None).cast("long").alias("exact_distinct"),
+    global_exact = events.select(
+        F.countDistinct("user_id").alias("exact_distinct")
     )
-    return typed.unionByName(overall)
+    overall = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("_all_types").alias("event_type"),
+            "exact_distinct",
+            est.alias("hll_estimate"),
+        )
+    )
+    return typed.unionByName(overall).select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            <= F.lit(_HLL_TOL) * F.col("exact_distinct")
+        ).alias("within_bound"),
+    )

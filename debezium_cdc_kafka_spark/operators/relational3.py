@@ -454,19 +454,14 @@ def _bloom_positions(key, seed: int):
     return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_BITS))
 
 
-@query("q_bloom_semi_join", BLOOM_ORACLE)
-def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue from line items of AUTOMOBILE high-balance customers'
-    orders — executed as an explicit runtime bloom filter: the filtered
+def _bloom_prefiltered_lineitem(spark: SparkSession, sf_dir: str):
+    """Shared build for the explicit runtime bloom filter: the filtered
     orders build a 64 Kbit / k=3 bloom bitmap (a distributed distinct of
     bit positions, collapsed to 1,024 longs on the driver — exactly the
     broadcast build Spark's own runtime row-level filtering does), the
     bitmap prefilters the fact table BEFORE its shuffle, and an exact
-    left-semi join removes the bloom's false positives. At 100 TB the
-    prefilter is what keeps the big-side shuffle proportional to the
-    match count rather than the table size; correctness never depends on
-    the bloom (it only passes supersets). Pruning effectiveness is
-    test-asserted in test_relational.py."""
+    left-semi join removes the bloom's false positives. Returns
+    (lineitem, bloom-prefiltered lineitem, exact semi-joined lineitem)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").filter(
         (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 5000)
@@ -500,6 +495,19 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("k"),
         "left_semi",
     )
+    return li, prefiltered, exact
+
+
+@query("q_bloom_semi_join", BLOOM_ORACLE)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from line items of AUTOMOBILE high-balance customers'
+    orders — executed via the explicit runtime bloom filter built in
+    `_bloom_prefiltered_lineitem`. At 100 TB the prefilter is what keeps
+    the big-side shuffle proportional to the match count rather than the
+    table size; correctness never depends on the bloom (it only passes
+    supersets). Pruning effectiveness is test-asserted in
+    test_bloom.py."""
+    _, _, exact = _bloom_prefiltered_lineitem(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return exact.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -510,38 +518,7 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """Measurement hook for tests: lineitem rows before the bloom, after
     the bloom, and after the exact semi-join."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").filter(
-        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 5000)
-    )
-    keys = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey")
-    )
-    pos_rows = keys.select(
-        F.explode(
-            F.array(*[_bloom_positions(F.col("o_orderkey"), s) for s in _BLOOM_SEEDS])
-        ).alias("pos")
-    ).distinct().collect()
-    words = [0] * (_BLOOM_BITS // 64)
-    for r in pos_rows:
-        words[r.pos >> 6] |= 1 << (r.pos & 63)
-    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
-    li = load_table(spark, sf_dir, "lineitem")
-    hit = None
-    for s in _BLOOM_SEEDS:
-        p = _bloom_positions(F.col("l_orderkey"), s)
-        word = F.element_at(bitmap, (p / F.lit(64)).cast("int") + 1)
-        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
-        test = word.bitwiseAND(bit) != 0
-        hit = test if hit is None else (hit & test)
-    pre = li.filter(hit)
-    exact = pre.join(
-        keys.withColumnRenamed("o_orderkey", "k"),
-        F.col("l_orderkey") == F.col("k"),
-        "left_semi",
-    )
+    li, pre, exact = _bloom_prefiltered_lineitem(spark, sf_dir)
     return {"total": li.count(), "bloomed": pre.count(), "exact": exact.count()}
 
 
