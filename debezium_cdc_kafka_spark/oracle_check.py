@@ -122,6 +122,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write the per-query result dicts to this path",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("oracle_check", cpus="8")
@@ -134,27 +139,43 @@ def main(argv: list[str] | None = None) -> int:
         names = [n for n in names if n in set(args.only.split(","))]
 
     failures = 0
+    results: dict[str, dict] = {}
     for name in names:
         if name not in oracles:
             try:
                 n = queries[name](spark, args.sf).count()
+                results[name] = {"name": name, "ok": True, "rows_only": True,
+                                 "spark_rows": n}
                 print(f"  ~ {name}: no oracle, rows={n}")
             except Exception as e:  # noqa: BLE001
                 failures += 1
+                results[name] = {"name": name, "ok": False, "rows_only": True,
+                                 "err": f"{type(e).__name__}: {e}"}
                 print(f"  ✗ {name}: ERROR {e}")
             continue
         try:
             r = compare_one(spark, con, args.sf, name, queries[name], oracles[name])
         except Exception as e:  # noqa: BLE001
             failures += 1
+            results[name] = {"name": name, "ok": False,
+                             "err": f"{type(e).__name__}: {e}"}
             print(f"  ✗ {name}: ERROR {type(e).__name__}: {e}")
             continue
+        finally:
+            # queries may persist() internally; keep runs independent
+            spark.catalog.clearCache()
+        results[name] = r
         if r["ok"]:
             print(f"  ✓ {name}: rows={r['spark_rows']}")
         else:
             failures += 1
             print(f"  ✗ {name}: {r}")
     print(f"{len(names) - failures}/{len(names)} ok at {args.sf}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(results, fh, indent=1, default=str)
     return 1 if failures else 0
 
 
