@@ -25,6 +25,14 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from .._proto_compat import ensure_protobuf
+
+# Import-time on purpose: Python workers unpickle RunningUserStatsProcessor
+# by reference, importing this module BEFORE pyspark's lazy
+# StateMessage_pb2 import — the one window where the protobuf shim can run
+# on the worker side. Idempotent, no-op when a real protobuf is installed.
+ensure_protobuf()
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import (

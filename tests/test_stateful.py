@@ -86,13 +86,17 @@ def test_tws_running_stats_matches_legacy_api_and_batch(spark, tmp_path):
     same final per-key state as the applyInPandasWithState operator and
     the batch aggregate — one dataset, three engines' worth of paths.
 
-    The TWS Python worker speaks protobuf to the JVM; environments
-    without a working ``google.protobuf`` (this container) can only
-    plan, not run, the operator — so the runtime check is gated exactly
-    like the multimodal codec stubs (module + plan are always real)."""
+    The TWS Python worker speaks protobuf to the JVM; this container has
+    no protobuf pip package, but _proto_compat locates the cloud-sdk's
+    vendored runtime (relaxing its over-strict gencode version check), so
+    the runtime path executes here. Only if NO runtime can be found does
+    the test skip."""
     import pytest
 
-    pytest.importorskip("google.protobuf.descriptor")
+    from debezium_cdc_kafka_spark._proto_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available in this environment")
     from debezium_cdc_kafka_spark.streaming.tws import running_user_stats_tws
 
     d = str(tmp_path / "tws_stream")
