@@ -85,6 +85,15 @@ class ParquetSnapshotTarget:
     def commit(self, df: DataFrame, version: int) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={version}"))
 
+    def merge_epoch(
+        self,
+        changes: DataFrame,
+        epoch_id: int,
+        after_cols: tuple[str, ...] = ("value", "ts"),
+    ) -> None:
+        """Duck-typed apply contract shared with lakehouse.DeltaMergeTarget."""
+        merge_batch(self, changes, epoch_id, after_cols)
+
     def compact(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest `keep_last` versions (old snapshots only
         serve epoch-retry reads, which never reach further back than the
@@ -123,6 +132,7 @@ def run_cdc_stream(
     after_cols: tuple[str, ...] = ("value", "ts"),
     state_schema: T.StructType = STATE_SCHEMA,
     dead_letter_path: str | None = None,
+    target=None,
 ):
     """Wire a raw Kafka-shaped stream into the snapshot target.
 
@@ -130,9 +140,13 @@ def run_cdc_stream(
     backfills); ``False`` runs continuously with a 1 s trigger, matching
     the reference's poll cadence (consumer.py:55). Envelope/state schemas
     parameterize the replicated domain (events-derived by default, the
-    workload generator's customers table in pipeline.py).
+    workload generator's customers table in pipeline.py). ``target`` may
+    be any object with the ``merge_epoch(changes, epoch_id, after_cols)``
+    contract (e.g. lakehouse.DeltaMergeTarget behind its feature flag);
+    default is the ParquetSnapshotTarget at ``target_path``.
     """
-    target = ParquetSnapshotTarget(target_path, schema=state_schema)
+    if target is None:
+        target = ParquetSnapshotTarget(target_path, schema=state_schema)
     decoded = decode_envelope(raw_stream, schema=envelope_schema)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -146,7 +160,7 @@ def run_cdc_stream(
                 .write.mode("append")
                 .parquet(dead_letter_path)
             )
-        merge_batch(target, batch_df, epoch_id, after_cols)
+        target.merge_epoch(batch_df, epoch_id, after_cols)
 
     writer = decoded.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_path
