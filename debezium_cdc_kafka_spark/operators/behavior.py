@@ -62,40 +62,65 @@ SELECT stage, stage_ord, users FROM (
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (signup → later click → later purchase):
     users surviving each stage. Each stage is min-timestamp-per-user of
-    qualifying events strictly after the previous stage's timestamp —
-    expressed as groupBy(user_id) chains, not window scans, so every
-    stage is a partial-aggregatable map-side combine and all joins are
-    user_id-co-partitioned."""
+    qualifying events strictly after the previous stage's timestamp.
+
+    Shape: all three stage timestamps are UNORDERED window aggregates
+    (min over the whole user partition — no frame, no sort) chained
+    through three projections that share ONE hash partitioning on
+    user_id; the per-user reduction and global stage counts then ride
+    the same partitioning. Two exchanges total — the data-proportional
+    user_id shuffle and the final single-row count — where the
+    join-chain formulation re-exchanged per stage (17 exchanges → 3,
+    PLANS.md). On a user_id-bucketed events table the big shuffle drops
+    out entirely. The round-trip through the union'd per-stage counts
+    keeps the driver output identical to the reference funnel."""
     events = load_table(spark, sf_dir, "events")
-    s = (
-        events.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
-    )
-    c = (
-        events.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    p = (
-        events.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-
-    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(name).alias("stage"), F.lit(ord_).alias("stage_ord"), "users"
+    w = W.partitionBy("user_id")
+    ev = (
+        events.filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
         )
-
-    return (
-        stage(s, "signup", 1)
-        .unionAll(stage(c, "click_after_signup", 2))
-        .unionAll(stage(p, "purchase_after_click", 3))
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.first("s_ts").alias("s_ts"),
+        F.first("c_ts").alias("c_ts"),
+        F.first("p_ts").alias("p_ts"),
+    )
+    counts = per_user.agg(
+        F.count("s_ts").alias("n_s"),
+        F.count("c_ts").alias("n_c"),
+        F.count("p_ts").alias("n_p"),
+    )
+    stages = F.array(
+        F.struct(F.lit("signup").alias("stage"), F.lit(1).alias("stage_ord"),
+                 F.col("n_s").alias("users")),
+        F.struct(F.lit("click_after_signup").alias("stage"), F.lit(2).alias("stage_ord"),
+                 F.col("n_c").alias("users")),
+        F.struct(F.lit("purchase_after_click").alias("stage"), F.lit(3).alias("stage_ord"),
+                 F.col("n_p").alias("users")),
+    )
+    return counts.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.stage_ord", "s.users"
     )
 
 

@@ -82,17 +82,18 @@ def test_partsupp_q11_total_is_broadcast_not_window(spark):
 
 
 def test_behavior_funnel_stages_reuse_user_partitioning(spark):
-    """All three funnel stages key on user_id; the plan must not contain
-    a sort-merge join (stages are co-partitioned aggregates + broadcasts
-    at this scale; on a bucketed table the shuffles collapse entirely)."""
+    """The funnel computes all three stage timestamps as unordered window
+    aggregates over ONE user_id hash partitioning — no joins at all, and
+    only the user_id shuffle plus the final single-row count exchange
+    (on a user_id-bucketed table even the former collapses)."""
     from debezium_cdc_kafka_spark.operators import behavior
 
     facts = plan_facts(behavior.q_funnel_3step(spark, SF_SMOKE))
     assert facts.sort_merge_joins == 0, facts
-    assert facts.broadcast_joins >= 2, facts
-    # 3 stage-scans × (parallelize-split + partial/final agg) + stage joins;
-    # a regression that adds a global sort or re-shuffle would push this up
-    assert facts.exchanges <= 16, facts
+    assert facts.broadcast_joins == 0, facts
+    # one data shuffle (user_id) + one single-row count exchange; a
+    # regression back to per-stage re-shuffling would push this up
+    assert facts.exchanges <= 3, facts
 
 
 def test_bm25_small_sides_broadcast(spark):
