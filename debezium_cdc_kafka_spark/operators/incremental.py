@@ -1,0 +1,130 @@
+"""Incremental index maintenance: CDC × dedup fusion.
+
+The reference transports change events into a mutable table (consumer
+loop, reference app/consumer/consumer.py:55–75); this engine's north-star
+widening asks what a TRAINING-DATA pipeline does with those changes. The
+expensive derived artifacts — the MinHash/LSH near-dup index above all —
+must be maintained in O(|Δ|), not recomputed over the corpus: at 100 TB a
+full LSH rebuild is hours, while a day's re-crawl delta is a few GB.
+
+`dedup_incremental_minhash` is that maintenance step: given the stored
+LSH band index over the whole corpus (here recomputed; in production a
+bucketed table keyed on (band_idx, band_val), exactly the layout
+test_bucketing_observability.py proves shuffle-free) and a changed-doc
+set (a deterministic stand-in for one CDC batch of upserted documents),
+it emits every near-dup pair TOUCHED by the delta — the rows an
+incremental materialized dup-pair view would upsert. Cost: banding the
+delta (per-row, no shuffle) + an equi-join probing only the delta's band
+buckets + exact-Jaccard verification of only those collisions —
+proportional to the delta and its collision count, independent of corpus
+size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _SHINGLES_CTE,
+    _SIG_SQL,
+    _band_sql_exprs,
+    _minhash_signatures,
+    N_BANDS,
+    ROWS_PER_BAND,
+    doc_shingle_arrays,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# the simulated CDC batch: ~6% of documents "re-crawled/updated"
+_DELTA_MOD = 17
+_DELTA_REM = 3
+
+INCR_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_SQL} FROM sh GROUP BY doc_id),
+bands AS ({" UNION ALL ".join("(" + s + ")" for s in _band_sql_exprs())}),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                  greatest(a.doc_id, b.doc_id) AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {_DELTA_MOD} = {_DELTA_REM}
+     OR b.doc_id % {_DELTA_MOD} = {_DELTA_REM}
+),
+verified AS (
+  SELECT c.d1, c.d2, count(*) AS common
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  GROUP BY c.d1, c.d2
+)
+SELECT v.d1, v.d2, round(v.common * 1.0 / (c1.n + c2.n - v.common), 3) AS jaccard
+FROM verified v JOIN cnt c1 ON c1.doc_id = v.d1 JOIN cnt c2 ON c2.doc_id = v.d2
+WHERE v.common * 1.0 / (c1.n + c2.n - v.common) >= 0.5
+"""
+
+
+@query("dedup_incremental_minhash", INCR_MINHASH_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs touched by a CDC delta of changed documents — the
+    O(|Δ|) maintenance step of the LSH dup-pair view (module docstring).
+
+    Plan shape: the delta's band rows probe the full band index with one
+    equi-join on (band_idx, band_val); only colliding pairs reach the
+    exact-Jaccard verifier. The full-corpus side is scan + per-row
+    signature (no shuffle; in production an already-bucketed stored
+    index), so everything data-proportional keys on the delta. The
+    oracle states the same semantics declaratively: all LSH pairs with
+    either end in the changed set."""
+    sharr = doc_shingle_arrays(spark, sf_dir).persist()
+    sig = _minhash_signatures(sharr)
+    band_cols = [
+        F.concat_ws(
+            "_",
+            *[F.col(f"m{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_val")
+    )
+    delta = bands.filter(F.col("doc_id") % _DELTA_MOD == _DELTA_REM)
+    probe = (
+        delta.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("d1"),
+            F.greatest("a.doc_id", "b.doc_id").alias("d2"),
+        )
+        .distinct()
+    )
+    arr1 = sharr.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
+    arr2 = sharr.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
+    paired = probe.join(arr1, "d1").join(arr2, "d2")
+    common = F.size(F.array_intersect("shs1", "shs2"))
+    jac = common / (F.size("shs1") + F.size("shs2") - common)
+    return paired.filter(jac >= 0.5).select(
+        "d1", "d2", F.round(jac, 3).alias("jaccard")
+    )

@@ -24,6 +24,7 @@ def _modules():
         curation,
         dedup,
         graph,
+        incremental,
         layout,
         multimodal,
         partsupp,
@@ -64,6 +65,8 @@ def _modules():
         partsupp,
         layout,
         windows,
+        incremental,  # past the 50-slot window on purpose: keeps text's
+        # never-gated queries in it; covered by ORACLE_FULL_r3.json + pytest
         relational3,
         relational2,
         relational,

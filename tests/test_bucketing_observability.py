@@ -45,6 +45,35 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckets.ord_b")
 
 
+def test_bucketed_events_make_user_windows_shuffle_free(spark, tmp_path):
+    """The behavioral family (funnel, sessions, cohorts) keys everything
+    on user_id; its docstrings claim that on a user_id-bucketed events
+    table the big shuffle drops out. Proof: per-user unordered window
+    aggregates over the bucketed table plan with ZERO data exchanges —
+    the bucket layout (written once) satisfies the window's required
+    hashpartitioning(user_id) forever after."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckets2 LOCATION '{tmp_path}/wh'")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        load_table(spark, SF_SMOKE, "events").write.bucketBy(8, "user_id").mode(
+            "overwrite"
+        ).saveAsTable("buckets2.ev_b")
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id")
+        per_user = (
+            spark.table("buckets2.ev_b")
+            .withColumn("s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
+            .groupBy("user_id")
+            .agg(F.first("s_ts").alias("s_ts"))
+        )
+        facts = plan_facts(per_user)
+        assert facts.exchanges == 0, facts
+        assert per_user.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buckets2.ev_b")
+
+
 def test_metrics_listener_counts_rows(spark, tmp_path):
     from debezium_cdc_kafka_spark.streaming.observability import MetricsCollector
 
