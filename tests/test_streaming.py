@@ -105,6 +105,38 @@ def test_streaming_dedup_matches_batch_keys(spark, event_stream_dir):
     assert got == expected
 
 
+def test_streaming_dedup_within_watermark_matches_batch_keys(spark, event_stream_dir):
+    """`dropDuplicatesWithinWatermark` is the BOUNDED-STATE dedup: per-key
+    state expires once the watermark passes it, which is the only form
+    that survives an unbounded stream. With a watermark wider than the
+    data span it must agree with the unbounded dropDuplicates / batch
+    q_stream_dedup_first key set."""
+    dedup = (
+        _stream(spark, event_stream_dir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT * FROM dedup_wm_out").collect()
+    }
+    expected = {
+        (r.user_id, r.event_type)
+        for r in wops.q_stream_dedup_first(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
 def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode aggregation with a watermark must drop a row that arrives
     after its window's watermark expired — the semantics q_late_events_10m
