@@ -56,3 +56,40 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         nested_loop_joins=_nodes(plan, "BroadcastNestedLoopJoin"),
         exchanges=_nodes(plan, "Exchange"),
     )
+
+
+def _stage_totals(spark) -> dict[str, int]:
+    """Cumulative completed-stage metrics from the Spark UI REST API
+    (requires a session built with ``get_spark(..., ui=True)``)."""
+    import json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        raise RuntimeError("Spark UI disabled; build the session with ui=True")
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete") as r:
+        stages = json.load(r)
+    out = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
+           "spill_bytes": 0, "input_bytes": 0}
+    for s in stages:
+        out["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+        out["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+        out["spill_bytes"] += s.get("diskBytesSpilled", 0) + s.get("memoryBytesSpilled", 0)
+        out["input_bytes"] += s.get("inputBytes", 0)
+    return out
+
+
+def runtime_metrics(df: DataFrame) -> dict[str, int]:
+    """Execute the frame and return the ACTUAL data movement it caused:
+    bytes shuffled (write/read), spilled, and scanned — the measured
+    counterpart of the static exchange count. Serial use only (diffs
+    app-cumulative totals around the action)."""
+    import time
+
+    spark = df.sparkSession
+    before = _stage_totals(spark)
+    df.count()
+    time.sleep(0.3)  # stage completion events land asynchronously
+    after = _stage_totals(spark)
+    return {k: after[k] - before[k] for k in after}

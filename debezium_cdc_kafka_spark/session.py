@@ -14,7 +14,11 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "debezium_cdc_kafka_spark", cpus: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "debezium_cdc_kafka_spark",
+    cpus: str | None = None,
+    ui: bool = False,
+) -> SparkSession:
     """Build (or fetch) the session.
 
     Notes for cluster scale:
@@ -38,7 +42,9 @@ def get_spark(app_name: str = "debezium_cdc_kafka_spark", cpus: str | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench noise); tools that read runtime
+        # stage metrics (tools/gen_plans_report.py) opt in via ui=True
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
