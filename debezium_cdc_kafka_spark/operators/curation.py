@@ -755,3 +755,78 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("dsir_score"),
         F.row_number().over(w).cast("int").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-grouped batching (padding-minimizing batch assignment).
+# ---------------------------------------------------------------------------
+
+_LGB_BUCKET = 32  # token-length bucket width
+_LGB_BATCH = 8    # docs per batch
+
+LGB_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens FROM documents
+),
+b AS (
+  SELECT doc_id, tokens, tokens // {_LGB_BUCKET} AS bucket,
+         CAST(row_number() OVER (PARTITION BY tokens // {_LGB_BUCKET}
+                                 ORDER BY doc_id) - 1 AS BIGINT) AS rn
+  FROM t
+),
+batches AS (
+  SELECT bucket, rn // {_LGB_BATCH} AS batch_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(tokens) AS BIGINT) AS max_len,
+         CAST(sum(tokens) AS BIGINT) AS sum_len
+  FROM b GROUP BY 1, 2
+)
+SELECT bucket, batch_id, n_docs, max_len,
+       CAST(max_len * n_docs - sum_len AS BIGINT) AS pad_waste
+FROM batches
+"""
+
+
+@query("q_length_grouped_batches", LGB_ORACLE)
+def q_length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assignment for training dataloaders: docs are
+    bucketed by token length (width {_LGB_BUCKET}), numbered
+    deterministically within their bucket, and cut into batches of
+    {_LGB_BATCH}; each batch reports its padding waste
+    (max_len·n_docs − Σlen — the tokens a per-batch-padded collator
+    burns). Grouping by length first is what keeps that waste ≤
+    bucket_width·(batch−1) instead of max_corpus_len·(batch−1) under
+    random batching.
+
+    Scale: one shuffle on the length bucket; the within-bucket
+    row_number is a per-bucket window (buckets are numerous and
+    length-distribution-bounded — no whole-corpus window). The
+    deterministic doc_id order makes shard re-generation reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("tokens")
+    )
+    b = t.select(
+        "doc_id",
+        "tokens",
+        F.expr(f"tokens DIV {_LGB_BUCKET}").alias("bucket"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("bucket").orderBy("doc_id")).cast("long")
+        - 1,
+    )
+    return (
+        b.groupBy("bucket", F.expr(f"rn DIV {_LGB_BATCH}").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("tokens").alias("max_len"),
+            F.sum("tokens").alias("sum_len"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_len",
+            (F.col("max_len") * F.col("n_docs") - F.col("sum_len")).alias("pad_waste"),
+        )
+    )

@@ -110,15 +110,71 @@ class DeltaMergeTarget:
         return state_view(self.read(spark))
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg SQL extensions are live in this session."""
+    return "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions" in (
+        spark.conf.get("spark.sql.extensions", "") or ""
+    )
+
+
+class IcebergMergeTarget:
+    """Same offset-guarded merge contract on an Iceberg catalog TABLE
+    (Iceberg's Spark integration is SQL-first, so the target is a table
+    identifier, not a path). The MERGE statement is textually the clause
+    set the simulator in tests/test_lakehouse.py pins — only the engine
+    executing it differs from DeltaMergeTarget."""
+
+    def __init__(self, spark: SparkSession, table: str,
+                 after_cols: tuple[str, ...] = AFTER_COLS):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "IcebergMergeTarget needs the iceberg-spark-runtime jar and "
+                "spark.sql.extensions=…IcebergSparkSessionExtensions; unset "
+                f"{CDC_TARGET_ENV} (or set it to 'parquet') to use "
+                "ParquetSnapshotTarget instead"
+            )
+        self.spark = spark
+        self.table = table
+        self.after_cols = after_cols
+
+    def merge_epoch(
+        self,
+        changes: DataFrame,
+        epoch_id: int,
+        after_cols: tuple[str, ...] | None = None,
+    ) -> None:
+        upserts = materialize(changes, after_cols or self.after_cols)
+        if not self.spark.catalog.tableExists(self.table):
+            upserts.writeTo(self.table).using("iceberg").create()
+            return
+        view = f"_cdc_upserts_{epoch_id}"
+        upserts.createOrReplaceTempView(view)
+        self.spark.sql(
+            f"MERGE INTO {self.table} t USING {view} s ON {MERGE_ON} "
+            f"WHEN MATCHED AND {MERGE_MATCHED_GUARD} THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        self.spark.catalog.dropTempView(view)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.table)
+
+    def read_view(self, spark: SparkSession) -> DataFrame:
+        return state_view(self.read(spark))
+
+
 def make_cdc_target(spark: SparkSession, path: str, fmt: str | None = None,
                     after_cols: tuple[str, ...] = AFTER_COLS, **kwargs):
-    """Build the CDC apply target: 'parquet' (default) or 'delta' (feature
-    flag — explicit ``fmt`` or $SPARK_GRAFT_CDC_TARGET)."""
+    """Build the CDC apply target: 'parquet' (default), 'delta', or
+    'iceberg' (feature flag — explicit ``fmt`` or $SPARK_GRAFT_CDC_TARGET;
+    for iceberg, ``path`` is a catalog table identifier)."""
     from .cdc_stream import ParquetSnapshotTarget
 
     fmt = (fmt or os.environ.get(CDC_TARGET_ENV) or "parquet").lower()
     if fmt == "delta":
         return DeltaMergeTarget(spark, path, after_cols)
+    if fmt == "iceberg":
+        return IcebergMergeTarget(spark, path, after_cols)
     if fmt == "parquet":
         return ParquetSnapshotTarget(path, **kwargs)
-    raise ValueError(f"unknown CDC target format {fmt!r} (parquet|delta)")
+    raise ValueError(f"unknown CDC target format {fmt!r} (parquet|delta|iceberg)")

@@ -114,6 +114,11 @@ def test_factory_flag(spark, tmp_path, monkeypatch):
     if not delta_available(spark):
         with pytest.raises(RuntimeError, match="delta-spark"):
             make_cdc_target(spark, str(tmp_path / "d"), fmt="delta")
+    from debezium_cdc_kafka_spark.streaming.lakehouse import iceberg_available
+
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            make_cdc_target(spark, "cat.db.tbl", fmt="iceberg")
 
 
 # Runtime MERGE INTO wiring: defined only where delta-spark exists (not in
