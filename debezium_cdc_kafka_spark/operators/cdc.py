@@ -314,14 +314,16 @@ def cdc_strict_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("cdc_incremental_merge", CDC_FINAL_ORACLE)
 def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental apply ≡ one-shot replay: split the stream at a time
-    boundary, MERGE batch 1 into an empty target, then MERGE batch 2 —
-    the result must equal the single-pass final state (same oracle).
-    This is exactly what `foreachBatch` does per micro-batch."""
+    """Incremental apply ≡ one-shot replay: split the stream into two
+    INTERLEAVED batches (offset parity — a strictly harder split than
+    `foreachBatch`'s time-ordered micro-batches, and one that stays a
+    genuine two-way split however the driver regenerates the data),
+    MERGE batch 1 into an empty target, then MERGE batch 2 — the result
+    must equal the single-pass final state (same oracle), because the
+    apply is a commutative idempotent monoid."""
     raw = derive_change_events(spark, sf_dir)
-    split = F.lit("2024-01-16").cast("timestamp")
-    batch1 = decode_envelope(raw.filter(F.col("timestamp") < split))
-    batch2 = decode_envelope(raw.filter(F.col("timestamp") >= split))
+    batch1 = decode_envelope(raw.filter(F.col("offset") % 2 == 0))
+    batch2 = decode_envelope(raw.filter(F.col("offset") % 2 == 1))
     target1 = apply_changes(empty_state(spark), batch1)
     target2 = apply_changes(target1, batch2)
     return state_view(target2).select("id", F.round("value", 2).alias("value"), "ts")
