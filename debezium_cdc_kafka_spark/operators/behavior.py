@@ -254,12 +254,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets.
 
     Scale: the per-customer rollup is one partial-combinable groupBy. The
-    ntile windows are global (one partition) over the ALREADY-AGGREGATED
-    per-customer rows — fine into the millions; past that, replace ntile
-    with precomputed quintile boundaries (one approx_percentile pass,
-    broadcast, bucket by comparison) and the plan loses its last global
-    window."""
-    from pyspark.sql.window import Window as W
+    three quintile scores use the exact two-pass ntile
+    (functions/distributed.py: range-repartition per ordering +
+    per-partition rank + bounded offset pass) — NO single-partition
+    WindowExec anywhere, so the plan scales with customer count. An
+    approximate alternative (precomputed quantile boundaries, broadcast,
+    bucket by comparison) trades exactness for one fewer pass."""
+    from ..functions.distributed import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("mx"))
@@ -278,14 +279,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cents") / 100.0, 2).alias("monetary"),
         )
     )
-    return base.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).cast("int").alias("r_score"),
-        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).cast("int").alias("f_score"),
-        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).cast("int").alias("m_score"),
+    scored = global_ntile(
+        base, [F.col("recency_days"), F.col("o_custkey")], 5, out="r_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("frequency").desc(), F.col("o_custkey")], 5, out="f_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("monetary").desc(), F.col("o_custkey")], 5, out="m_score"
+    )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -544,9 +549,9 @@ def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sweep's global ordered running sum is the only
     non-keyed step; its input is one row per distinct boundary timestamp
     (two per session before netting), orders of magnitude smaller than
-    events. At 100 TB the same sum is a two-pass range-partitioned
-    prefix sum (per-partition totals broadcast back), the
-    [[q_sequence_packing]] pattern — nothing collects to the driver."""
+    events — and it runs as the exact two-pass range-partitioned prefix
+    sum (functions/distributed.py), not a single-partition window, so
+    even a pathological boundary count scales."""
     ev = load_table(spark, sf_dir, "events")
     w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_ord))
@@ -565,8 +570,11 @@ def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
     )
     net = pts.groupBy("ts").agg(F.sum("delta").alias("net"))
-    w_sweep = W.orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
-    run = net.select("ts", F.sum("net").over(w_sweep).alias("conc"))
+    from ..functions.distributed import global_prefix_sum
+
+    run = global_prefix_sum(net, [F.col("ts")], F.col("net"), out="conc").select(
+        "ts", "conc"
+    )
     return run.groupBy(F.to_date("ts").alias("day")).agg(
         F.max("conc").alias("max_concurrent")
     )

@@ -350,26 +350,26 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence it lands in, and how many sequences it spans — exactly the
     index a packed-dataset loader needs.
 
-    The demo plan uses one global cumulative-sum window (fine to
-    millions of docs). At 100 TB packing is a textbook two-pass
-    distributed prefix sum: per-partition token totals (one tiny row per
-    partition) → exclusive prefix over those on the driver → broadcast
-    back as per-partition base offsets + the same local cumsum per
-    partition. Same outputs, no global window; the md5 sort key doubles
-    as the partitioner so the order is stable under repartitioning."""
+    The token-offset assignment runs as the textbook two-pass
+    distributed prefix sum (functions/distributed.py): per-partition
+    token totals (one tiny row per partition) → exclusive prefix over
+    those → per-partition base offsets + the same local cumsum per
+    partition. Same outputs as a global window, no single-partition
+    WindowExec; the md5 sort key doubles as the range partitioner so the
+    order is stable under repartitioning."""
+    from ..functions.distributed import global_prefix_sum
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("tokens")
     )
-    w = (
-        W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = t.select(
-        "doc_id",
-        "tokens",
-        (F.sum("tokens").over(w) - F.col("tokens")).alias("start_off"),
-    )
+    packed = global_prefix_sum(
+        t,
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        F.col("tokens"),
+        out="start_off",
+        inclusive=False,
+    ).select("doc_id", "tokens", "start_off")
     last_tok = F.col("start_off") + F.col("tokens") - 1
     return packed.select(
         "doc_id",
@@ -748,12 +748,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("lr6")).alias("s6"), F.sum("c").alias("n"))
     )
     score = F.col("s6") / (1000000.0 * F.col("n"))
-    w = W.orderBy(score.desc(), "doc_id")
-    return agg.select(
+    from ..functions.distributed import global_row_number
+
+    scored = agg.select(
         "doc_id",
         F.col("n").cast("int").alias("n_tok"),
-        F.round(score, 6).alias("dsir_score"),
-        F.row_number().over(w).cast("int").alias("rk"),
+        score.alias("_score"),  # UNROUNDED: ranking must see full precision
+    )
+    # exact global rank without a single-partition WindowExec — the
+    # two-pass range-partitioned row_number (functions/distributed.py)
+    return global_row_number(
+        scored, [F.col("_score").desc(), F.col("doc_id")], out="rk"
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.round("_score", 6).alias("dsir_score"),
+        F.col("rk").cast("int").alias("rk"),
     )
 
 

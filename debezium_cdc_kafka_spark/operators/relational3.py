@@ -409,13 +409,16 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties on (price, size) are mutually non-dominating and all kept, which
     the per-price pre-aggregate preserves by joining back to the base
     rows. The running max runs over the *distinct-price* table (already
-    tiny); at 100 TB the same two-pass trick as sequence packing applies:
-    range-partition by price, per-partition max, prefix over partition
-    maxima."""
+    tiny) as the exact two-pass range-partitioned prefix max
+    (functions/distributed.py) — no single-partition WindowExec even if
+    the price domain explodes."""
+    from ..functions.distributed import global_prefix_max
+
     part = load_table(spark, sf_dir, "part")
     by_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
-    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
-    pm = by_price.withColumn("prev_max", F.max("gmax").over(w))
+    pm = global_prefix_max(
+        by_price, [F.col("p_retailprice")], F.col("gmax"), out="prev_max"
+    )
     return (
         part.join(F.broadcast(pm), "p_retailprice")
         .filter(

@@ -600,13 +600,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", c6.alias("c6"))
     )
     scored = contrib.groupBy("doc_id").agg(F.sum("c6").alias("s6"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # k-heaps) instead of ranking every scored doc through one global
+    # window; the row_number then ranks only the k survivors
+    top = scored.orderBy(F.col("s6").desc(), "doc_id").limit(_BM25_TOPK)
     w = W.orderBy(F.col("s6").desc(), "doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= _BM25_TOPK)
-        .select(
-            "doc_id", F.round(F.col("s6") / 1000000.0, 6).alias("bm25"), "rk"
-        )
+    return top.select(
+        "doc_id",
+        F.round(F.col("s6") / 1000000.0, 6).alias("bm25"),
+        F.row_number().over(w).cast("int").alias("rk"),
     )
 
 
@@ -730,9 +732,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream on term — a broadcast join for any real vocabulary (Zipf:
     vocab grows ~ sqrt(corpus)), so the corpus itself never shuffles.
     The only corpus-keyed shuffle is the per-doc sum, keyed by doc_id.
-    The final ntile is a global sort over one row per doc; at 100 TB
-    that column is ~1e9 rows — rangepartition-sortable — or the decile
-    becomes an approx-quantile threshold lookup instead."""
+    The decile runs as the exact two-pass ntile over (score, doc_id)
+    (functions/distributed.py) — one row per doc, range-partitioned, no
+    single-partition WindowExec even at ~1e9 docs; an approx-quantile
+    threshold lookup remains the one-pass alternative."""
+    from ..functions.distributed import global_ntile
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -749,12 +754,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"), F.sum("lp6").alias("s6")
     )
     ratio = F.col("s6").cast("double") / F.col("n_tokens")
-    w = W.orderBy(ratio.desc(), "doc_id")
-    return per_doc.select(
+    tiled = global_ntile(
+        per_doc.withColumn("_r", ratio),
+        [F.col("_r").desc(), F.col("doc_id")],
+        10,
+        out="quality_decile",
+    )
+    return tiled.select(
         "doc_id",
         "n_tokens",
-        F.round(ratio / 1000000.0, 6).alias("avg_logprob"),
-        F.ntile(10).over(w).cast("int").alias("quality_decile"),
+        F.round(F.col("_r") / 1000000.0, 6).alias("avg_logprob"),
+        "quality_decile",
     )
 
 
@@ -863,12 +873,19 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp6").alias("s6")
     )
     ratio = F.col("s6").cast("double") / F.col("n_bigrams")
-    w = W.orderBy(ratio.desc(), "doc_id")
-    return per_doc.select(
+    from ..functions.distributed import global_ntile
+
+    tiled = global_ntile(
+        per_doc.withColumn("_r", ratio),
+        [F.col("_r").desc(), F.col("doc_id")],
+        10,
+        out="quality_decile",
+    )
+    return tiled.select(
         "doc_id",
         "n_bigrams",
-        F.round(ratio / 1000000.0, 6).alias("avg_logprob"),
-        F.ntile(10).over(w).cast("int").alias("quality_decile"),
+        F.round(F.col("_r") / 1000000.0, 6).alias("avg_logprob"),
+        "quality_decile",
     )
 
 

@@ -213,15 +213,20 @@ def q_late_events_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the max event-time seen so far — exactly the rows a streaming
     `withWatermark('ts', '10 minutes')` aggregation would drop.
 
-    Scale note: the running max over a single global ordering is inherently
-    serial — in production this audit runs per partition/day, or the
-    streaming engine tracks the watermark for free."""
+    Scale note: the running max over the global arrival order runs as the
+    exact two-pass range-partitioned prefix max (functions/distributed.py)
+    — per-partition maxima, exclusive prefix over them, local window —
+    not a single-partition WindowExec; in production the streaming engine
+    tracks the watermark for free."""
+    from ..functions.distributed import global_prefix_max
+
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        W.orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
+    marked = global_prefix_max(
+        ev,
+        [F.md5(F.col("event_id").cast("string")), F.col("event_id")],
+        F.col("ts"),
+        out="max_seen",
     )
-    marked = ev.withColumn("max_seen", F.max("ts").over(w))
     return (
         marked.filter(
             F.col("max_seen").isNotNull()
