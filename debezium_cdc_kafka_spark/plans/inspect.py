@@ -80,16 +80,25 @@ def _stage_totals(spark) -> dict[str, int]:
     return out
 
 
-def runtime_metrics(df: DataFrame) -> dict[str, int]:
-    """Execute the frame and return the ACTUAL data movement it caused:
-    bytes shuffled (write/read), spilled, and scanned — the measured
-    counterpart of the static exchange count. Serial use only (diffs
-    app-cumulative totals around the action)."""
+def runtime_metrics(df_or_build, spark=None) -> dict[str, int]:
+    """Execute the frame (or build+execute, when given a zero-arg builder)
+    and return the ACTUAL data movement caused: bytes shuffled (write),
+    spilled, and scanned — the measured counterpart of the static
+    exchange count. Pass a builder for queries that run bounded jobs at
+    CONSTRUCTION time (two-pass offset passes, bloom builds, Gram
+    collects) so those count too. Serial use only (diffs app-cumulative
+    totals around the work)."""
     import time
 
-    spark = df.sparkSession
-    before = _stage_totals(spark)
+    if callable(df_or_build):
+        probe_spark = spark
+        before = _stage_totals(probe_spark)
+        df = df_or_build()
+    else:
+        df = df_or_build
+        probe_spark = df.sparkSession
+        before = _stage_totals(probe_spark)
     df.count()
     time.sleep(0.3)  # stage completion events land asynchronously
-    after = _stage_totals(spark)
+    after = _stage_totals(probe_spark)
     return {k: after[k] - before[k] for k in after}
