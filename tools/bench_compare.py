@@ -22,7 +22,9 @@ import sys
 
 def _load(path: str) -> dict:
     with open(path) as f:
-        return json.load(f)
+        d = json.load(f)
+    # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
+    return d["parsed"] if "parsed" in d else d
 
 
 def _latest_recorded() -> tuple[str, dict] | None:
