@@ -1378,3 +1378,40 @@ def q_pca_top2_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_cols.append(F.round(proj, 4).alias(f"pc{rank + 1}"))
     return emb.select("vec_id", "label", *out_cols)
+
+
+PCA_INV_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       TRUE AS variance_ordered,
+       TRUE AS scores_uncorrelated
+FROM embeddings
+"""
+
+
+@query("q_pca_invariants", PCA_INV_ORACLE)
+def q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated companion to the rows-only [[q_pca_top2_project]]: the
+    projection itself can't be cross-hashed (DuckDB has no eigensolver),
+    but PCA's defining invariants CAN be gated as booleans, the same
+    trick as the approx-sketch bounds. For exact principal components,
+    (a) sample variance of pc1 ≥ pc2 (eigenvalue ordering) and (b) the
+    score columns are uncorrelated (v₁ᵀCv₂ = 0). Both are computed on
+    the emitted (4-dp-rounded) scores with tolerances far above rounding
+    noise yet far below any real eigensolver bug; the oracle emits the
+    vector count plus literal TRUE, so the driver's value-hash fails if
+    either invariant ever breaks."""
+    scores = q_pca_top2_project(spark, sf_dir)
+    agg = scores.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.var_samp("pc1").alias("v1"),
+        F.var_samp("pc2").alias("v2"),
+        F.covar_samp("pc1", "pc2").alias("c12"),
+    )
+    return agg.select(
+        "n_vectors",
+        (F.col("v1") >= F.col("v2") - F.lit(1e-9)).alias("variance_ordered"),
+        (
+            F.abs(F.col("c12"))
+            <= F.lit(1e-3) * F.sqrt(F.col("v1") * F.col("v2")) + F.lit(1e-6)
+        ).alias("scores_uncorrelated"),
+    )
