@@ -840,3 +840,71 @@ def q_length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_len") * F.col("n_docs") - F.col("sum_len")).alias("pad_waste"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (multilingual/multi-domain upsampling).
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7  # the mT5/XLM-R default
+
+TEMP_MIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(est_tokens) AS total FROM per_source),
+powed AS (
+  SELECT source, est_tokens,
+         round(pow(est_tokens * 1.0 / (SELECT total FROM tot), {_TEMP_ALPHA}), 9)
+           AS p_alpha
+  FROM per_source
+), z AS (SELECT sum(p_alpha) AS z FROM powed)
+SELECT source, est_tokens,
+       round(est_tokens * 1.0 / (SELECT total FROM tot), 6) AS raw_share,
+       round(p_alpha / (SELECT z FROM z), 6) AS temp_share,
+       round((p_alpha / (SELECT z FROM z))
+             / (est_tokens * 1.0 / (SELECT total FROM tot)), 4) AS upsample_factor
+FROM powed
+"""
+
+
+@query("q_temperature_mix", TEMP_MIX_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (p_i ∝ share_i^α, α={_TEMP_ALPHA}
+    — the mT5/XLM-R upsampling rule): flattens the source distribution so
+    low-resource domains are seen more than their raw token share while
+    head domains still dominate. Emits each source's raw share, its
+    temperature share, and the implied up/down-sampling factor the
+    sampler applies. The α-power lands on an intermediate rounded to 9
+    decimals BEFORE normalization so both engines' libm pow() noise
+    (≈1 ulp) cannot reach the 6-dp outputs. Same scale shape as
+    [[q_token_budget_mix]]: one partial-combinable corpus aggregate,
+    then |sources|-row math."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens")
+    )
+    tot = per_source.agg(F.sum("est_tokens").alias("total"))
+    powed = (
+        per_source.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p_alpha",
+            F.round(
+                F.pow(F.col("est_tokens") / F.col("total"), F.lit(_TEMP_ALPHA)), 9
+            ),
+        )
+    )
+    z = powed.agg(F.sum("p_alpha").alias("z"))
+    raw = F.col("est_tokens") / F.col("total")
+    temp = F.col("p_alpha") / F.col("z")
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "est_tokens",
+            F.round(raw, 6).alias("raw_share"),
+            F.round(temp, 6).alias("temp_share"),
+            F.round(temp / raw, 4).alias("upsample_factor"),
+        )
+    )
