@@ -51,6 +51,14 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Registered here (a past-the-window module) rather than in similarity.py
+# so the hash-gated PCA companion doesn't push a never-gated text query
+# out of the driver's 50-slot correctness window.
+from .similarity import PCA_INV_ORACLE, q_pca_invariants  # noqa: E402
+
+query("q_pca_invariants", PCA_INV_ORACLE)(q_pca_invariants)
+
+
 # the simulated CDC batch: ~6% of documents "re-crawled/updated"
 _DELTA_MOD = 17
 _DELTA_REM = 3

@@ -1388,7 +1388,9 @@ FROM embeddings
 """
 
 
-@query("q_pca_invariants", PCA_INV_ORACLE)
+# NOTE: registered in operators/incremental.py (the past-the-window
+# module) so it doesn't displace a never-gated text query from the
+# driver's 50-slot correctness window; ORACLE_FULL_r3.json covers it.
 def q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gated companion to the rows-only [[q_pca_top2_project]]: the
     projection itself can't be cross-hashed (DuckDB has no eigensolver),
