@@ -463,11 +463,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: label propagation is the standard big-graph CC algorithm
     (GraphX/GraphFrames use the same shape); state per round is one
-    (node, label) table partitioned by node."""
+    (node, label) table partitioned by node. The edge table (an expensive
+    shingle self-join) persists across every round, and each round's
+    label table localCheckpoints — truncating the lineage so round k's
+    convergence check replays ONE join, not k chained ones (on a cluster
+    with executor-loss concerns, swap for reliable checkpoint())."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("src", "dst").distinct()
-    labels = edges.select(F.col("src").alias("n")).distinct().withColumn(
-        "label", F.col("n")
+    edges = (
+        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
+        .toDF("src", "dst")
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("label", F.col("n"))
+        .localCheckpoint()
     )
     for _ in range(10):
         neighbor_min = (
@@ -483,6 +495,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("a")

@@ -690,6 +690,9 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
     )
     wm = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    # members feeds three consumers, but measured at sf0.1 a persist is a
+    # wash: the pair join's cosine folds dominate, and the cache barrier
+    # costs what the assignment recompute saves — the plan stays lazy
     members = (
         scored.withColumn("rk", F.row_number().over(wm))
         .filter(F.col("rk") == 1)
