@@ -1218,6 +1218,12 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("step"),
         )
     )
+    # each step's selection feeds TWO consumers in every later step (the
+    # max-sim aggregate and the anti-join), so a lazy chain recomputes the
+    # selection DAG along ~2^k paths — localCheckpoint materializes each
+    # step once (k bounded jobs over |queries|·k-row tables; measured
+    # 18.8s -> 4.5s at sf0.1). Same pattern as dedup_clusters' rounds.
+    sel = sel.localCheckpoint()
     for k in range(2, _MMR_K + 1):
         picked = sel.select("qid", "cid")
         mx = (
@@ -1237,7 +1243,7 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("qid", "cid", score.alias("score_i"), F.lit(k).alias("step"))
         )
-        sel = sel.unionByName(pick)
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel.select(
         F.col("qid").alias("query_id"),
         F.col("cid").alias("vec_id"),
