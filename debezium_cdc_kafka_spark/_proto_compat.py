@@ -33,9 +33,15 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _relax_version_check_if_vendored() -> None:
-    """No-op the gencode>=runtime refusal when running on a VENDORED
+    """Relax the gencode>=runtime refusal when running on a VENDORED
     runtime (6.32) older than Spark's gencode (6.33): patch-level gap,
     wire-compatible. A properly installed protobuf is left untouched.
+
+    The original validator is WRAPPED, not replaced with a no-op
+    (round-3 ADVICE): only the known-safe case — same PUBLIC domain,
+    same major version as the vendored runtime — is suppressed; a
+    cross-major or cross-domain gencode still raises, so a genuinely
+    incompatible pb2 module cannot import silently.
 
     Must run in EVERY process that imports StateMessage_pb2 — including
     workers where google.protobuf imports cleanly via the exported
@@ -45,11 +51,23 @@ def _relax_version_check_if_vendored() -> None:
     pkg_file = getattr(google.protobuf, "__file__", "") or ""
     if not any(pkg_file.startswith(d + os.sep) for d in _VENDOR_DIRS):
         return
-    from google.protobuf import runtime_version
+    from google.protobuf import runtime_version as rv
 
-    runtime_version.ValidateProtobufRuntimeVersion = (  # type: ignore[assignment]
-        lambda *a, **k: None
-    )
+    if getattr(rv.ValidateProtobufRuntimeVersion, "_lenient_vendored", False):
+        return  # already wrapped (idempotent across repeated calls)
+    orig = rv.ValidateProtobufRuntimeVersion
+
+    def _lenient(domain, major, minor, patch, suffix, location):
+        try:
+            orig(domain, major, minor, patch, suffix, location)
+        except rv.VersionError:
+            # Suppress ONLY the same-major, same-domain minor/patch gap on
+            # the vendored runtime (6.33 gencode vs 6.32 runtime).
+            if domain != rv.Domain.PUBLIC or major != rv.MAJOR:
+                raise
+
+    _lenient._lenient_vendored = True  # type: ignore[attr-defined]
+    rv.ValidateProtobufRuntimeVersion = _lenient  # type: ignore[assignment]
 
 
 def ensure_protobuf() -> bool:
@@ -71,10 +89,15 @@ def ensure_protobuf() -> bool:
     # the vendor dir (for google.protobuf) and the repo root (so workers
     # can import this package when unpickling processors by reference)
     # for sessions created after this call.
-    extra = os.pathsep.join([vendor, _REPO_ROOT])
-    prior = os.environ.get("PYTHONPATH", "")
-    if vendor not in prior.split(os.pathsep):
-        os.environ["PYTHONPATH"] = f"{prior}{os.pathsep}{extra}" if prior else extra
+    # Each dir is checked and appended INDEPENDENTLY (round-3 ADVICE): an
+    # externally-set PYTHONPATH that already holds the vendor dir must not
+    # stop the repo root from being exported, and repeated calls must not
+    # append duplicates.
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+    for d in (vendor, _REPO_ROOT):
+        if d not in parts:
+            parts.append(d)
+    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
     try:
         import google.protobuf.descriptor  # noqa: F401
 

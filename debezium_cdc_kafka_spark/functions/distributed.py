@@ -12,13 +12,18 @@ Exactness requires the ordering key to be UNIQUE (every call site orders
 by (value, id)); range partitioning may then split the keyspace anywhere
 without changing any rank or prefix sum.
 
-The ranged frame is PERSISTED before the offsets pass: the offsets job
-and the result job must see the SAME partitioning, and
+The ranged frame is eagerly LOCAL-CHECKPOINTED before the offsets pass:
+the offsets job and the result job must see the SAME partitioning, and
 repartitionByRange SAMPLES its bounds — two independent executions of
 the lineage could legally split the keyspace differently, silently
-corrupting every offset (observed in testing before the persist). The
-cache pins one physical RDD, whose RangePartitioner bounds are fixed at
-first materialization; harness callers clearCache() between queries.
+corrupting every offset (observed in testing before the pinning).
+localCheckpoint(eager=True) truncates lineage entirely, so no later
+recompute (cache eviction, clearCache() between build and action,
+executor loss) can ever re-sample the bounds — persist() alone left that
+window open (round-3 ADVICE) — and the caller's final plan reads the
+materialized partitions instead of replaying the upstream (the
+q_dsir_weights 20-exchange plan regression). Checkpoint blocks are freed
+by the ContextCleaner when the frame is garbage-collected.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ def _ranged(df: DataFrame, order: list[Column], num_parts: int | None):
     part = df.repartitionByRange(n, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    return part.persist()
+    return part.localCheckpoint(eager=True)
 
 
 def _offsets(part: DataFrame, val: Column | None) -> dict[int, float]:

@@ -106,8 +106,15 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank p ± 2% (a rank window, the guarantee `percentile_approx`
     actually makes — not a value window): the returned element's rank is
     within 1/accuracy of p, so sitting inside the much wider ±2% rank
-    envelope is deterministic. The oracle emits the group keys/counts and
-    literal TRUE; the driver hash-gates the rank bound."""
+    envelope is deterministic. For a group too small for the ±2% rank
+    window to span even one element (n·0.02 < 1), the interpolated
+    envelope ends can land strictly between adjacent order statistics and
+    exclude the actual element the sketch returns, flipping the boolean
+    on a CORRECT sketch (round-3 ADVICE) — so the envelope clamps to the
+    group [min, max] there, which `percentile_approx` (always an actual
+    group element) satisfies deterministically. The oracle emits the
+    group keys/counts and literal TRUE; the driver hash-gates the rank
+    bound."""
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
@@ -117,17 +124,22 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {0.5 + _Q_RANK_TOL}, {0.95 - _Q_RANK_TOL},"
             f" {min(0.95 + _Q_RANK_TOL, 1.0)}))"
         ).alias("ex"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    small = F.col("n_orders") * _Q_RANK_TOL < F.lit(1.0)
+
+    def bound(approx: str, lo_i: int, hi_i: int):
+        lo = F.when(small, F.col("mn")).otherwise(F.col("ex")[lo_i])
+        hi = F.when(small, F.col("mx")).otherwise(F.col("ex")[hi_i])
+        return F.col(approx).between(lo, hi)
+
     return agg.select(
         "o_orderpriority",
         "n_orders",
-        F.col("approx_median").between(F.col("ex")[0], F.col("ex")[1]).alias(
-            "median_within_bound"
-        ),
-        F.col("approx_p95").between(F.col("ex")[2], F.col("ex")[3]).alias(
-            "p95_within_bound"
-        ),
+        bound("approx_median", 0, 1).alias("median_within_bound"),
+        bound("approx_p95", 2, 3).alias("p95_within_bound"),
     )
 
 

@@ -242,9 +242,10 @@ WITH counts AS (
 )
 SELECT user_id,
        CAST(len(es) AS INT) AS n_types,
-       list_transform(es, e -> e.et) AS types,
+       array_to_string(list_transform(es, e -> e.et), ',') AS types,
        CAST(list_sum(list_transform(es, e -> e.n)) AS BIGINT) AS total_events,
-       list_transform(list_filter(es, e -> e.n >= 5), e -> e.et) AS heavy_types
+       array_to_string(list_transform(list_filter(es, e -> e.n >= 5), e -> e.et),
+                       ',') AS heavy_types
 FROM entries
 """
 
@@ -259,7 +260,9 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     order before the map is built, so every derived column is
     deterministic. The map side is Spark-only by design: DuckDB's oracle
     derives the same answers from the sorted entry structs, proving the
-    map algebra against a map-free formulation."""
+    map algebra against a map-free formulation. The key lists are emitted
+    ','-joined (driver's pandas canonicalizer can't hash list cells —
+    tests/test_driver_canon.py pins this for every query)."""
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
@@ -277,7 +280,7 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entries.select(
         "user_id",
         F.size(m).alias("n_types"),
-        F.map_keys(m).alias("types"),
+        F.array_join(F.map_keys(m), ",").alias("types"),
         total.alias("total_events"),
-        F.array_sort(heavy).alias("heavy_types"),
+        F.array_join(F.array_sort(heavy), ",").alias("heavy_types"),
     )

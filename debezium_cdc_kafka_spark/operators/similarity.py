@@ -593,9 +593,11 @@ WITH scaled AS (
   FROM embeddings
 )
 SELECT vec_id, round(maxabs, 6) AS scale,
-       list_transform(embedding,
-                      x -> CAST(round(CAST(x AS DOUBLE) / maxabs * 127) AS BIGINT))
-         AS qvec
+       array_to_string(
+         list_transform(embedding,
+                        x -> CAST(CAST(round(CAST(x AS DOUBLE) / maxabs * 127)
+                                       AS BIGINT) AS VARCHAR)),
+         ',') AS qvec
 FROM scaled
 """
 
@@ -608,7 +610,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped. Purely per-row array math (no shuffle at all): at 100 TB
     this runs at scan speed and is the cheapest way to shrink the
     similarity-search working set. The max|x| guard keeps a zero vector
-    from dividing by zero."""
+    from dividing by zero.
+
+    The quantized vector is emitted as a ','-joined int string, not an
+    array: the driver's pandas canonicalizer sort_values/factorizes
+    every column and dies on unhashable lists (r3 red row). Every
+    element is an exact integer, so the string form is lossless and
+    hash-stable across both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     maxabs = F.greatest(F.array_max(F.transform(dbl, F.abs)), F.lit(1e-12))
@@ -616,9 +624,15 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         F.round("maxabs", 6).alias("scale"),
-        F.transform(dbl, lambda x: F.round(x / F.col("maxabs") * 127).cast("long")).alias(
-            "qvec"
-        ),
+        F.array_join(
+            F.transform(
+                dbl,
+                lambda x: F.round(x / F.col("maxabs") * 127)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("qvec"),
     )
 
 
@@ -942,12 +956,13 @@ def _jl_term_sql(k: int) -> str:
         f"({_jl_sign(j, k)} * CAST(embedding[{j + 1}] AS DOUBLE))"
         for j in range(_JL_IN)
     )
-    return f"round({terms}, 6)"
+    return f"CAST(CAST(round(({terms}) * 1000000) AS BIGINT) AS VARCHAR)"
 
 
 JL_ORACLE = f"""
 SELECT vec_id,
-       [{", ".join(_jl_term_sql(k) for k in range(_JL_OUT))}] AS jl_vec
+       array_to_string(
+         [{", ".join(_jl_term_sql(k) for k in range(_JL_OUT))}], ',') AS jl_vec
 FROM embeddings
 """
 
@@ -964,7 +979,12 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: each output coordinate is a fixed left-to-right sum of 64
     literal-coefficient products — identical IEEE evaluation order in both
-    engines — rounded to 1e-6.
+    engines — scaled to exact micro-int units (round(x·1e6)).
+
+    The 16 coordinates are emitted as ONE ','-joined micro-int string
+    rather than an array<double>: the driver's pandas canonicalizer
+    cannot hash list cells (r3 red row), and integer micro-units make the
+    string form bit-stable across engines where float formatting is not.
 
     Scale shape: a pure per-row projection inside whole-stage codegen; no
     shuffle, no UDF. The matrix is baked into the plan as literals (the
@@ -977,10 +997,13 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_JL_IN):
             t = F.lit(_jl_sign(j, k)) * F.element_at(arr, j + 1)
             term = t if term is None else term + t
-        return F.round(term, 6)
+        return F.round(term * 1000000).cast("long").cast("string")
 
     return emb.select(
-        "vec_id", F.array(*[coord(k) for k in range(_JL_OUT)]).alias("jl_vec")
+        "vec_id",
+        F.array_join(F.array(*[coord(k) for k in range(_JL_OUT)]), ",").alias(
+            "jl_vec"
+        ),
     )
 
 
@@ -1244,6 +1267,11 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qid", "cid", score.alias("score_i"), F.lit(k).alias("step"))
         )
         sel = sel.unionByName(pick).localCheckpoint()
+    # the final sel is eagerly checkpointed above, so the step inputs are
+    # no longer reachable — release them instead of leaking session-lifetime
+    # cached partitions (round-3 ADVICE; same hygiene as dedup_clusters)
+    cand.unpersist()
+    pair.unpersist()
     return sel.select(
         F.col("qid").alias("query_id"),
         F.col("cid").alias("vec_id"),
@@ -1397,9 +1425,10 @@ FROM embeddings
 """
 
 
-# NOTE: registered in operators/incremental.py (the past-the-window
-# module) so it doesn't displace a never-gated text query from the
-# driver's 50-slot correctness window; ORACLE_FULL_r3.json covers it.
+# NOTE: registered in operators/incremental.py; its position in the
+# driver's 50-slot correctness window is set explicitly by
+# registry.GATE_ORDER (gated in round 4, replacing the oracle-less
+# q_pca_top2_project per VERDICT.md).
 def q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gated companion to the rows-only [[q_pca_top2_project]]: the
     projection itself can't be cross-hashed (DuckDB has no eigensolver),

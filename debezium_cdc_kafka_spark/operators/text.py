@@ -476,7 +476,9 @@ INVERTED_ORACLE = """
 SELECT t.term,
        CAST(count(DISTINCT d.doc_id) AS BIGINT) AS doc_freq,
        CAST(count(*) AS BIGINT) AS term_freq,
-       list_sort(list(DISTINCT d.doc_id)) AS postings
+       array_to_string(
+         list_transform(list_sort(list(DISTINCT d.doc_id)),
+                        x -> CAST(x AS VARCHAR)), ',') AS postings
 FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
 WHERE t.term <> ''
 GROUP BY t.term
@@ -491,7 +493,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream (narrow, stays in the scan stage), one shuffle on term.
     Posting lists are sorted so the output is deterministic
     ([[spark-duckdb-oracle-parity]]: never emit unsorted collected
-    arrays). At 100 TB postings for stopword-grade terms exceed a single
+    arrays), and emitted as a ','-joined string because the driver's
+    pandas canonicalizer cannot hash list cells (r3 red row); the
+    sorted-int string is a lossless encoding of the posting list.
+    At 100 TB postings for stopword-grade terms exceed a single
     task's memory — the production layout shards the posting list by
     (term, doc_id DIV B) into fixed-size blocks, which this same plan
     produces by adding the block id to the groupBy; the tiny vocabulary
@@ -503,7 +508,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("term_freq"),
-        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

@@ -39,13 +39,6 @@ def _modules():
         windows,
     )
 
-    # Order matters: the driver's correctness gate records the FIRST 50
-    # queries in registry iteration order. Rounds 1–2 gated the relational
-    # modules (48 green rows); round 3 rotates the never-gated surface to
-    # the front: cdc (10, incl. strict-replay + incremental-merge, the
-    # reference's actual semantics) + dedup (10) + similarity (15) +
-    # text (15) = exactly 50. Relational modules move to the back — their
-    # green rows are on record in CORRECTNESS_r01/r02.json.
     return [
         cdc,
         dedup,
@@ -65,12 +58,93 @@ def _modules():
         partsupp,
         layout,
         windows,
-        incremental,  # past the 50-slot window on purpose: keeps text's
-        # never-gated queries in it; covered by ORACLE_FULL_r3.json + pytest
+        incremental,
         relational3,
         relational2,
         relational,
     ]
+
+
+# The external driver's correctness gate records the FIRST 50 queries in
+# registry iteration order. Per round-3 ADVICE (registry.py:68), gating is
+# now decoupled from module iteration order: this explicit list IS the
+# round's gated window — all_queries() yields these names first, then every
+# other query in module order. Editing an operator module can therefore no
+# longer rotate it out of the gate as a side effect; changing the window is
+# an explicit edit to this list.
+#
+# Round-4 window (per VERDICT.md "Next round"): the four queries that were
+# red/ungated in CORRECTNESS_r03 lead (now canonicalizer-safe /
+# hash-gated), then the never-gated families: curation(15) + corpus(3) +
+# multimodal(3) + graph(3) + audit(4) + timeseries(7) + behavior(8) +
+# approx's first 3 = exactly 50. Still never gated after r4 (~29, queued
+# for r5): q_hll_sketch_union, stats(7), asof(2), reshape(6), partsupp(4),
+# layout(1), windows(6), dedup_incremental_minhash, q_pca_top2_project
+# (rows-only; its invariants companion is hash-gated in this window), and
+# relational stragglers already green in r1/r2.
+GATE_ORDER: list[str] = [
+    # red-row fixes from CORRECTNESS_r03
+    "q_embedding_quantize",
+    "q_jl_projection",
+    "q_inverted_index",
+    "q_pca_invariants",
+    # curation (15)
+    "q_stratified_sample",
+    "q_dataset_split",
+    "q_dedup_canonical",
+    "q_contamination_ngram",
+    "q_quality_percentile_band",
+    "q_weighted_sample",
+    "q_token_budget_mix",
+    "q_sequence_packing",
+    "q_curation_pipeline",
+    "q_c4_rule_gate",
+    "q_negative_samples",
+    "q_balanced_classes",
+    "q_dsir_weights",
+    "q_length_grouped_batches",
+    "q_temperature_mix",
+    # corpus (3)
+    "text_bpe_pair_counts",
+    "q_heaps_law",
+    "q_source_mix_entropy",
+    # multimodal (3)
+    "multimodal_blob_meta",
+    "multimodal_frame_sample",
+    "multimodal_shard_manifest",
+    # graph (3)
+    "graph_pagerank_copurchase",
+    "graph_association_rules",
+    "graph_triangle_count",
+    # audit (4)
+    "q_k_anonymity",
+    "q_cascade_delete",
+    "q_benford_price",
+    "q_dp_noisy_counts",
+    # timeseries (7)
+    "q_gapfill_hourly_counts",
+    "q_locf_daily_value",
+    "q_ewma_user_value",
+    "q_multires_rollup",
+    "q_rolling_zscore_anomaly",
+    "q_seasonal_hourly_baseline",
+    "q_streak_gaps_islands",
+    # behavior (8)
+    "q_funnel_3step",
+    "q_cohort_retention_weekly",
+    "q_markov_transitions",
+    "q_rfm_segments",
+    "q_attribution_last_touch",
+    "q_view_purchase_interval_join",
+    "q_top_session_paths",
+    "q_max_concurrent_sessions",
+    # approx (first 3)
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "q_countmin_sketch",
+]
+
+GATE_SLOTS = 50
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -80,7 +154,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r} in {mod.__name__}")
             merged[name] = fn
-    return merged
+    if len(GATE_ORDER) != GATE_SLOTS:
+        raise ValueError(f"GATE_ORDER has {len(GATE_ORDER)} names, want {GATE_SLOTS}")
+    if len(set(GATE_ORDER)) != len(GATE_ORDER):
+        raise ValueError("GATE_ORDER contains duplicates")
+    missing = [n for n in GATE_ORDER if n not in merged]
+    if missing:
+        raise ValueError(f"GATE_ORDER names not registered: {missing}")
+    gated = {n: merged[n] for n in GATE_ORDER}
+    gated.update((n, fn) for n, fn in merged.items() if n not in gated)
+    return gated
 
 
 def all_oracles() -> dict[str, str]:
@@ -91,4 +174,10 @@ def all_oracles() -> dict[str, str]:
             if name not in queries:
                 raise ValueError(f"oracle {name!r} in {mod.__name__} has no matching query")
             merged[name] = sql
+    # Every gated slot must be hash-verifiable: an oracle-less query inside
+    # the window burns a slot on a row the driver can't check (the r3
+    # q_pca_top2_project mistake).
+    unhashable = [n for n in GATE_ORDER if n not in merged]
+    if unhashable:
+        raise ValueError(f"GATE_ORDER queries without oracles: {unhashable}")
     return merged

@@ -174,7 +174,11 @@ def test_jl_projection_preserves_pairwise_distances(spark):
     for i in range(0, len(rows) - 1, 2):
         a, b = rows[i], rows[i + 1]
         d_orig = sum((x - y) ** 2 for x, y in zip(a.e, b.e))
-        d_proj = sum((x - y) ** 2 for x, y in zip(a.jl_vec, b.jl_vec))
+        # jl_vec is a ','-joined micro-int string (driver-canonicalizer
+        # hashability); decode back to doubles for the distance check.
+        av = [int(t) / 1e6 for t in a.jl_vec.split(",")]
+        bv = [int(t) / 1e6 for t in b.jl_vec.split(",")]
+        d_proj = sum((x - y) ** 2 for x, y in zip(av, bv))
         if d_orig > 0:
             ratios.append(d_proj / d_orig)
     mean = sum(ratios) / len(ratios)
