@@ -14,6 +14,19 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _initial_heap_opts(driver_mem: str) -> str:
+    """JVM options pre-sizing the heap to 3/4 of ``spark.driver.memory``.
+
+    Spark forbids -Xmx in extraJavaOptions but -Xms is fine. Falls back to
+    GC choice only if the memory string isn't a simple "<n>g"/"<n>m"."""
+    mem = driver_mem.strip().lower()
+    xms = ""
+    if mem.endswith(("g", "m")) and mem[:-1].isdigit():
+        qty = int(mem[:-1]) * (1024 if mem.endswith("g") else 1)  # MiB
+        xms = f"-Xms{max(qty * 3 // 4, 512)}m "
+    return f"{xms}-XX:+UseG1GC -XX:+AlwaysPreTouch"
+
+
 def get_spark(
     app_name: str = "debezium_cdc_kafka_spark",
     cpus: str | None = None,
@@ -31,6 +44,7 @@ def get_spark(
       the DuckDB oracle (DuckDB timestamps are UTC-naive).
     """
     n = cpus or DEFAULT_CPUS
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -41,7 +55,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", driver_mem)
+        # Pre-size and pre-touch the heap: with the default tiny -Xms, the
+        # first executions of allocation-heavy codegen (md5/shingle passes)
+        # pay G1 heap-expansion + page-fault stalls — observed 8-21s first
+        # reps at sf0.1 vs a 1.5-2s steady state. -Xms at 3/4 of -Xmx plus
+        # AlwaysPreTouch moves that cost to JVM startup, once.
+        .config("spark.driver.extraJavaOptions", _initial_heap_opts(driver_mem))
         # UI off by default (test/bench noise); tools that read runtime
         # stage metrics (tools/gen_plans_report.py) opt in via ui=True
         .config("spark.ui.enabled", "true" if ui else "false")
