@@ -5,25 +5,31 @@ every row through one task, the one shape that cannot survive a 100×
 scale-up. These helpers compute the same exact results with the classic
 two-pass construction: range-repartition on the full ordering key, do the
 window LOCALLY per partition, then shift each partition by an offset
-derived from the per-partition totals (a bounded O(num_partitions) driver
-pass — same cost family as a bloom-filter build).
+derived from the per-partition totals.
 
 Exactness requires the ordering key to be UNIQUE (every call site orders
 by (value, id)); range partitioning may then split the keyspace anywhere
 without changing any rank or prefix sum.
 
-The ranged frame is eagerly LOCAL-CHECKPOINTED before the offsets pass:
-the offsets job and the result job must see the SAME partitioning, and
-repartitionByRange SAMPLES its bounds — two independent executions of
-the lineage could legally split the keyspace differently, silently
-corrupting every offset (observed in testing before the pinning).
-localCheckpoint(eager=True) truncates lineage entirely, so no later
-recompute (cache eviction, clearCache() between build and action,
-executor loss) can ever re-sample the bounds — persist() alone left that
-window open (round-3 ADVICE) — and the caller's final plan reads the
-materialized partitions instead of replaying the upstream (the
-q_dsir_weights 20-exchange plan regression). Checkpoint blocks are freed
-by the ContextCleaner when the frame is garbage-collected.
+The ranged frame is eagerly LOCAL-CHECKPOINTED: the offsets branch and
+the ranked branch must see the SAME partitioning, and repartitionByRange
+SAMPLES its bounds — two independent executions of the lineage could
+legally split the keyspace differently, silently corrupting every offset
+(observed in testing before the pinning). Exchange reuse can NOT be the
+pin: spark_partition_id() is flagged nondeterministic, which defeats
+sameResult() and leaves the two range exchanges separate (verified on the
+executed plan). localCheckpoint(eager=True) truncates lineage entirely,
+so no recompute can ever re-sample the bounds, and both branches read the
+materialized partitions. Checkpoint blocks are freed by the
+ContextCleaner when the frame is garbage-collected.
+
+The offsets are computed IN-PLAN, not via a driver collect: the
+per-partition totals are a map-side-collapsing aggregate to ≤ num_parts
+rows, the exclusive prefix over them is a window over that tiny frame
+(single-partition, but bounded by CLUSTER size, not data size), and the
+result broadcast-joins back onto the checkpointed ranged frame — one
+fewer job per call than the collect-and-literal construction, and no
+O(num_partitions) CASE WHEN chain in the final projection.
 """
 
 from __future__ import annotations
@@ -33,33 +39,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
-def _ranged(df: DataFrame, order: list[Column], num_parts: int | None):
+def _ranged(df: DataFrame, order: list[Column], num_parts: int | None) -> DataFrame:
     n = num_parts or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    part = df.repartitionByRange(n, *order).withColumn("_pid", F.spark_partition_id())
     return part.localCheckpoint(eager=True)
 
 
-def _offsets(part: DataFrame, val: Column | None) -> dict[int, float]:
-    """Per-partition exclusive prefix totals (row counts or value sums).
+def _prev():
+    """Exclusive prefix frame over the per-partition totals, in _pid order.
     Range partition ids are ordered like the sort key, so the exclusive
-    running total over pid order is the global offset."""
-    agg = F.count(F.lit(1)) if val is None else F.sum(val)
-    sizes = {r["_pid"]: r["t"] for r in part.groupBy("_pid").agg(agg.alias("t")).collect()}
-    out, acc = {}, 0
-    for p in sorted(sizes):
-        out[p] = acc
-        acc += sizes[p]
-    return out
-
-
-def _offset_col(offsets: dict[int, float]) -> Column:
-    expr = F.lit(0) if not offsets else None
-    for p, off in offsets.items():
-        c = F.when(F.col("_pid") == p, F.lit(off))
-        expr = c if expr is None else expr.when(F.col("_pid") == p, F.lit(off))
-    return expr.otherwise(F.lit(0)) if offsets else expr
+    running total over pid order is the global offset. The frame this
+    window runs over has ≤ num_parts rows — a cluster-sized constant.
+    (Built lazily: Window construction needs an active session.)"""
+    return W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
 
 
 def global_row_number(
@@ -67,11 +59,19 @@ def global_row_number(
     num_parts: int | None = None,
 ) -> DataFrame:
     """Exact global row_number() over a unique ordering — no
-    single-partition WindowExec."""
+    data-sized single-partition WindowExec."""
     part = _ranged(df, order, num_parts)
-    offs = _offsets(part, None)
+    offs = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .select("_pid", F.coalesce(F.sum("_t").over(_prev()), F.lit(0)).alias("_off"))
+    )
     local = F.row_number().over(W.partitionBy("_pid").orderBy(*order))
-    return part.withColumn(out, (local + _offset_col(offs)).cast("long")).drop("_pid")
+    return (
+        part.join(F.broadcast(offs), "_pid")
+        .withColumn(out, (local + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
 
 
 def global_prefix_sum(
@@ -80,10 +80,13 @@ def global_prefix_sum(
 ) -> DataFrame:
     """Exact global running sum of `val` in `order` — the distributed
     prefix-sum construction (per-partition totals → exclusive offsets →
-    local cumsum + offset)."""
-    part = _ranged(df, order, num_parts)
-    part = part.withColumn("_v", val)
-    offs = _offsets(part, F.col("_v"))
+    local cumsum + offset), all in one plan."""
+    part = _ranged(df, order, num_parts).withColumn("_v", val)
+    offs = (
+        part.groupBy("_pid")
+        .agg(F.sum("_v").alias("_t"))
+        .select("_pid", F.coalesce(F.sum("_t").over(_prev()), F.lit(0)).alias("_off"))
+    )
     w = (
         W.partitionBy("_pid").orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -91,7 +94,11 @@ def global_prefix_sum(
     local = F.sum("_v").over(w)
     if not inclusive:
         local = local - F.col("_v")
-    return part.withColumn(out, local + _offset_col(offs)).drop("_pid", "_v")
+    return (
+        part.join(F.broadcast(offs), "_pid")
+        .withColumn(out, local + F.col("_off"))
+        .drop("_pid", "_v", "_off")
+    )
 
 
 def global_prefix_max(
@@ -101,32 +108,23 @@ def global_prefix_max(
     """Exact global running max of `val` in `order` (exclusive by default:
     the max over strictly-preceding rows, null for the global first row —
     the watermark/skyline shape). Offsets are the exclusive running max of
-    the per-partition maxima."""
+    the per-partition maxima (null when no partition precedes)."""
     part = _ranged(df, order, num_parts).withColumn("_v", val)
-    maxes = {
-        r["_pid"]: r["m"]
-        for r in part.groupBy("_pid").agg(F.max("_v").alias("m")).collect()
-    }
-    offs, run = {}, None
-    for p in sorted(maxes):
-        offs[p] = run
-        run = maxes[p] if run is None else max(run, maxes[p])
-    off_expr = None
-    for p, off in offs.items():
-        branch = F.lit(off) if off is not None else F.lit(None)
-        cond = F.col("_pid") == p
-        off_expr = (
-            F.when(cond, branch) if off_expr is None else off_expr.when(cond, branch)
-        )
-    if off_expr is None:
-        off_expr = F.lit(None)
-    off_expr = off_expr.cast(dict(part.dtypes)["_v"])
+    offs = (
+        part.groupBy("_pid")
+        .agg(F.max("_v").alias("_m"))
+        .select("_pid", F.max("_m").over(_prev()).alias("_off"))
+    )
     end = -1 if exclusive else 0
     w = W.partitionBy("_pid").orderBy(*order).rowsBetween(W.unboundedPreceding, end)
     local = F.max("_v").over(w)
     # greatest() ignores nulls unless every argument is null — exactly the
     # "no preceding row anywhere" case, which must stay null
-    return part.withColumn(out, F.greatest(local, off_expr)).drop("_pid", "_v")
+    return (
+        part.join(F.broadcast(offs), "_pid")
+        .withColumn(out, F.greatest(local, F.col("_off")))
+        .drop("_pid", "_v", "_off")
+    )
 
 
 def global_ntile(

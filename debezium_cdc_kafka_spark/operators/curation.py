@@ -710,42 +710,64 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are then integer dot products (token-count x lr6), divided
     and rounded once at the end.
 
-    Scale shape: one token explode feeds three partial-aggregatable
-    counts; the weight table is {_DSIR_B} rows and broadcasts; scoring
-    is a map-side join + per-doc sum. The only global operation is the
-    final rank — at 100 TB replace it with a quantile threshold from
-    approx_quantile (selection, not ranking, is what resampling needs).
+    Scale shape: the corpus is tokenized+hashed exactly ONCE into a
+    per-doc bucket array (pipelines with the scan; checkpointed so both
+    consumers read the materialized 1-row-per-doc frame instead of
+    re-tokenizing). The bucket histogram is a map-side-collapsing
+    aggregate to {_DSIR_B} rows, collected driver-side (fixed-size O(B)
+    reduction, same class as the d×d Gram collect) and folded back in as
+    a LITERAL weight array — scoring is then a pure map
+    (element_at per token + sum), no join, no shuffle. The only global
+    operation is the final rank — at 100 TB replace it with a quantile
+    threshold from approx_quantile (selection, not ranking, is what
+    resampling needs), and swap the checkpoint for recomputing the
+    tokenize twice (storage-free; the histogram pass prunes to two
+    columns anyway).
     Reference has no corpus tooling; this extends SURVEY SS2 north-star."""
+    import math
+
     docs = load_table(spark, sf_dir, "documents")
-    tb = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
-    ).select("doc_id", "lang", (md5_long(F.col("term")) % _DSIR_B).alias("b"))
-    # One explode + one (doc, bucket) aggregate; raw AND target bucket
-    # counts come out of a single conditional aggregate over it (one
-    # shuffle, no branch divergence), and the per-doc scoring join reuses
-    # the same docb exchange, so the corpus is tokenized exactly once.
-    docb = tb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
-    bkt = docb.groupBy("b").agg(
-        F.sum("c").alias("rc"),
-        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("tc"),
-    )
-    tot = bkt.agg(F.sum("rc").alias("rn"), F.sum("tc").alias("tn"))
-    wts = bkt.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.round(
-            (
-                F.log((F.col("tc") + 1.0) / (F.col("tn") + _DSIR_B))
-                - F.log((F.col("rc") + 1.0) / (F.col("rn") + _DSIR_B))
-            )
-            * 1000000
+    xs = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.transform(tokens(F.col("text")), lambda t: md5_long(t) % _DSIR_B).alias(
+                "xs"
+            ),
         )
-        .cast("bigint")
-        .alias("lr6"),
+        .filter(F.size("xs") > 0)
+        .localCheckpoint(eager=True)
     )
-    agg = (
-        docb.join(F.broadcast(wts), "b")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.col("lr6")).alias("s6"), F.sum("c").alias("n"))
+    bkt = (
+        xs.select((F.col("lang") == "en").alias("en"), F.explode("xs").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum(F.when(F.col("en"), 1).otherwise(0)).alias("tc"),
+        )
+        .collect()
+    )
+    rn = sum(r["rc"] for r in bkt)
+    tn = sum(r["tc"] for r in bkt)
+
+    def _lr6(rc: int, tc: int) -> int:
+        v = (
+            math.log((tc + 1.0) / (tn + _DSIR_B))
+            - math.log((rc + 1.0) / (rn + _DSIR_B))
+        ) * 1000000
+        # HALF_UP away from zero, matching Spark round()/DuckDB round()
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    wts = {r["b"]: _lr6(r["rc"], r["tc"]) for r in bkt}
+    lr6_arr = F.array(*[F.lit(wts.get(i, 0)) for i in range(_DSIR_B)])
+    agg = xs.select(
+        "doc_id",
+        F.size("xs").alias("n"),
+        F.aggregate(
+            F.transform("xs", lambda x: F.element_at(lr6_arr, (x + 1).cast("int"))),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("s6"),
     )
     score = F.col("s6") / (1000000.0 * F.col("n"))
     from ..functions.distributed import global_row_number
