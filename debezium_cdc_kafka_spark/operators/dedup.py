@@ -75,17 +75,28 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shs, xs) — shingles kept as an array per document plus
-    their mod-P hashes. Sketches (MinHash, SimHash) compute per-row from
-    this shape with NO shuffle at all — at 100 TB the signature pass
-    pipelines with the Parquet scan. Docs with < 3 tokens drop out,
-    matching the exploded representation."""
+    """(doc_id, shs, hs, xs) — shingles kept as an array per document,
+    plus their distinct 60-bit md5 hashes (`hs`, the verification
+    currency: a within- or cross-doc collision is ~2^-60) and the mod-P
+    reductions of those (`xs`, the MinHash permutation inputs). Sketches
+    compute per-row from this shape with NO shuffle at all — at 100 TB
+    the signature pass pipelines with the Parquet scan. Docs with < 3
+    tokens drop out, matching the exploded representation.
+
+    The empty-doc guard is expressed on the TOKEN count, not on
+    size(shingles): predicate pushdown rewrites a filter on a projected
+    alias into the alias' defining expression and pushes it below
+    _spread's parallelizing exchange — a size(shingles)>0 guard made the
+    single pre-shuffle scan task evaluate the whole shingle+hash pipeline
+    serially (and the md5 column pruning can't remove it). The token
+    form keeps only the cheap tokenizer below the exchange and is
+    equivalent: size(tokens) >= 3 ⟺ at least one 3-shingle."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
-    shs = shingles(tokens(F.col("text")))
     return (
-        docs.select("doc_id", shs.alias("shs"))
-        .filter(F.size("shs") > 0)
-        .withColumn("xs", F.transform("shs", lambda s: md5_long(s) % MERSENNE_P))
+        docs.filter(F.size(tokens(F.col("text"))) >= 3)
+        .select("doc_id", shingles(tokens(F.col("text"))).alias("shs"))
+        .withColumn("hs", F.array_distinct(F.transform("shs", md5_long)))
+        .withColumn("xs", F.transform("hs", lambda h: h % MERSENNE_P))
     )
 
 
@@ -206,13 +217,18 @@ def _band_sql_exprs() -> list[str]:
 
 
 _X_SQL = f"{md5_long_sql('sh')} % {MERSENNE_P}"
-_SIG_SQL = ", ".join(
-    f"min({minhash_perm_sql(_X_SQL, i)}) AS m{i}" for i in range(N_PERMS)
+# signatures/verification over the distinct 60-bit hash CTE (shx: doc_id, h)
+_SHX_CTE = f"shx AS (SELECT DISTINCT doc_id, {md5_long_sql('sh')} AS h FROM sh)"
+_CNTX_CTE = "cntx AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id)"
+_SIG_SQL_X = ", ".join(
+    f"min({minhash_perm_sql(f'(h % {MERSENNE_P})', i)}) AS m{i}" for i in range(N_PERMS)
 )
 
 MINHASH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {_SIG_SQL} FROM sh GROUP BY doc_id),
+{_SHX_CTE},
+{_CNTX_CTE},
+sig AS (SELECT doc_id, {_SIG_SQL_X} FROM shx GROUP BY doc_id),
 bands AS ({" UNION ALL ".join("(" + s + ")" for s in _band_sql_exprs())}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -222,12 +238,12 @@ cand AS (
 verified AS (
   SELECT c.d1, c.d2, count(*) AS common
   FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.d1
-  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  JOIN shx s1 ON s1.doc_id = c.d1
+  JOIN shx s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
   GROUP BY c.d1, c.d2
 )
 SELECT v.d1, v.d2, round(v.common * 1.0 / (c1.n + c2.n - v.common), 3) AS jaccard
-FROM verified v JOIN cnt c1 ON c1.doc_id = v.d1 JOIN cnt c2 ON c2.doc_id = v.d2
+FROM verified v JOIN cntx c1 ON c1.doc_id = v.d1 JOIN cntx c2 ON c2.doc_id = v.d2
 WHERE v.common * 1.0 / (c1.n + c2.n - v.common) >= 0.5
 """
 
@@ -237,18 +253,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4 bands × 4 rows) + exact-Jaccard
     verification of candidates only.
 
-    Scale: signatures compute per-row from the shingle array (no shuffle,
-    pipelines with the scan); the band join touches only signature rows
-    (16 ints/doc — ~10^9 docs is still a small table); verification joins
-    the doc→shingle-array table twice on the few COLLIDING pairs and
-    intersects arrays in-place — cost proportional to collisions, not all
-    pairs. This is the 100 TB dedup plan. The band-collision curve
-    (1-(1-s^4)^4) puts the LSH knee near Jaccard ≈ 0.7 here."""
-    # the shingle table feeds three consumers (signatures + both sides of
-    # the verification join); cache it so the md5-heavy scan runs once —
-    # same call you'd make on a cluster before a multi-stage reuse
-    sharr = doc_shingle_arrays(spark, sf_dir).persist()
-    sig = _minhash_signatures(sharr)
+    Scale: the corpus is shingled+hashed exactly ONCE into a compact
+    (doc_id, hashed-shingle array) frame — ~8 bytes per shingle, no
+    strings — which is checkpointed and serves BOTH the signature pass
+    (min over the array per permutation, zero shuffle) and exact-Jaccard
+    verification (array_intersect on the distinct 60-bit md5-derived
+    hashes; the oracle verifies on the same hashed values, and a 60-bit
+    collision is ~2^-60 per shingle pair — standard practice for
+    content-defined dedup). The band join touches only
+    signature rows (16 ints/doc — ~10^9 docs is still a small table);
+    verification joins the checkpointed arrays twice on the few COLLIDING
+    pairs — cost proportional to collisions, not all pairs. At 100 TB the
+    checkpoint becomes a stored signature/shingle-hash index; nothing
+    here re-reads raw text after the first pass. The band-collision
+    curve (1-(1-s^4)^4) puts the LSH knee near Jaccard ≈ 0.7 here."""
+    xsarr = (
+        doc_shingle_arrays(spark, sf_dir)
+        .select("doc_id", "hs", "xs")
+        .localCheckpoint(eager=True)
+    )
+    sig = _minhash_signatures(xsarr)
     band_cols = [
         F.concat_ws(
             "_", *[F.col(f"m{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
@@ -269,11 +293,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    arr1 = sharr.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
-    arr2 = sharr.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
+    arr1 = xsarr.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    arr2 = xsarr.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
     paired = cand.join(arr1, "d1").join(arr2, "d2")
-    common = F.size(F.array_intersect("shs1", "shs2"))
-    jac = common / (F.size("shs1") + F.size("shs2") - common)
+    common = F.size(F.array_intersect("hs1", "hs2"))
+    jac = common / (F.size("hs1") + F.size("hs2") - common)
     return paired.filter(jac >= 0.5).select(
         "d1", "d2", F.round(jac, 3).alias("jaccard")
     )

@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     _SHINGLES_CTE,
-    _SIG_SQL,
+    _CNTX_CTE,
+    _SHX_CTE,
+    _SIG_SQL_X,
     _band_sql_exprs,
     _minhash_signatures,
     N_BANDS,
@@ -65,7 +67,9 @@ _DELTA_REM = 3
 
 INCR_MINHASH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {_SIG_SQL} FROM sh GROUP BY doc_id),
+{_SHX_CTE},
+{_CNTX_CTE},
+sig AS (SELECT doc_id, {_SIG_SQL_X} FROM shx GROUP BY doc_id),
 bands AS ({" UNION ALL ".join("(" + s + ")" for s in _band_sql_exprs())}),
 cand AS (
   SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
@@ -79,12 +83,12 @@ cand AS (
 verified AS (
   SELECT c.d1, c.d2, count(*) AS common
   FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.d1
-  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  JOIN shx s1 ON s1.doc_id = c.d1
+  JOIN shx s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
   GROUP BY c.d1, c.d2
 )
 SELECT v.d1, v.d2, round(v.common * 1.0 / (c1.n + c2.n - v.common), 3) AS jaccard
-FROM verified v JOIN cnt c1 ON c1.doc_id = v.d1 JOIN cnt c2 ON c2.doc_id = v.d2
+FROM verified v JOIN cntx c1 ON c1.doc_id = v.d1 JOIN cntx c2 ON c2.doc_id = v.d2
 WHERE v.common * 1.0 / (c1.n + c2.n - v.common) >= 0.5
 """
 
@@ -100,9 +104,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature (no shuffle; in production an already-bucketed stored
     index), so everything data-proportional keys on the delta. The
     oracle states the same semantics declaratively: all LSH pairs with
-    either end in the changed set."""
-    sharr = doc_shingle_arrays(spark, sf_dir).persist()
-    sig = _minhash_signatures(sharr)
+    either end in the changed set. Verification intersects the distinct
+    60-bit hashed shingles (oracle does the same; see dedup_minhash_lsh
+    on the ~2^-60 collision bound) from one checkpointed compact array —
+    raw text is read exactly once."""
+    xsarr = (
+        doc_shingle_arrays(spark, sf_dir)
+        .select("doc_id", "hs", "xs")
+        .localCheckpoint(eager=True)
+    )
+    sig = _minhash_signatures(xsarr)
     band_cols = [
         F.concat_ws(
             "_",
@@ -128,11 +139,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    arr1 = sharr.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
-    arr2 = sharr.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
+    arr1 = xsarr.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    arr2 = xsarr.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
     paired = probe.join(arr1, "d1").join(arr2, "d2")
-    common = F.size(F.array_intersect("shs1", "shs2"))
-    jac = common / (F.size("shs1") + F.size("shs2") - common)
+    common = F.size(F.array_intersect("hs1", "hs2"))
+    jac = common / (F.size("hs1") + F.size("hs2") - common)
     return paired.filter(jac >= 0.5).select(
         "d1", "d2", F.round(jac, 3).alias("jaccard")
     )
