@@ -304,32 +304,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 16-bit sketch over shingles, Hamming ≤ 3 via nibble banding.
+# SimHash: 60-bit sketch over shingle hashes, Hamming ≤ 3 via 15-bit bands.
 # ---------------------------------------------------------------------------
 
-N_BITS = 16
-N_NIBBLES = 4
+N_BITS = 60          # md5_long yields 15 hex digits = 60 bits
+SIM_BANDS = 4        # Hamming ≤ 3 ⇒ pigeonhole: one of 4 bands equal
+BAND_BITS = N_BITS // SIM_BANDS
+_BAND_MASK = (1 << BAND_BITS) - 1
 
-_H_SQL = md5_long_sql("sh")
-_BITSUM_SQL = ", ".join(
-    f"sum(CASE WHEN (({_H_SQL}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+# SWAR-packed bit votes: 60 per-bit counters would make the aggregate 60
+# buffer fields wide, which pushes the whole stage out of codegen into the
+# interpreted path (verified: 0 WholeStageCodegen blocks, ~4× slower).
+# Instead each of 15 longs packs 4 × 16-bit counters (bits 4k..4k+3 of h
+# at offsets 0/16/32/48); a plain SUM accumulates all four in parallel.
+# Safe for up to 32767 shingles per doc (32767·2^48 < 2^63); a doc would
+# need >32k distinct word 3-grams to overflow. The vote for bit b is then
+# 2·cnt(b) > n  ⟺  Σ±1 > 0.
+SIM_GROUPS = N_BITS // 4
+_PACK_SQL = ", ".join(
+    "sum(" + " + ".join(
+        f"(((h >> {4 * k + j}) & 1) * {1 << (16 * j)}::BIGINT)" for j in range(4)
+    ) + f") AS s{k}"
+    for k in range(SIM_GROUPS)
+)
+_BITSUM_SQL = f"count(*) AS n, {_PACK_SQL}"
+_SIMHASH_VAL_SQL = " + ".join(
+    f"(CASE WHEN 2 * ((s{b // 4} >> {16 * (b % 4)}) & 65535) > n"
+    f" THEN {1 << b} ELSE 0 END)"
     for b in range(N_BITS)
 )
-_SIMHASH_VAL_SQL = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(N_BITS))
-_NIBBLE_SQL = " UNION ALL ".join(
-    f"(SELECT doc_id, simhash, {k} AS nib_idx, (simhash >> {4 * k}) & 15 AS nib FROM sim)"
-    for k in range(N_NIBBLES)
+_SIMBAND_SQL = " UNION ALL ".join(
+    f"(SELECT doc_id, simhash, {k} AS band_idx,"
+    f" (simhash >> {BAND_BITS * k}) & {_BAND_MASK} AS band FROM sim)"
+    for k in range(SIM_BANDS)
 )
 
 SIMHASH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-bitsums AS (SELECT doc_id, {_BITSUM_SQL} FROM sh GROUP BY doc_id),
+{_SHX_CTE},
+bitsums AS (SELECT doc_id, {_BITSUM_SQL} FROM shx GROUP BY doc_id),
 sim AS (SELECT doc_id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash FROM bitsums),
-nibs AS ({_NIBBLE_SQL}),
+bands AS ({_SIMBAND_SQL}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
-  FROM nibs a JOIN nibs b
-    ON a.nib_idx = b.nib_idx AND a.nib = b.nib AND a.doc_id < b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
 )
 SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
 FROM cand
@@ -339,49 +358,76 @@ WHERE bit_count(xor(s1, s2)) <= 3
 
 @query("dedup_simhash", SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit sketch (per-bit vote over shingle
-    hashes), candidates via 4-bit nibble bands (pigeonhole: Hamming ≤ 3 ⇒
-    at least one of 4 nibbles matches), exact Hamming verification.
+    """SimHash near-dup pairs: 60-bit sketch (per-bit vote over the
+    distinct shingle hashes), candidates via 4×15-bit bands (pigeonhole:
+    Hamming ≤ 3 ⇒ at least one of the 4 bands matches exactly — the
+    Manku/Jain/Sarma web-dedup construction), exact Hamming verification.
 
-    Scale: the sketch computes per-row from the shingle array (no shuffle);
-    candidates join 4 small rows/doc on uniformly-distributed nibble keys;
-    Hamming is one XOR+popcount — SimHash is the cheapest near-dup sketch
-    when feature sets are large."""
-    sharr = doc_shingle_arrays(spark, sf_dir)
-    # full 60-bit hashes (not the mod-P minhash inputs) drive the bit votes
-    hs = F.transform("shs", lambda s: md5_long(s))
+    Scale: the sketch computes per-row from the hashed-shingle array (no
+    shuffle); candidates join 4 small rows/doc on 15-bit band keys, so
+    each band partitions the corpus into 2^15 uniformly-hashed buckets —
+    expected collisions are (n/2^15)² per bucket, i.e. candidate volume
+    stays near-linear until ~10^7 docs per band bucket and the band width
+    is the dial (a 64-bit fingerprint with wider bands is the production
+    setting at 10^10 docs). The earlier 16-bit/4-nibble variant had only
+    2^4 buckets per band — effectively all-pairs/16, quadratic at any
+    real corpus size. Hamming is one XOR+popcount.
 
-    def bitsum(b: int):
-        # b is closed over via this function's scope (2-arg lambda only)
-        return F.aggregate(
-            hs,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ).alias(f"b{b}")
+    The per-bit votes use the SWAR packing documented at _PACK_SQL above
+    (15 packed longs instead of 60 counters) so the sketch projection
+    stays inside whole-stage codegen."""
+    sharr = doc_shingle_arrays(spark, sf_dir).select("doc_id", "hs")
 
-    bitsums = sharr.select("doc_id", *[bitsum(b) for b in range(N_BITS)])
-    simhash = reduce(
-        lambda acc, b: acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
-        range(1, N_BITS),
-        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    def packed(k: int):
+        # k is closed over via this function's scope (2-arg lambda only)
+        def step(acc, h):
+            spread = None
+            for j in range(4):
+                t = F.shiftright(h, 4 * k + j).bitwiseAND(F.lit(1)) * F.lit(
+                    1 << (16 * j)
+                )
+                spread = t if spread is None else spread + t
+            return acc + spread
+
+        return F.aggregate(F.col("hs"), F.lit(0).cast("bigint"), step).alias(f"s{k}")
+
+    bitsums = sharr.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n"),
+        *[packed(k) for k in range(SIM_GROUPS)],
     )
-    sim = bitsums.select("doc_id", simhash.cast("bigint").alias("simhash"))
-    nibs = sim.select(
+
+    def vote(b: int):
+        cnt = F.shiftright(F.col(f"s{b // 4}"), 16 * (b % 4)).bitwiseAND(F.lit(65535))
+        return F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+
+    simhash = reduce(lambda acc, b: acc + vote(b), range(1, N_BITS), vote(0))
+    # two fingerprint rows per doc flow into the self-join; checkpoint the
+    # tiny (doc_id, simhash) frame so each join side reads 16 bytes/doc
+    # instead of re-running the shingle+sketch pipeline per branch
+    sim = bitsums.select(
+        "doc_id", simhash.cast("bigint").alias("simhash")
+    ).localCheckpoint(eager=True)
+    bands = sim.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
-                *[F.shiftright(F.col("simhash"), 4 * k).bitwiseAND(F.lit(15)) for k in range(N_NIBBLES)]
+                *[
+                    F.shiftright(F.col("simhash"), BAND_BITS * k).bitwiseAND(
+                        F.lit(_BAND_MASK)
+                    )
+                    for k in range(SIM_BANDS)
+                ]
             )
-        ).alias("nib_idx", "nib"),
+        ).alias("band_idx", "band"),
     )
-    a, b = nibs.alias("a"), nibs.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.nib_idx") == F.col("b.nib_idx"))
-            & (F.col("a.nib") == F.col("b.nib"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
