@@ -41,6 +41,14 @@ CPU_HEAVY_TABLES = frozenset({"events", "documents", "embeddings"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Resolved-reader cache: the driver's test tables are immutable for the life
+# of a session, so the file listing + parquet schema inference (a small but
+# real driver-side job per spark.read.parquet call) only needs to happen once
+# per (app, sf_dir, table). This is ordinary catalog behavior — a metastore
+# caches table metadata — not result caching: the returned DataFrame is still
+# a lazy scan plan, pruned/pushed per query.
+_READER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Column pruning + predicate pushdown reach the scan
@@ -51,12 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC-naive. Pin the session TZ so date_format/collect agree with the
     # oracle even when the caller's session (e.g. the driver's) didn't pin it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        df = _load_events(spark, sf_dir)
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in CPU_HEAVY_TABLES:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _READER_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name in CPU_HEAVY_TABLES:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        _READER_CACHE[key] = df
     return df
 
 

@@ -1455,3 +1455,202 @@ def q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(1e-3) * F.sqrt(F.col("v1") * F.col("v2")) + F.lit(1e-6)
         ).alias("scores_uncorrelated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# semantic (embedding-cosine) legs.
+# ---------------------------------------------------------------------------
+
+_RRF_QID = 100   # query document: its text terms are _BM25_TERMS' corpus,
+                 # its embedding (vec_id == doc_id convention) the vector leg
+_RRF_K = 60      # the canonical RRF discount constant
+_RRF_L = 50      # per-leg candidate depth
+_RRF_TOPK = 20
+
+
+def _rrf_oracle() -> str:
+    from .text import _BM25_B, _BM25_K1, _BM25_TERMS_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT d.doc_id, t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) / CAST(count(*) AS BIGINT) * 1.0 AS avgdl
+  FROM dl
+), qterms AS (SELECT * FROM (VALUES {_BM25_TERMS_SQL}) AS q(term)),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dl / stats.avgdl)) * 1000000
+         ) AS BIGINT) AS c6
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), lleg AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+           ORDER BY CAST(sum(c6) AS BIGINT) DESC, doc_id) AS INT) AS lex_rk
+  FROM contrib WHERE doc_id <> {_RRF_QID}
+  GROUP BY doc_id
+  QUALIFY lex_rk <= {_RRF_L}
+), vscored AS (
+  SELECT b.vec_id AS doc_id, {_COS_SQL} AS cos
+  FROM embeddings b
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QID}) a
+  WHERE b.vec_id <> {_RRF_QID}
+), vleg AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS vec_rk
+  FROM vscored QUALIFY vec_rk <= {_RRF_L}
+), fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(l.lex_rk, 0) AS lex_rk,
+         coalesce(v.vec_rk, 0) AS vec_rk,
+         coalesce(CAST(round(1000000.0 / ({_RRF_K} + l.lex_rk)) AS BIGINT), 0)
+         + coalesce(CAST(round(1000000.0 / ({_RRF_K} + v.vec_rk)) AS BIGINT), 0)
+           AS rrf6
+  FROM lleg l FULL OUTER JOIN vleg v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(lex_rk AS INT) AS lex_rk, CAST(vec_rk AS INT) AS vec_rk,
+       round(rrf6 / 1000000.0, 6) AS rrf,
+       CAST(row_number() OVER (ORDER BY rrf6 DESC, doc_id) AS INT) AS rrf_rk
+FROM fused QUALIFY rrf_rk <= {_RRF_TOPK}
+"""
+
+
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    2009): the lexical leg ranks docs by BM25 for the fixed query terms
+    ([[q_bm25_search]]'s formula), the semantic leg ranks by cosine to the
+    query document's embedding ([[ann_bruteforce_topk]]'s scoring), and
+    each doc's fused score is sum(1/(60+rank)) over the legs it appears
+    in (top-50 per leg, the query doc itself excluded). This is the
+    standard production hybrid-search primitive (Elasticsearch/Vespa/
+    OpenSearch all ship exactly this fusion), fusing on RANKS so the two
+    legs' incomparable score scales never need calibration.
+
+    Exactness: per-leg ranks are integers with doc_id tiebreaks; the RRF
+    discount 1e6/(60+r) rounds to a long per leg, so the fused score is
+    an exact integer sum — cross-engine hash-stable.
+
+    Scale shape: each leg is its existing operator's plan (postings-only
+    shuffle for BM25; broadcast query x corpus scan for cosine) ending in
+    a top-L TakeOrderedAndProject, so the fusion join touches 2L rows —
+    a full-outer join of two tiny frames, broadcast both ways, then a
+    top-k over at most 2L fused rows. Depth L and fanout are constants:
+    the whole fusion layer is O(1) in corpus size."""
+    from .text import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- lexical leg: BM25, same formula as q_bm25_search -----------------
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1)) * 1.0).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    c6 = F.round(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom * 1000000).cast("long")
+    lex_scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", c6.alias("c6"))
+        .groupBy("doc_id")
+        .agg(F.sum("c6").alias("s6"))
+        .filter(F.col("doc_id") != _RRF_QID)
+    )
+    lleg = (
+        lex_scored.orderBy(F.col("s6").desc(), "doc_id")
+        .limit(_RRF_L)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("s6").desc(), "doc_id"))
+            .cast("int")
+            .alias("lex_rk"),
+        )
+    )
+
+    # --- semantic leg: cosine to the query doc's embedding ---------------
+    qvec = emb.filter(F.col("vec_id") == _RRF_QID).select(
+        F.col("embedding").alias("e1")
+    )
+    vec_scored = (
+        emb.filter(F.col("vec_id") != _RRF_QID)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cosine("e1", "embedding").alias("cos"),
+        )
+    )
+    vleg = (
+        vec_scored.orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RRF_L)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), "doc_id"))
+            .cast("int")
+            .alias("vec_rk"),
+        )
+    )
+
+    # --- fusion: integer RRF over the (at most 2L) leg survivors ----------
+    disc = lambda r: F.round(1000000.0 / (_RRF_K + r)).cast("long")
+    fused = (
+        lleg.join(vleg, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rk", F.lit(0)).alias("lex_rk"),
+            F.coalesce("vec_rk", F.lit(0)).alias("vec_rk"),
+            (
+                F.coalesce(disc(F.col("lex_rk")), F.lit(0))
+                + F.coalesce(disc(F.col("vec_rk")), F.lit(0))
+            ).alias("rrf6"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf6").desc(), "doc_id")
+        .limit(_RRF_TOPK)
+        .select(
+            "doc_id",
+            "lex_rk",
+            "vec_rk",
+            F.round(F.col("rrf6") / 1000000.0, 6).alias("rrf"),
+            F.row_number()
+            .over(W.orderBy(F.col("rrf6").desc(), "doc_id"))
+            .cast("int")
+            .alias("rrf_rk"),
+        )
+    )
+
+
+QUERIES["q_rrf_hybrid_search"] = q_rrf_hybrid_search
+ORACLES["q_rrf_hybrid_search"] = _rrf_oracle()
