@@ -40,10 +40,38 @@ class PlanFacts:
         return any(col in p for p in self.pushed_filters)
 
 
+def _tree_lines(plan: str) -> list[str]:
+    """Tree lines of the formatted explain, restricted to the plan that
+    would actually run. Once an AdaptiveSparkPlan has executed (which
+    happens to shared/cached frames as soon as any action touches them),
+    explain prints BOTH '== Final Plan ==' and '== Initial Plan =='
+    trees with separately numbered nodes — counting the whole text then
+    double-counts every exchange/join. Keep final/current trees (main
+    plan and each subquery), drop initial duplicates and detail entries
+    (detail lines start with '(<id>)'; tree lines end with it)."""
+    out: list[str] = []
+    skip = False
+    for line in plan.splitlines():
+        if "== Initial Plan ==" in line:
+            skip = True
+            continue
+        if (
+            "== Physical Plan ==" in line
+            or "== Final Plan ==" in line
+            or "== Current Plan ==" in line
+            or line.startswith("Subquery:")
+        ):
+            skip = False
+            continue
+        if not skip and not line.lstrip().startswith("("):
+            out.append(line)
+    return out
+
+
 def _nodes(plan: str, name: str) -> int:
-    # formatted explain prints each node twice (tree + detail section);
-    # count only the numbered detail entries
-    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+    # Count nodes on (final-plan) tree lines: "+- <Name> [flags] (<id>)".
+    pat = re.compile(rf"(?<![\w]){name}\b[^\n()]*\(\d+\)")
+    return sum(1 for line in _tree_lines(plan) if pat.search(line))
 
 
 def plan_facts(df: DataFrame) -> PlanFacts:
