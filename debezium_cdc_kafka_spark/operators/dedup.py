@@ -839,3 +839,205 @@ def dedup_span_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup: the maximal duplicated token runs themselves.
+# ---------------------------------------------------------------------------
+
+_SUB_N = 5  # gram width: a flagged position i covers tokens i .. i+4
+
+
+def _pos_grams(tok, n: int = _SUB_N):
+    """Positional n-gram array: g[i] = tokens i..i+n-1 joined by spaces
+    (NOT distinct — position identity matters here). Built O(len) by
+    zipping shifted copies, same construction as textfns.shingles."""
+    grams = tok
+    for k in range(1, n):
+        shifted = F.slice(tok, k + 1, F.greatest(F.size(tok) - k, F.lit(1)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(grams, 1, F.greatest(F.size(tok) - (n - 1), F.lit(1)))
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_SUB_GRAM_SQL = (
+    "array_to_string(list_slice(tk, CAST(i AS INT), "
+    f"CAST(i AS INT) + {_SUB_N - 1}), ' ')"
+)
+
+SUBSTRING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         {md5_long_sql(_SUB_GRAM_SQL)} AS h
+  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - {_SUB_N} + 2, 1))) AS i
+        FROM toks)
+), dup AS (
+  SELECT h FROM occ GROUP BY h HAVING count(*) >= 2
+), flagged AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS grp
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) - min(pos) + {_SUB_N} AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@query("dedup_exact_substring", SUBSTRING_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, span output form (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): emit
+    the MAXIMAL duplicated token runs per document — the spans a
+    training pipeline would actually cut — where [[dedup_span_shingles]]
+    only reports the per-doc duplication ratio.
+
+    Pipeline (never materializes a doc pair, unlike suffix-array
+    implementations): positional 5-grams per doc → hash → grams
+    occurring ≥ 2 times anywhere in the corpus (cross- OR within-doc,
+    matching the suffix-array semantics of "this substring repeats") →
+    flag their positions → merge runs of consecutive flagged positions
+    into maximal islands (pos − row_number() gaps-and-islands). A run of
+    flagged positions p..q covers tokens p..q+4, so span_tokens =
+    q−p+5.
+
+    Scale shape: the gram stream is a narrow per-row map off the scan;
+    the duplicated-gram filter is one hash aggregate on a uniform
+    60-bit key (map-side combinable); the flag join is a shuffle
+    semi-join on the same key (the duplicated-gram set is
+    data-proportional, so it is NOT broadcast); the island merge is a
+    per-doc window whose partition is bounded by document length. No
+    pair join, no quadratic stage anywhere — this is why the
+    inverted-index formulation beats porting the reference-era
+    suffix-array approach onto a cluster."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tk = F.filter(F.split("text", " "), lambda t: t != "")
+    occ = (
+        docs.select("doc_id", _pos_grams(tk).alias("g"))
+        .select("doc_id", F.posexplode("g").alias("p0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("int").alias("pos"),
+            md5_long(F.col("gram")).alias("h"),
+        )
+    )
+    dup = occ.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+    flagged = occ.join(dup.select("h"), "h", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w).cast("int")
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") - F.min("pos") + _SUB_N).cast("int").alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: near-identical is not the only duplication — a doc
+# wholly CONTAINED in a longer one (quote, mirror page, prefix crawl) has
+# low Jaccard but containment ~1.
+# ---------------------------------------------------------------------------
+
+CONTAIN_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         substr(text, 1, CAST((n_chars + 1) // 2 AS INT)) AS text
+  FROM documents
+), toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM corpus),
+sh AS (SELECT doc_id, unnest({shingles_sql("t")}) AS sh FROM toks),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ndocs AS (SELECT count(*) AS n_docs FROM corpus),
+hot AS (
+  SELECT sh FROM sh, ndocs GROUP BY sh, n_docs
+  HAVING count(*) * 20 > n_docs AND count(*) > 5
+),
+capped AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+)
+SELECT d1, d2, c1.n AS n1, c2.n AS n2, common,
+       round(common * 1.0 / least(c1.n, c2.n), 4) AS containment
+FROM pairs
+JOIN cnt c1 ON c1.doc_id = d1
+JOIN cnt c2 ON c2.doc_id = d2
+WHERE common * 10 >= least(c1.n, c2.n) * 8
+"""
+
+
+@query("q_minhash_containment", CONTAIN_ORACLE)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: C(A,B) = |A∩B| / min(|A|,|B|) over distinct
+    3-gram shingle sets. Resemblance (Jaccard, [[dedup_ngram_jaccard]])
+    misses a short doc quoted whole inside a long one — |A∩B|/|A∪B| is
+    small but containment is ~1 (Broder 1997 defines both sketches).
+    The corpus is documents ∪ their front halves (uid+10⁷), so true
+    containment pairs exist by construction and the operator provably
+    finds them (the half's shingles are a subset of the full doc's,
+    minus the one shingle pair cut at the truncation boundary).
+
+    The pair space is generated exactly like [[dedup_ngram_jaccard_capped]]:
+    inverted shingle index with the hot-shingle cap (df·20 > n_docs AND
+    df > 5 dropped pre-join) so boilerplate shingles can't quadratically
+    blow up a reducer at 100 TB. The ≥ 0.8 threshold is compared in
+    exact integers (common·10 ≥ min(n)·8), never a float."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.expr("CAST((n_chars + 1) div 2 AS INT)")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(half)
+    sess = corpus.sparkSession
+    spread = corpus.repartition(sess.sparkContext.defaultParallelism, "doc_id")
+    sh = spread.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("sh")
+    )
+    n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") * 20 > F.col("n_docs")) & (F.col("df") > 5))
+        .select("sh")
+    )
+    capped = sh.join(F.broadcast(hot), "sh", "left_anti")
+    cnt = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    least_n = F.least(F.col("n1"), F.col("n2"))
+    return (
+        pairs.join(c1, "d1")
+        .join(c2, "d2")
+        .filter(F.col("common") * 10 >= least_n * 8)
+        .select(
+            "d1",
+            "d2",
+            "n1",
+            "n2",
+            "common",
+            F.round(F.col("common") / least_n, 4).alias("containment"),
+        )
+    )

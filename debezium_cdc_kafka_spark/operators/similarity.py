@@ -1654,3 +1654,122 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_rrf_hybrid_search"] = q_rrf_hybrid_search
 ORACLES["q_rrf_hybrid_search"] = _rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Mutual k-NN graph: the edge set SemDeDup/clustering pipelines start from.
+# ---------------------------------------------------------------------------
+
+_KNNG_K = 5
+
+KNNG_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cluster_id, embedding AS ce
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), best AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, s.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY round({_D2_SQL}, 6), s.cluster_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rk = 1
+), cell AS (
+  SELECT b.vec_id, b.cluster_id, e.embedding
+  FROM best b JOIN embeddings e USING (vec_id)
+), directed AS (
+  SELECT src, dst, cos6 FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, round({_COS_SQL}, 6) AS cos6,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id
+           ) AS rk
+    FROM cell a JOIN cell b
+      ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+  )
+  WHERE rk <= {_KNNG_K}
+)
+SELECT x.src AS v1, x.dst AS v2, round(x.cos6, 3) AS cosine
+FROM directed x JOIN directed y ON x.src = y.dst AND x.dst = y.src
+WHERE x.src < x.dst
+"""
+
+
+def _knng_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, embedding) under the same deterministic k=8
+    quantizer ann_kmeans_assign uses (smallest-md5 seeds, d² rounded
+    before the argmin so ties cut identically cross-engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
+    )
+    diffs = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(F.col("ce"), lambda x: x.cast("double")),
+        lambda x, y: (x - y) * (x - y),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    return (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cluster_id", "embedding", F.round(d2, 6).alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster_id", "embedding")
+    )
+
+
+@query("q_knn_graph", KNNG_ORACLE)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph (k=5, cosine) over the embedding corpus — the
+    input edge set for graph-based curation (SemDeDup cluster pruning,
+    agglomerative near-dup clustering, label propagation over
+    [[dedup_clusters]]). An edge (a,b) exists iff b is in a's top-5 AND
+    a is in b's top-5; mutuality is the standard sparsifier that drops
+    hub-induced one-way edges.
+
+    Candidate pruning: neighbors are searched INSIDE the same coarse
+    k-means cell (identical deterministic quantizer to
+    [[ann_kmeans_assign]]) — the pair space is Σ|cell|², never corpus²,
+    and each cell's pairs co-locate in one shuffle partition keyed by
+    cluster_id. At 100 TB the cells are the IVF layout already built for
+    [[ann_ivf_topk]]; a skewed mega-cell is handled by splitting cells
+    past a size cap (k-means on the cell's members), not by salting,
+    because the semantics are per-cell. Cosine is rounded to 6dp BEFORE
+    ranking so no cross-engine tie can cut the top-k differently."""
+    cell = _knng_cells(spark, sf_dir)
+    a = cell.select(
+        F.col("vec_id").alias("src"),
+        F.col("cluster_id").alias("ca"),
+        F.col("embedding").alias("e1"),
+    )
+    b = cell.select(
+        F.col("vec_id").alias("dst"),
+        F.col("cluster_id").alias("cb"),
+        F.col("embedding").alias("e2"),
+    )
+    scored = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", F.round(_cosine("e1", "e2"), 6).alias("cos6"))
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos6").desc(), F.col("dst"))
+    directed = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNNG_K)
+        .select("src", "dst", "cos6")
+    )
+    x, y = directed.alias("x"), directed.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.dst")) & (F.col("x.dst") == F.col("y.src")),
+        )
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(
+            F.col("x.src").alias("v1"),
+            F.col("x.dst").alias("v2"),
+            F.round(F.col("x.cos6"), 3).alias("cosine"),
+        )
+    )
