@@ -309,3 +309,196 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_HLL_TOL) * F.col("exact_distinct")
         ).alias("within_bound"),
     )
+
+
+# --- KMV (k-minimum-values) sketch with set algebra -------------------------
+
+_KMV_K = 64
+_KMV_MAX = float(1 << 60)  # md5_long range is [0, 2^60)
+
+KMV_ORACLE = f"""
+WITH base AS (
+  SELECT DISTINCT year(l_shipdate) AS yr, l_partkey
+  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+),
+hashed AS (
+  SELECT yr, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM base
+),
+rk AS (
+  SELECT yr, h, row_number() OVER (PARTITION BY yr ORDER BY h) AS rn FROM hashed
+),
+sk AS (SELECT yr, h FROM rk WHERE rn <= {_KMV_K}),
+stats AS (
+  SELECT yr, CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM sk GROUP BY yr
+),
+su AS (SELECT DISTINCT h FROM sk),
+sur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM su),
+sku AS (SELECT h FROM sur WHERE rn <= {_KMV_K}),
+ustats AS (SELECT CAST(count(*) AS BIGINT) AS m_u, max(h) AS kth_u FROM sku),
+jc AS (
+  SELECT CAST(count(*) AS BIGINT) AS j FROM sku
+  WHERE h IN (SELECT h FROM sk WHERE yr = 1996)
+    AND h IN (SELECT h FROM sk WHERE yr = 1997)
+),
+flags AS (
+  SELECT l_partkey,
+         max(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS b
+  FROM base GROUP BY l_partkey
+),
+exact AS (
+  SELECT CAST(sum(a) AS BIGINT) AS exact_a, CAST(sum(b) AS BIGINT) AS exact_b,
+         CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect
+  FROM flags
+),
+est AS (
+  SELECT
+    (SELECT m FROM stats WHERE yr = 1996) AS m_a,
+    (SELECT m FROM stats WHERE yr = 1997) AS m_b,
+    (SELECT m_u FROM ustats) AS m_u,
+    (SELECT j FROM jc) AS j_common,
+    (SELECT CASE WHEN m < {_KMV_K} THEN CAST(m AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 * {_KMV_MAX!r} / kth END
+     FROM stats WHERE yr = 1996) AS e_a,
+    (SELECT CASE WHEN m < {_KMV_K} THEN CAST(m AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 * {_KMV_MAX!r} / kth END
+     FROM stats WHERE yr = 1997) AS e_b,
+    (SELECT CASE WHEN m_u < {_KMV_K} THEN CAST(m_u AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 * {_KMV_MAX!r} / kth_u END
+     FROM ustats) AS e_u
+)
+SELECT m_a, m_b, m_u, j_common,
+       round(e_a, 6) AS est_a,
+       round(e_b, 6) AS est_b,
+       round(e_u, 6) AS est_union,
+       round(CAST(j_common AS DOUBLE) / m_u, 6) AS jaccard_est,
+       round(CAST(j_common AS DOUBLE) / m_u * e_u, 6) AS est_intersect,
+       exact_a, exact_b, exact_union, exact_intersect
+FROM est, exact
+"""
+
+
+@query("q_kmv_sketch_ops", KMV_ORACLE)
+def q_kmv_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with UNION and INTERSECTION
+    estimation (Beyer et al. 2007, "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations") — the sketch family HLL cannot
+    replace when you need set algebra: two KMV sketches intersect/union by
+    plain hash-set operations, giving audience-overlap numbers (here: parts
+    shipped in 1996 vs 1997) without ever co-scanning the raw sets.
+
+    Unlike HLL ([[q_hll_sketch_union]], engine-opaque registers), a KMV
+    sketch is just the k smallest md5 hashes — fully deterministic, so the
+    driver hash-gates the ESTIMATES themselves, not an error boolean: the
+    DuckDB oracle replays the identical sketch construction and the
+    estimator arithmetic is IEEE-identical double math in both engines.
+
+    Scale shape: the k-smallest-per-set rank is preceded by a conservative
+    hash-threshold prefilter (8k/n_est of the 2^60 hash space, n_est from a
+    map-side HLL) so the window sorts O(k) survivors per set, never the
+    full distinct stream; the prefilter keeps >= k rows with overwhelming
+    probability (8x margin) and equality with the unfiltered oracle proves
+    it cut nothing that mattered. All arithmetic is integer until the final
+    three divisions. Reference has no sketches at all (its counts are
+    row-at-a-time Postgres applies); this is north-star surface."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    base = (
+        li.filter(yr.isin(1996, 1997))
+        .select(yr.alias("yr"), "l_partkey")
+        .distinct()
+    )
+    hashed = base.select(
+        "yr", md5_long(F.col("l_partkey").cast("string")).alias("h")
+    )
+    n_est = hashed.groupBy("yr").agg(F.approx_count_distinct("h").alias("n"))
+    thr = n_est.select(
+        "yr",
+        F.least(
+            F.lit(int(_KMV_MAX) - 1),
+            (
+                F.lit(8.0 * _KMV_K * _KMV_MAX)
+                / F.greatest(F.col("n"), F.lit(_KMV_K)).cast("double")
+            ).cast("long"),
+        ).alias("thr"),
+    )
+    pruned = hashed.join(F.broadcast(thr), "yr").filter(F.col("h") <= F.col("thr"))
+    w = W.partitionBy("yr").orderBy("h")
+    sk = (
+        pruned.select("yr", "h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    stats = sk.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("kth")
+    )
+
+    def _est(m, kth):
+        return F.when(m < _KMV_K, m.cast("double")).otherwise(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_MAX) / kth
+        )
+
+    # union sketch: k smallest distinct hashes across both sketches —
+    # bounded input (<= 2k rows), so the unpartitioned rank is O(k)
+    su = sk.select("h").distinct()
+    wu = W.orderBy("h")
+    sku = (
+        su.select("h", F.row_number().over(wu).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    ska = sk.filter(F.col("yr") == 1996).select("h")
+    skb = sk.filter(F.col("yr") == 1997).select("h")
+    jc = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("j_common"))
+    )
+    ustats = sku.agg(F.count(F.lit(1)).alias("m_u"), F.max("h").alias("kth_u"))
+    row_a = stats.filter(F.col("yr") == 1996).select(
+        F.col("m").alias("m_a"), F.col("kth").alias("kth_a")
+    )
+    row_b = stats.filter(F.col("yr") == 1997).select(
+        F.col("m").alias("m_b"), F.col("kth").alias("kth_b")
+    )
+    flags = base.groupBy("l_partkey").agg(
+        F.max((F.col("yr") == 1996).cast("int")).alias("a"),
+        F.max((F.col("yr") == 1997).cast("int")).alias("b"),
+    )
+    exact = flags.agg(
+        F.sum("a").cast("long").alias("exact_a"),
+        F.sum("b").cast("long").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int"))
+        .cast("long")
+        .alias("exact_intersect"),
+    )
+    e_a = _est(F.col("m_a"), F.col("kth_a"))
+    e_b = _est(F.col("m_b"), F.col("kth_b"))
+    e_u = _est(F.col("m_u"), F.col("kth_u"))
+    jac = F.col("j_common").cast("double") / F.col("m_u")
+    return (
+        row_a.crossJoin(F.broadcast(row_b))
+        .crossJoin(F.broadcast(ustats))
+        .crossJoin(F.broadcast(jc))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "m_a",
+            "m_b",
+            "m_u",
+            "j_common",
+            F.round(e_a, 6).alias("est_a"),
+            F.round(e_b, 6).alias("est_b"),
+            F.round(e_u, 6).alias("est_union"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * e_u, 6).alias("est_intersect"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersect",
+        )
+    )

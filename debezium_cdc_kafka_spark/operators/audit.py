@@ -276,3 +276,54 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_n",
         F.round(F.col("exact_n") + noise, 3).alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity: the sensitive-attribute refinement of k-anonymity.
+# ---------------------------------------------------------------------------
+
+_L_DIV = 3
+
+LDIV_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS INTEGER)) AS BIGINT)
+         AS sensitive_distinct,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS INTEGER)) >= {_L_DIV}
+            AS INTEGER) AS l_diverse
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@query("q_l_diversity", LDIV_ORACLE)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): within each
+    quasi-identifier equivalence class (nation x market segment), count
+    DISTINCT values of the sensitive attribute (account-balance band of
+    2000) and flag classes with fewer than l=3 — groups that are
+    k-anonymous ([[q_k_anonymity]]) can still leak the sensitive value
+    when every member shares it; this is the audit that catches that
+    homogeneity attack before a table ships as training data.
+
+    Scale: count(DISTINCT) over a low-cardinality compound key is a
+    two-level partial aggregate (expand on (QI, sensitive), then count) —
+    map-side combinable, output bounded by the QI space, never the row
+    count. Reference has no privacy tooling; north-star audit surface."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("int")
+    return (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.countDistinct("sens").alias("sensitive_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            "sensitive_distinct",
+            (F.col("sensitive_distinct") >= _L_DIV).cast("int").alias("l_diverse"),
+        )
+    )

@@ -332,3 +332,212 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.percent_rank().over(w), 6).alias("value_pctl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (segment x nation contingency table).
+# ---------------------------------------------------------------------------
+
+CHI2_ORACLE = """
+WITH obs AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat, CAST(count(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+),
+margins AS (
+  SELECT seg, nat, o,
+         sum(o) OVER (PARTITION BY seg) AS row_tot,
+         sum(o) OVER (PARTITION BY nat) AS col_tot,
+         sum(o) OVER () AS n
+  FROM obs
+),
+cells AS (
+  SELECT seg, nat, o,
+         CAST(row_tot AS DOUBLE) * col_tot / n AS e
+  FROM margins
+)
+SELECT seg, nat, o,
+       round(e, 6) AS expected,
+       round((o - e) * (o - e) / e, 6) AS chi2_term,
+       round(sum((o - e) * (o - e) / e) OVER (), 4) AS chi2_stat
+FROM cells
+"""
+
+
+@query("q_chi_square_independence", CHI2_ORACLE)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the (market segment x
+    nation) contingency table: per-cell expected counts from the margin
+    products and the global chi2 statistic attached to every cell — the
+    standard drift/association check a feature-audit pass runs over
+    categorical training columns (is segment independent of geography?).
+
+    Scale: ONE partial-aggregatable groupBy builds the contingency table
+    (output bounded by |segments| x |nations|, never row count); margins
+    are windows over that tiny table, so the row-count-proportional work
+    is a single map-side-combined count. Extends [[q_stats_moments]];
+    reference has no statistics surface at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    obs = (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    e = (
+        F.sum("o").over(W.partitionBy("seg")).cast("double")
+        * F.sum("o").over(W.partitionBy("nat"))
+        / F.sum("o").over(W.partitionBy())
+    )
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    cells = obs.select("seg", "nat", "o", e.alias("e"), term.alias("t"))
+    return cells.select(
+        "seg",
+        "nat",
+        "o",
+        F.round("e", 6).alias("expected"),
+        F.round("t", 6).alias("chi2_term"),
+        F.round(F.sum("t").over(W.partitionBy()), 4).alias("chi2_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix in one pass.
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+CORRM_ORACLE = " UNION ALL ".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 6) AS pearson_r"
+    f" FROM lineitem"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+)
+
+
+@query("q_correlation_matrix", CORRM_ORACLE)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Pearson correlation matrix over the numeric lineitem
+    measures, computed in ONE aggregation pass: every corr(a,b) is a
+    partial-aggregatable moment sketch (sum, sum of squares, co-moments),
+    so 6 pairs cost one scan and one 1-row shuffle — the feature-redundancy
+    screen run before training (highly correlated columns waste model
+    capacity; |r|~1 pairs are drop candidates).
+
+    Scale: single map-side-combined aggregate to ONE row regardless of
+    data size; the unpivot to (col_a, col_b, r) rows is driver-free
+    stack() over that row. Complements [[q_embedding_covariance]] (dense
+    vector Gram) with the named-column flavor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    agg = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_expr = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, pearson_r)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance between segment distributions.
+# ---------------------------------------------------------------------------
+
+KS_ORACLE = """
+WITH s AS (
+  SELECT c_acctbal AS v, CAST(c_mktsegment = 'BUILDING' AS INTEGER) AS in_a
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+tot AS (
+  SELECT sum(in_a) AS n_a, sum(1 - in_a) AS n_b FROM s
+),
+walk AS (
+  SELECT v,
+         CAST(sum(in_a) OVER (ORDER BY v, in_a) AS DOUBLE) AS ca,
+         CAST(sum(1 - in_a) OVER (ORDER BY v, in_a) AS DOUBLE) AS cb
+  FROM s
+),
+steps AS (
+  SELECT v, max(ca) AS ca, max(cb) AS cb FROM walk GROUP BY v
+)
+SELECT round(max(abs(ca / n_a - cb / n_b)), 6) AS ks_d,
+       CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
+FROM steps, tot
+"""
+
+
+@query("q_ks_two_sample", KS_ORACLE)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the account-balance
+    distributions of two customer segments: D = max over values of
+    |ECDF_a - ECDF_b|, THE standard distribution-drift detector between a
+    training slice and a serving slice. Computed as one ordered cumulative
+    walk over the unioned sample (cumulative per-group counts at each
+    value), collapsed per distinct value so ties contribute their final
+    ECDF step, then a global max.
+
+    Scale: the cumulative walk is the two-pass range-partitioned prefix
+    sum of functions/distributed.py (same plan as [[q_running_total]]) —
+    never a data-proportional single-partition window — with BOTH group
+    counters carried through one ranged pass (one checkpoint, one offsets
+    aggregate). Tie rows share (v, in_a) keys, which is safe here: prefix
+    sums are tie-order-invariant once collapsed per distinct value. The
+    per-value collapse and the max are partial-aggregatable. D lands on
+    ratio-of-integer arithmetic, so the cross-engine hash is exact after
+    one round."""
+    from ..functions.distributed import _prev, _ranged
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = cust.select(
+        F.col("c_acctbal").alias("v"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("in_a"),
+    )
+    part = _ranged(s, [F.col("v"), F.col("in_a")], None)
+    offs = (
+        part.groupBy("_pid")
+        .agg(
+            F.sum("in_a").alias("_ta"),
+            F.sum(1 - F.col("in_a")).alias("_tb"),
+        )
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_ta").over(_prev()), F.lit(0)).alias("_offa"),
+            F.coalesce(F.sum("_tb").over(_prev()), F.lit(0)).alias("_offb"),
+        )
+    )
+    wl = (
+        W.partitionBy("_pid")
+        .orderBy("v", "in_a")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walk = part.join(F.broadcast(offs), "_pid").select(
+        "v",
+        (F.sum("in_a").over(wl) + F.col("_offa")).cast("double").alias("ca"),
+        (F.sum(1 - F.col("in_a")).over(wl) + F.col("_offb"))
+        .cast("double")
+        .alias("cb"),
+    )
+    steps = walk.groupBy("v").agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    tot = s.agg(
+        F.sum("in_a").alias("n_a"), F.sum(1 - F.col("in_a")).alias("n_b")
+    )
+    return steps.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )
