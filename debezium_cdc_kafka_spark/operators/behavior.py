@@ -578,3 +578,129 @@ def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(F.to_date("ts").alias("day")).agg(
         F.max("conc").alias("max_concurrent")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival: time from first view to first purchase.
+# ---------------------------------------------------------------------------
+
+KM_ORACLE = """
+WITH cens AS (
+  SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi FROM events
+),
+t0 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+tp AS (
+  SELECT t0.user_id, t0.t_view, min(e.ts) AS t_purchase
+  FROM t0 LEFT JOIN events e
+    ON e.user_id = t0.user_id AND e.event_type = 'purchase' AND e.ts >= t0.t_view
+  GROUP BY t0.user_id, t0.t_view
+),
+subj AS (
+  SELECT user_id,
+         CASE WHEN t_purchase IS NOT NULL
+              THEN CAST(datediff('day', t_view, t_purchase) AS INTEGER)
+              ELSE CAST(datediff('day', t_view, hi) AS INTEGER) END AS t,
+         CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM tp, cens
+),
+perd AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         (SELECT count(*) FROM subj)
+           - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM perd
+)
+SELECT t, d AS d_events, c AS c_censored, CAST(n_risk AS BIGINT) AS n_risk,
+       round(exp(sum(round(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-12)), 9))
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS km_survival
+FROM risk
+"""
+
+
+@query("q_kaplan_meier", KM_ORACLE)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for view -> purchase conversion: each
+    user who ever viewed enters the study at their first view; the event
+    is their first purchase at-or-after it; users who never convert are
+    right-censored at the end of observation. S(t) = prod over t' <= t of
+    (1 - d/n) — the estimator that makes conversion-latency claims honest
+    when the observation window truncates slow converters (a plain
+    average of observed latencies is biased toward fast ones).
+
+    Scale: two per-user min-aggregates (map-side combinable) and a
+    per-duration collapse; the KM walk itself runs over DISTINCT
+    durations — bounded by the study length in days, a calendar constant
+    like [[q_cusum_changepoint]]'s series. The product is exp(sum(ln))
+    with each ln term rounded to 1e-9 first: both engines' ln can differ
+    in the last ulp, and the round re-synchronizes them before the
+    cumulative sum (same discipline as the DSIR log-ratio table,
+    [[q_dsir_weights]])."""
+    ev = load_table(spark, sf_dir, "events")
+    cens = ev.agg(F.date_trunc("day", F.max("ts")).alias("hi"))
+    t0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    tp = (
+        t0.join(pur, "user_id", "left")
+        .filter(F.col("pts").isNull() | (F.col("pts") >= F.col("t_view")))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("pts").alias("t_purchase"))
+    )
+    subj = tp.crossJoin(F.broadcast(cens)).select(
+        "user_id",
+        F.when(
+            F.col("t_purchase").isNotNull(),
+            F.datediff("t_purchase", "t_view"),
+        )
+        .otherwise(F.datediff("hi", "t_view"))
+        .cast("int")
+        .alias("t"),
+        F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    n_total = subj.agg(F.count(F.lit(1)).alias("n_total"))
+    perd = subj.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = perd.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # greatest(..., 1e-12): the final duration has d = n_risk and DuckDB's
+    # ln(0) RAISES (Spark returns -inf); the floor makes S collapse to 0
+    # after rounding, identically in both engines
+    lnterm = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                F.lit(1e-12),
+            )
+        ),
+        9,
+    )
+    return risk.select(
+        "t",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.round(F.exp(F.sum(lnterm).over(wcum)), 6).alias("km_survival"),
+    )

@@ -440,3 +440,163 @@ def q_streak_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_streak") >= _STREAK_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily event-volume series.
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+params AS (
+  SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM daily
+),
+walk AS (
+  SELECT d, x, mu, sd,
+         sum(x - mu - 0.5 * sd) OVER (ORDER BY d) AS cp,
+         sum(mu - 0.5 * sd - x) OVER (ORDER BY d) AS cn
+  FROM daily, params
+),
+cusum AS (
+  SELECT d, x, sd,
+         cp - least(min(cp) OVER (ORDER BY d), 0) AS s_pos,
+         cn - least(min(cn) OVER (ORDER BY d), 0) AS s_neg
+  FROM walk
+)
+SELECT d, CAST(x AS BIGINT) AS n_events,
+       round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg,
+       CAST(s_pos > 4 * sd OR s_neg > 4 * sd AS INTEGER) AS changepoint
+FROM cusum
+"""
+
+
+@query("q_cusum_changepoint", CUSUM_ORACLE)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detector (Page 1954) on daily event
+    volume: S+ accumulates upward drift beyond mean + 0.5 sigma slack, S-
+    downward, a day is flagged when either side exceeds the 4-sigma
+    decision interval — the classic sequential drift detector a pipeline
+    runs over ingest volume to catch a broken producer or a traffic shift.
+
+    The recursive form S_i = max(0, S_{i-1} + dev_i) is not a window
+    expression; the equivalent closed form IS: S_i = cumsum_i -
+    min(0, running_min(cumsum)) (a reset happens exactly where the
+    drift-adjusted cumsum hits a new minimum). Two window passes over a
+    series whose length is CALENDAR-bounded (one row per day — 36.5k rows
+    for a century), not data-bounded: the daily collapse is the only
+    row-proportional work and it is a map-side-combinable count. Cumsum
+    ordering is identical in both engines so the IEEE double walk matches
+    exactly; one final round."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    params = daily.agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    walk = daily.crossJoin(F.broadcast(params)).select(
+        "d",
+        "x",
+        "sd",
+        F.sum(F.col("x") - F.col("mu") - 0.5 * F.col("sd")).over(wd).alias("cp"),
+        F.sum(F.col("mu") - 0.5 * F.col("sd") - F.col("x")).over(wd).alias("cn"),
+    )
+    s_pos = F.col("cp") - F.least(F.min("cp").over(wd), F.lit(0.0))
+    s_neg = F.col("cn") - F.least(F.min("cn").over(wd), F.lit(0.0))
+    return walk.select(
+        "d",
+        F.col("x").cast("long").alias("n_events"),
+        F.round(s_pos, 6).alias("s_pos"),
+        F.round(s_neg, 6).alias("s_neg"),
+        ((s_pos > 4 * F.col("sd")) | (s_neg > 4 * F.col("sd")))
+        .cast("int")
+        .alias("changepoint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization: each day's hourly profile -> a 4-letter word.
+# ---------------------------------------------------------------------------
+
+SAX_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(hour(ts) // 6 AS INTEGER) AS seg,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+),
+params AS (SELECT avg(c) AS mu, stddev_samp(c) AS sd FROM hourly),
+z AS (
+  SELECT d, seg, c, mu, sd, (c - mu) / sd AS z FROM hourly, params
+),
+sym AS (
+  SELECT d, seg, c, mu, sd,
+         CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+              WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS s
+  FROM z
+)
+SELECT d, string_agg(s, '' ORDER BY seg) AS sax_word,
+       round((sum(c) - count(*) * max(mu)) / max(sd), 6) AS z_sum
+FROM sym GROUP BY d
+"""
+
+
+@query("q_sax_symbolize", SAX_ORACLE)
+def q_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003): compress
+    each day's activity profile into a 4-letter word — PAA over four
+    6-hour segments, z-normalize against the global segment distribution,
+    bin by the 4-symbol Gaussian breakpoints (-0.6745, 0, 0.6745). Equal
+    words = candidate motif days, rare words = anomaly days; the word is
+    GROUPABLE, so motif discovery over years of telemetry is a plain
+    groupBy count instead of a quadratic curve comparison.
+
+    Scale: the segment collapse is the only row-proportional pass
+    (map-side combinable count to calendar x 4 rows); normalization
+    params are a broadcast 1-row aggregate; the word assembly is a
+    4-element sorted array join per day. The breakpoint comparison happens
+    on the raw IEEE double (identical in both engines); only DISPLAYED
+    values are rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            (F.hour("ts") / 6).cast("int").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    params = hourly.agg(F.avg("c").alias("mu"), F.stddev_samp("c").alias("sd"))
+    z = (F.col("c") - F.col("mu")) / F.col("sd")
+    sym = hourly.crossJoin(F.broadcast(params)).select(
+        "d",
+        "seg",
+        "c",
+        "mu",
+        "sd",
+        F.when(z < -0.6745, "a")
+        .when(z < 0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    # z_sum via the algebraic identity (sum(c) - k*mu)/sd: sum-of-counts is
+    # an exact integer-valued double, so the result is summation-order-
+    # independent — per-row z's summed in group order are NOT (ulp drift
+    # between engines flipped the 6th decimal in testing).
+    return sym.groupBy("d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "s"))),
+                lambda r: r["s"],
+            ),
+            "",
+        ).alias("sax_word"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1)) * F.max("mu")) / F.max("sd"), 6
+        ).alias("z_sum"),
+    )
