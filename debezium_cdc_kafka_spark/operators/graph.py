@@ -313,3 +313,107 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     ).select(F.col("node").alias("p_partkey"), "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood Jaccard over co-purchase edges (link-prediction feature).
+# ---------------------------------------------------------------------------
+
+_JN_MIN_PAIR = 3
+_JN_TOPK = 50
+
+JACCNBR_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_JN_MIN_PAIR}
+),
+und AS (
+  SELECT u, v AS w FROM pairs UNION ALL SELECT v AS u, u AS w FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+cn AS (
+  SELECT p.u, p.v, CAST(count(*) AS BIGINT) AS common
+  FROM pairs p
+  JOIN und a ON a.u = p.u
+  JOIN und b ON b.u = p.v AND b.w = a.w
+  GROUP BY p.u, p.v
+),
+scored AS (
+  SELECT p.u, p.v,
+         coalesce(cn.common, 0) AS common, du.deg AS deg_u, dv.deg AS deg_v,
+         round(CAST(coalesce(cn.common, 0) AS DOUBLE)
+               / (du.deg + dv.deg - coalesce(cn.common, 0)), 6) AS jaccard
+  FROM pairs p
+  LEFT JOIN cn ON cn.u = p.u AND cn.v = p.v
+  JOIN deg du ON du.u = p.u
+  JOIN deg dv ON dv.u = p.v
+)
+SELECT u, v, common, deg_u, deg_v, jaccard
+FROM scored
+ORDER BY jaccard DESC, u, v LIMIT {_JN_TOPK}
+"""
+
+
+@query("graph_jaccard_neighbors", JACCNBR_ORACLE)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for every co-purchase edge —
+    |N(u) and N(v)| / |N(u) or N(v)| — the classic link-prediction /
+    graph-dedup feature (two products whose co-purchase neighborhoods
+    coincide are substitutes). Edges need >= {mp} co-purchases, so the
+    graph is support-pruned BEFORE any traversal, the same guard the
+    association rules use ([[graph_association_rules]]).
+
+    Scale: common-neighbor counting is edge - adjacency - adjacency:
+    each edge (u,v) expands to deg(u) candidate wedges, hash-joined on
+    (v, w) — cost sum over edges of deg(u), never |V|^2; degree and the
+    final Jaccard are integer arithmetic. Top-{k} with (u, v) tiebreak
+    keeps the output bounded. The triangle orientation trick
+    ([[graph_triangle_count]]) applies when degrees skew; at this graph's
+    support threshold the plain expansion wins.""".format(
+        mp=_JN_MIN_PAIR, k=_JN_TOPK
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d = li.distinct()
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .filter(F.col("pn") >= _JN_MIN_PAIR)
+        .drop("pn")
+    )
+    und = pairs.select("u", F.col("v").alias("w")).unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("w"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    na = und.select(F.col("u").alias("_eu"), F.col("w").alias("_w"))
+    nb = und.select(F.col("u").alias("_ev"), F.col("w").alias("_w"))
+    cn = (
+        pairs.join(na, pairs["u"] == na["_eu"])
+        .join(nb, (pairs["v"] == nb["_ev"]) & (na["_w"] == nb["_w"]))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    du = deg.select(F.col("u").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    common = F.coalesce(F.col("common"), F.lit(0))
+    jac = common.cast("double") / (F.col("deg_u") + F.col("deg_v") - common)
+    return (
+        pairs.join(cn, ["u", "v"], "left")
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            common.alias("common"),
+            "deg_u",
+            "deg_v",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(_JN_TOPK)
+    )

@@ -27,6 +27,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
+
 from .dedup import (
     _SHINGLES_CTE,
     _CNTX_CTE,
@@ -146,4 +148,65 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = common / (F.size("hs1") + F.size("hs2") - common)
     return paired.filter(jac >= 0.5).select(
         "d1", "d2", F.round(jac, 3).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental top-k maintenance over a per-key aggregate view.
+# ---------------------------------------------------------------------------
+
+_ITK_K = 10
+_ITK_SPLIT = "1999-01-01"
+
+ITK_ORACLE = f"""
+SELECT l_partkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY revenue DESC, l_partkey LIMIT {_ITK_K}
+"""
+
+
+@query("q_incremental_topk", ITK_ORACLE)
+def q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained top-{k} parts by revenue: the base slice
+    (shipped before {split}) is aggregated into a per-key materialized
+    view; the delta slice arrives later and MERGES into the view by key
+    (sum + sum — revenue and count are commutative monoids, so view(base)
+    merge agg(delta) == agg(base union delta) algebraically); top-k is
+    then re-derived from the merged VIEW, never from raw history. The
+    oracle aggregates the full table directly — equality proves the
+    incremental path is exact.
+
+    This is the batch skeleton of what [[cdc_incremental_agg]] runs as a
+    stream: at 100 TB the view is keys-sized (not history-sized), the
+    delta aggregate touches only new files, and the top-k over the view is
+    a TakeOrdered on an already-collapsed table. Sum order does not move
+    the hash: both engines round revenue once, after the final merge, and
+    the one float sum is over identical partial sets.""".format(
+        k=_ITK_K, split=_ITK_SPLIT
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    split = F.lit(_ITK_SPLIT).cast("timestamp")
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_partkey").agg(
+            F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+        )
+
+    base_view = _agg(li.filter(F.col("l_shipdate") < split))
+    delta_view = _agg(li.filter(F.col("l_shipdate") >= split))
+    merged = (
+        base_view.unionByName(delta_view)
+        .groupBy("l_partkey")
+        .agg(F.sum("revenue").alias("revenue"), F.sum("n_lines").alias("n_lines"))
+    )
+    return (
+        merged.select(
+            "l_partkey", F.round("revenue", 2).alias("revenue"), "n_lines"
+        )
+        .orderBy(F.col("revenue").desc(), "l_partkey")
+        .limit(_ITK_K)
     )

@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 
@@ -113,4 +114,120 @@ def zorder_write(
         .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: pack small files into target-size output groups.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 25_000
+
+COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS file_day,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+planned AS (
+  SELECT file_day, n_rows,
+         coalesce(sum(n_rows) OVER (ORDER BY file_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM files
+)
+SELECT file_day, n_rows,
+       CAST(prior // {_COMPACT_TARGET} AS BIGINT) AS target_file,
+       CAST(count(*) OVER (PARTITION BY prior // {_COMPACT_TARGET}) AS BIGINT)
+         AS files_merged,
+       CAST(sum(n_rows) OVER (PARTITION BY prior // {_COMPACT_TARGET}) AS BIGINT)
+         AS target_rows
+FROM planned
+"""
+
+
+@query("q_compaction_plan", COMPACT_ORACLE)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: treat each ship-day's rows as one
+    input file (the classic CDC-sink pathology — [[cdc_incremental_merge]]
+    writes a sliver per trigger) and assign files to target outputs by
+    exclusive-prefix-sum bucketing: a file joins output floor(prior /
+    target). Contiguous in sort order, so each output file covers a
+    compact day range — min/max stats stay tight, unlike hash grouping.
+
+    Scale: the manifest is one map-side-combinable aggregate (one row per
+    file — calendar/file-count bounded, like [[q_cusum_changepoint]]'s
+    series); the plan itself is two windows over that manifest. This is
+    the planning half of the maintenance pair with [[zorder_write]]; the
+    actual rewrite is a repartitionByRange on target_file."""
+    li = load_table(spark, sf_dir, "lineitem")
+    files = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").cast("date").alias("file_day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    wprev = W.orderBy("file_day").rowsBetween(W.unboundedPreceding, -1)
+    planned = files.select(
+        "file_day",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(wprev), F.lit(0)).alias("prior"),
+    )
+    tgt = F.floor(F.col("prior") / _COMPACT_TARGET)
+    wt = W.partitionBy(tgt)
+    return planned.select(
+        "file_day",
+        "n_rows",
+        tgt.cast("long").alias("target_file"),
+        F.count(F.lit(1)).over(wt).alias("files_merged"),
+        F.sum("n_rows").over(wt).alias("target_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew advisor for a candidate partitioning key.
+# ---------------------------------------------------------------------------
+
+_SKEW_HI = 1.25
+_SKEW_LO = 0.75
+
+SKEW_ORACLE = f"""
+WITH parts AS (
+  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS part_key,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem GROUP BY 1
+),
+m AS (SELECT avg(CAST(n_rows AS DOUBLE)) AS mean_rows FROM parts)
+SELECT CAST(part_key AS INTEGER) AS part_key, n_rows, n_orders,
+       round(n_rows / mean_rows, 6) AS skew_ratio,
+       CAST(n_rows / mean_rows > {_SKEW_HI} OR n_rows / mean_rows < {_SKEW_LO}
+            AS INTEGER) AS skewed
+FROM parts, m
+"""
+
+
+@query("q_partition_skew_advisor", SKEW_ORACLE)
+def q_partition_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit for a candidate layout key (ship year-month):
+    per-partition row and order counts, each partition's ratio to the mean,
+    and a flag when it falls outside [{lo}, {hi}] x mean — the check run
+    BEFORE committing a table layout, because one hot partition serializes
+    every downstream stage (the straggler that AQE can split mid-query but
+    a static layout bakes in forever; see SCALE.md on salting).
+
+    Scale: one partial-aggregatable groupBy to |partitions| rows, one
+    broadcast 1-row mean. The ratio is double division on exact integer
+    counts, identical in both engines.""".format(lo=_SKEW_LO, hi=_SKEW_HI)
+    li = load_table(spark, sf_dir, "lineitem")
+    key = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("part_key")
+    parts = li.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    mean = parts.agg(F.avg(F.col("n_rows").cast("double")).alias("mean_rows"))
+    ratio = F.col("n_rows") / F.col("mean_rows")
+    return parts.crossJoin(F.broadcast(mean)).select(
+        F.col("part_key").cast("int").alias("part_key"),
+        "n_rows",
+        "n_orders",
+        F.round(ratio, 6).alias("skew_ratio"),
+        ((ratio > _SKEW_HI) | (ratio < _SKEW_LO)).cast("int").alias("skewed"),
     )

@@ -343,17 +343,14 @@ WITH obs AS (
   SELECT c_mktsegment AS seg, c_nationkey AS nat, CAST(count(*) AS BIGINT) AS o
   FROM customer GROUP BY 1, 2
 ),
-margins AS (
-  SELECT seg, nat, o,
-         sum(o) OVER (PARTITION BY seg) AS row_tot,
-         sum(o) OVER (PARTITION BY nat) AS col_tot,
-         sum(o) OVER () AS n
-  FROM obs
-),
+rows_m AS (SELECT seg, sum(o) AS row_tot FROM obs GROUP BY seg),
+cols_m AS (SELECT nat, sum(o) AS col_tot FROM obs GROUP BY nat),
+tot AS (SELECT sum(o) AS n FROM obs),
 cells AS (
-  SELECT seg, nat, o,
-         CAST(row_tot AS DOUBLE) * col_tot / n AS e
-  FROM margins
+  SELECT r.seg, c.nat, coalesce(obs.o, 0) AS o,
+         CAST(r.row_tot AS DOUBLE) * c.col_tot / n AS e
+  FROM rows_m r CROSS JOIN cols_m c CROSS JOIN tot
+  LEFT JOIN obs ON obs.seg = r.seg AND obs.nat = c.nat
 )
 SELECT seg, nat, o,
        round(e, 6) AS expected,
@@ -383,13 +380,23 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    e = (
-        F.sum("o").over(W.partitionBy("seg")).cast("double")
-        * F.sum("o").over(W.partitionBy("nat"))
-        / F.sum("o").over(W.partitionBy())
+    # DENSE grid from the margin product: a (seg, nat) combo with zero
+    # observations still contributes (0-e)^2/e = e to the statistic —
+    # restricting to observed cells silently understates chi2
+    rows_m = obs.groupBy("seg").agg(F.sum("o").alias("row_tot"))
+    cols_m = obs.groupBy("nat").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    grid = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["seg", "nat"], "left")
+        .select(
+            "seg", "nat", F.coalesce(F.col("o"), F.lit(0)).alias("o"), e.alias("e")
+        )
     )
-    term = (F.col("o") - e) * (F.col("o") - e) / e
-    cells = obs.select("seg", "nat", "o", e.alias("e"), term.alias("t"))
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    cells = grid.select("seg", "nat", "o", "e", term.alias("t"))
     return cells.select(
         "seg",
         "nat",

@@ -1,0 +1,182 @@
+"""Property tests for the round-4 analytics additions: KMV sketch algebra,
+CUSUM closed form, SAX words, Kaplan-Meier, neighborhood Jaccard,
+compaction planning, incremental top-k. The DuckDB oracles pin
+cross-engine equality; these pin SEMANTICS against independent Python
+reimplementations and structural invariants.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from debezium_cdc_kafka_spark.operators.approx import _KMV_K, q_kmv_sketch_ops
+from debezium_cdc_kafka_spark.operators.behavior import q_kaplan_meier
+from debezium_cdc_kafka_spark.operators.graph import graph_jaccard_neighbors
+from debezium_cdc_kafka_spark.operators.incremental import _ITK_K, q_incremental_topk
+from debezium_cdc_kafka_spark.operators.layout import (
+    _COMPACT_TARGET,
+    q_compaction_plan,
+)
+from debezium_cdc_kafka_spark.operators.stats import (
+    q_chi_square_independence,
+    q_correlation_matrix,
+    q_ks_two_sample,
+)
+from debezium_cdc_kafka_spark.operators.timeseries import (
+    q_cusum_changepoint,
+    q_sax_symbolize,
+)
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_kmv_estimates_near_exact(spark):
+    """KMV relative error at k=64 is ~1/sqrt(k-2) ~ 13%; assert a loose
+    3-sigma band on every estimate, and the sketch-size invariants."""
+    row = q_kmv_sketch_ops(spark, SF_ORACLE).collect()[0]
+    assert row["m_a"] <= _KMV_K and row["m_b"] <= _KMV_K and row["m_u"] <= _KMV_K
+    for est, exact in [
+        (row["est_a"], row["exact_a"]),
+        (row["est_b"], row["exact_b"]),
+        (row["est_union"], row["exact_union"]),
+    ]:
+        assert abs(est - exact) <= 0.40 * exact, (est, exact)
+    # intersection inherits union noise; just sanity-band it
+    assert 0 <= row["est_intersect"] <= 1.5 * row["est_union"]
+    assert 0.0 <= row["jaccard_est"] <= 1.0
+
+
+def test_cusum_matches_recursive_form(spark):
+    """The closed form (cumsum - min(0, running min)) must equal the
+    textbook recursion S_i = max(0, S_{i-1} + dev_i)."""
+    rows = sorted(q_cusum_changepoint(spark, SF_SMOKE).collect(), key=lambda r: r["d"])
+    xs = [float(r["n_events"]) for r in rows]
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+    sd = math.sqrt(var)
+    s = 0.0
+    for r, x in zip(rows, xs):
+        s = max(0.0, s + (x - mu - 0.5 * sd))
+        assert abs(r["s_pos"] - s) < 1e-4, (r["d"], r["s_pos"], s)
+
+
+def test_sax_words_shape(spark):
+    rows = q_sax_symbolize(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert len(r["sax_word"]) == 4
+        assert set(r["sax_word"]) <= set("abcd")
+    # z-normalized corpus: overall mean word should not be all-extreme
+    joined = "".join(r["sax_word"] for r in rows)
+    assert len(set(joined)) >= 2
+
+
+def test_kaplan_meier_invariants(spark):
+    rows = sorted(q_kaplan_meier(spark, SF_ORACLE).collect(), key=lambda r: r["t"])
+    # survival is non-increasing from 1
+    prev = 1.0
+    for r in rows:
+        assert r["km_survival"] <= prev + 1e-9
+        prev = r["km_survival"]
+    # at-risk counts strictly decrease and match the exit ledger
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_risk"] == a["n_risk"] - a["d_events"] - a["c_censored"]
+    # everyone exits exactly once
+    total = rows[0]["n_risk"]
+    assert total == sum(r["d_events"] + r["c_censored"] for r in rows)
+
+
+def test_jaccard_neighbors_independent(spark):
+    """Recompute neighborhood Jaccard in pure Python from the parquet and
+    compare the top rows (same support threshold and tiebreak)."""
+    t = pq.read_table(f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    baskets = defaultdict(set)
+    for ok, pk in zip(t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist()):
+        baskets[ok].add(pk)
+    pair_n = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i, u in enumerate(s):
+            for v in s[i + 1 :]:
+                pair_n[(u, v)] += 1
+    edges = {p for p, n in pair_n.items() if n >= 3}
+    nbr = defaultdict(set)
+    for u, v in edges:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    expect = {}
+    for u, v in edges:
+        common = len(nbr[u] & nbr[v])
+        expect[(u, v)] = round(common / (len(nbr[u]) + len(nbr[v]) - common), 6)
+    rows = graph_jaccard_neighbors(spark, SF_SMOKE).collect()
+    assert len(rows) <= 50
+    for r in rows:
+        assert expect[(r["u"], r["v"])] == r["jaccard"]
+        assert r["common"] <= min(r["deg_u"], r["deg_v"])
+
+
+def test_compaction_plan_invariants(spark):
+    rows = sorted(q_compaction_plan(spark, SF_SMOKE).collect(), key=lambda r: r["file_day"])
+    # target files are contiguous, start at 0, never decrease
+    tfs = [r["target_file"] for r in rows]
+    assert tfs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(tfs, tfs[1:]))
+    # every non-final output lands within [target, target + max_file) rows
+    by_tf = defaultdict(int)
+    for r in rows:
+        by_tf[r["target_file"]] += r["n_rows"]
+        assert r["target_rows"] >= r["n_rows"]
+    max_file = max(r["n_rows"] for r in rows)
+    for tf, total in by_tf.items():
+        if tf != max(by_tf):
+            assert _COMPACT_TARGET <= total < _COMPACT_TARGET + max_file
+
+
+def test_incremental_topk_equals_direct(spark):
+    """The merged-view top-k must equal a direct full-table top-k."""
+    from pyspark.sql import functions as F
+
+    from debezium_cdc_kafka_spark.catalog import load_table
+
+    got = [
+        (r["l_partkey"], r["revenue"], r["n_lines"])
+        for r in q_incremental_topk(spark, SF_SMOKE).collect()
+    ]
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    direct = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_partkey")
+        .limit(_ITK_K)
+        .collect()
+    )
+    assert got == [(r["l_partkey"], r["revenue"], r["n_lines"]) for r in direct]
+
+
+def test_chi2_terms_sum_to_stat(spark):
+    rows = q_chi_square_independence(spark, SF_SMOKE).collect()
+    stat = rows[0]["chi2_stat"]
+    assert all(r["chi2_stat"] == stat for r in rows)
+    assert abs(sum(r["chi2_term"] for r in rows) - stat) < 1e-2
+    # margins of expected == margins of observed
+    assert abs(sum(r["expected"] for r in rows) - sum(r["o"] for r in rows)) < 1e-3
+
+
+def test_correlation_matrix_bounds(spark):
+    rows = q_correlation_matrix(spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r["pearson_r"] <= 1.0
+
+
+def test_ks_two_sample_range(spark):
+    row = q_ks_two_sample(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["n_a"] > 0 and row["n_b"] > 0
