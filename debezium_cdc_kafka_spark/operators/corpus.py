@@ -207,3 +207,129 @@ def q_source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ent, 6).alias("mix_entropy"),
         F.round(F.exp(ent), 4).alias("effective_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each doc is first-seen content?
+# ---------------------------------------------------------------------------
+
+from ..functions.textfns import shingles_sql  # noqa: E402
+
+NOVELTY_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({shingles_sql("toks", 3)}) AS g
+  FROM (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents)
+),
+firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM grams gr JOIN firsts f ON f.g = gr.g
+GROUP BY gr.doc_id
+"""
+
+
+@query("q_ngram_novelty", NOVELTY_ORACLE)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty (the Gopher/Chinchilla-style corpus
+    redundancy curve): for each document, the fraction of its distinct
+    3-grams whose FIRST occurrence (by doc_id ingest order) is this
+    document. A novelty collapse across ingest order means the crawl is
+    re-reading itself — the macro signal whose per-pair micro form is
+    [[dedup_ngram_jaccard]]; unlike pairwise dedup this is O(corpus), not
+    O(pairs).
+
+    Scale: shingle once, ONE groupBy(gram) for the global first-occurrence
+    table, one join back keyed on the gram (both sides shuffle on the same
+    key), one per-doc collapse. The first-occurrence aggregate is min() —
+    map-side combinable; no window, no driver state."""
+    from ..functions.textfns import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 3)).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of token mass across sources.
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len({tokens_sql("text")})) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT toks, row_number() OVER (ORDER BY toks, source) AS i,
+         count(*) OVER () AS n, sum(toks) OVER () AS tot
+  FROM per_source
+)
+SELECT CAST(max(n) AS BIGINT) AS n_sources,
+       CAST(max(tot) AS BIGINT) AS total_tokens,
+       round((2.0 * sum(CAST(i AS DOUBLE) * toks) - (max(n) + 1.0) * max(tot))
+             / (max(n) * max(tot)), 6) AS gini
+FROM ranked
+"""
+
+
+@query("q_gini_source_tokens", GINI_ORACLE)
+def q_gini_source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across corpus sources — the
+    single-number inequality summary behind [[q_source_mix_entropy]]'s
+    per-source shares: 0 = perfectly balanced mixture, ->1 = one source
+    dominates (the mixture a temperature rebalance, [[q_temperature_mix]],
+    would then flatten). Uses the rank formulation
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending-sorted
+    source masses with a deterministic (toks, source) tiebreak.
+
+    Scale: token counting collapses to |sources| rows map-side; the rank
+    window runs over that source-count-bounded table (20 rows here),
+    never the corpus. Integer mass, one rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("toks")
+    )
+    wr = W.orderBy("toks", "source")
+    wg = W.partitionBy()
+    ranked = per_source.select(
+        "toks",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+        F.sum("toks").over(wg).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("tot").cast("long").alias("total_tokens"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("i").cast("double") * F.col("toks"))
+                - (F.max("n") + 1.0) * F.max("tot")
+            )
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )

@@ -931,3 +931,88 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(temp / raw, 4).alias("upsample_factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split-leakage report (cross-split near-duplicate audit).
+# ---------------------------------------------------------------------------
+
+LEAK_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS uid, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS uid, upper(text) || ' !!' AS text FROM documents
+),
+keyed AS (
+  SELECT uid,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k,
+         CASE WHEN {md5_long_sql("CAST(uid AS VARCHAR)")} % 100 < 98 THEN 'train'
+              WHEN {md5_long_sql("CAST(uid AS VARCHAR)")} % 100 = 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+),
+by_key AS (
+  SELECT k,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+         max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS val_docs,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_docs
+  FROM keyed GROUP BY k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_content_keys,
+       CAST(sum(in_train * in_val) AS BIGINT) AS keys_train_val,
+       CAST(sum(in_train * in_test) AS BIGINT) AS keys_train_test,
+       CAST(sum(in_train * in_val * val_docs) AS BIGINT) AS leaked_val_docs,
+       CAST(sum(in_train * in_test * test_docs) AS BIGINT) AS leaked_test_docs
+FROM by_key
+"""
+
+
+@query("q_split_leakage_report", LEAK_ORACLE)
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: after the hash split of
+    [[q_dataset_split]], how many NORMALIZED content keys (the
+    [[dedup_normalized_exact]] key — case/punct-insensitive) appear in
+    train AND in val/test? Eval rows whose content also sits in train
+    inflate benchmark scores without measuring generalization — the
+    within-corpus complement of [[q_contamination_ngram]]'s external
+    benchmark decontamination. The corpus is documents plus a mutated
+    re-crawl copy (id-shifted, case/noise-mutated), so leakage provably
+    exists: the two copies of a text hash to different ids, land in
+    independent splits, but share one content key.
+
+    Scale: one normalize+hash map on the scan, one groupBy on content key
+    carrying 0/1 membership flags (map-side combinable), one 1-row fold.
+    No joins — the split-pair co-membership is flag algebra, not a
+    self-join of splits."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("uid"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = docs.select(F.col("doc_id").alias("uid"), "text").unionByName(mutated)
+    h = md5_long(F.col("uid").cast("string")) % 100
+    split = F.when(h < 98, "train").when(h == 98, "val").otherwise("test")
+    norm_key = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    )
+    keyed = corpus.select(norm_key.alias("k"), split.alias("split"))
+    by_key = keyed.groupBy("k").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        F.max((F.col("split") == "val").cast("int")).alias("in_val"),
+        F.max((F.col("split") == "test").cast("int")).alias("in_test"),
+        F.sum((F.col("split") == "val").cast("int")).alias("val_docs"),
+        F.sum((F.col("split") == "test").cast("int")).alias("test_docs"),
+    )
+    return by_key.agg(
+        F.count(F.lit(1)).alias("n_content_keys"),
+        F.sum(F.col("in_train") * F.col("in_val")).cast("long").alias("keys_train_val"),
+        F.sum(F.col("in_train") * F.col("in_test")).cast("long").alias("keys_train_test"),
+        F.sum(F.col("in_train") * F.col("in_val") * F.col("val_docs"))
+        .cast("long")
+        .alias("leaked_val_docs"),
+        F.sum(F.col("in_train") * F.col("in_test") * F.col("test_docs"))
+        .cast("long")
+        .alias("leaked_test_docs"),
+    )

