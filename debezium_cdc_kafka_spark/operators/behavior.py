@@ -704,3 +704,59 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("long").alias("n_risk"),
         F.round(F.exp(F.sum(lnterm).over(wcum)), 6).alias("km_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness.
+# ---------------------------------------------------------------------------
+
+DAU_MAU_ORACLE = """
+WITH dau AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1
+),
+mau AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+)
+SELECT d, dau, mau, round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+FROM dau JOIN mau ON CAST(date_trunc('month', d) AS DATE) = m
+"""
+
+
+@query("q_dau_mau_stickiness", DAU_MAU_ORACLE)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily distinct actives over the
+    calendar month's distinct actives — the engagement ratio every
+    product dashboard leads with (a DAU spike with flat stickiness is
+    acquisition; rising stickiness is habit). Two distinct-count
+    aggregates at different grains joined on the month; the month side is
+    broadcast (12 rows/year).
+
+    Scale: both distincts partial-aggregate on (grain, user) first —
+    shuffle carries distinct pairs, not events; at 100 TB the exact MAU
+    swaps for [[q_hll_sketch_union]]'s mergeable HLL union over daily
+    sketches (same join shape, sketch-sized state)."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = ev.groupBy(F.date_trunc("month", "ts").cast("date").alias("m")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.date_trunc("month", "d").cast("date") == F.col("m"),
+        )
+        .select(
+            "d",
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

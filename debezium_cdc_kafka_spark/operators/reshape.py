@@ -284,3 +284,60 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_events"),
         F.array_join(F.array_sort(heavy), ",").alias("heavy_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling + one-hot encoding: the tabular-ML featurizer.
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+FEATSCALE_ORACLE = f"""
+WITH stats AS (
+  SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+         avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd
+  FROM customer
+)
+SELECT c_custkey,
+       round((c_acctbal - lo) / (hi - lo), 6) AS bal_minmax,
+       round((c_acctbal - mu) / sd, 6) AS bal_zscore,
+       {', '.join(f"CAST(c_mktsegment = '{s}' AS INTEGER) AS seg_{s.lower()}" for s in _SEGMENTS)}
+FROM customer, stats
+"""
+
+
+@query("q_feature_scaling", FEATSCALE_ORACLE)
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard tabular featurizer in one projection: min-max and
+    z-score scalings of account balance plus a fixed-vocabulary one-hot of
+    the market segment — the feature matrix a gradient model trains on.
+    The one-hot columns are DECLARED (5 literal comparisons), not
+    pivot-discovered: schema stability under new data is what a 100 TB
+    training pipeline needs from its featurizer (an unseen segment must
+    fail loudly in review, not silently widen the matrix).
+
+    Scale: fit = ONE broadcast 1-row aggregate (min/max/mean/sd are
+    map-side combinable); transform = a stateless projection over the
+    scan. This is fit/transform with the fit state being 4 doubles —
+    contrast [[q_quantile_normalize]], whose fit state is per-group
+    quantiles."""
+    cust = load_table(spark, sf_dir, "customer")
+    stats = cust.agg(
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sd"),
+    )
+    return cust.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        F.round(
+            (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+        ).alias("bal_minmax"),
+        F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sd"), 6).alias(
+            "bal_zscore"
+        ),
+        *[
+            (F.col("c_mktsegment") == s).cast("int").alias(f"seg_{s.lower()}")
+            for s in _SEGMENTS
+        ],
+    )

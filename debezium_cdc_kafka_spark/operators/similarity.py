@@ -1773,3 +1773,64 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("x.cos6"), 3).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: LSH top-k vs exact top-k, in-engine.
+# ---------------------------------------------------------------------------
+
+RECALL_ORACLE = f"""
+WITH bf AS (
+  SELECT * FROM ({BRUTE_ORACLE}) WHERE rk <= 3
+),
+lsh AS ({LSH_ORACLE}),
+hits AS (
+  SELECT bf.query_id,
+         CAST(count(lsh.cand_id) AS BIGINT) AS n_hits
+  FROM bf LEFT JOIN lsh
+    ON lsh.query_id = bf.query_id AND lsh.cand_id = bf.cand_id
+  GROUP BY bf.query_id
+)
+SELECT query_id, n_hits,
+       round(n_hits / 3.0, 6) AS recall_at_3,
+       round(sum(n_hits) OVER () / (3.0 * count(*) OVER ()), 6) AS macro_recall
+FROM hits
+"""
+
+
+@query("ann_recall_eval", RECALL_ORACLE)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of [[ann_lsh_hyperplane]] against the exact top-3 of
+    [[ann_bruteforce_topk]], computed entirely in-engine — the evaluation
+    harness an ANN deployment runs on every index rebuild (recall drift is
+    how you notice a bad quantizer or a skewed bucket long before users
+    do). Per-query recall plus the corpus macro average on every row.
+
+    Scale: both retrievals are the already-bounded operators; the
+    comparison is an equi-join on (query_id, cand_id) over top-k-sized
+    sets — k x queries rows, trivially shuffled. The macro average is
+    integer hit counts over a window (sum-of-ints, order-independent);
+    per-query recall is one rounded division."""
+    bf = ann_bruteforce_topk(spark, sf_dir).filter(F.col("rk") <= 3)
+    lsh = ann_lsh_hyperplane(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("lsh_cand")
+    )
+    hits = (
+        bf.join(
+            lsh,
+            (bf["query_id"] == lsh["query_id"])
+            & (bf["cand_id"] == lsh["lsh_cand"]),
+            "left",
+        )
+        .groupBy(bf["query_id"].alias("query_id"))
+        .agg(F.count("lsh_cand").alias("n_hits"))
+    )
+    wg = W.partitionBy()
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / 3.0, 6).alias("recall_at_3"),
+        F.round(
+            F.sum("n_hits").over(wg) / (3.0 * F.count(F.lit(1)).over(wg)), 6
+        ).alias("macro_recall"),
+    )

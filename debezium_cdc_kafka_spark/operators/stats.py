@@ -548,3 +548,92 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: distribution drift between two periods.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+PSI_ORACLE = f"""
+WITH pop AS (
+  SELECT o_totalprice AS x,
+         CAST(year(o_orderdate) = 1996 AS INTEGER) AS is_base
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+),
+rng AS (SELECT min(x) AS lo, max(x) AS hi FROM pop),
+binned AS (
+  SELECT CAST(least({_PSI_BINS - 1},
+               CAST(floor((x - lo) / (hi - lo) * {_PSI_BINS}) AS INTEGER)) AS INTEGER) AS bin,
+         is_base
+  FROM pop, rng
+),
+counts AS (
+  SELECT bin,
+         CAST(sum(is_base) AS BIGINT) AS n_base,
+         CAST(sum(1 - is_base) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM counts),
+terms AS (
+  SELECT bin, n_base, n_cur,
+         (n_base + 0.5) / (tb + {_PSI_BINS} * 0.5) AS p,
+         (n_cur + 0.5) / (tc + {_PSI_BINS} * 0.5) AS q
+  FROM counts, tot
+)
+SELECT bin, n_base, n_cur,
+       round((p - q) * round(ln(p / q), 9), 9) AS psi_term,
+       round(sum((p - q) * round(ln(p / q), 9)) OVER (), 6) AS psi_total
+FROM terms
+"""
+
+
+@query("q_psi_drift", PSI_ORACLE)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1996 and 1997 order-price
+    distributions over {b} equal-width bins: PSI = sum (p-q) ln(p/q) with
+    half-count smoothing — the banking-standard drift score (>0.25 =
+    re-fit the model) complementing [[q_ks_two_sample]]'s
+    distribution-free D with a binned, additive-per-bin diagnostic that
+    says WHERE the mass moved.
+
+    Scale: one pass bins both periods simultaneously (0/1 flag algebra,
+    map-side combinable to {b} rows); the range and totals are broadcast
+    1-row aggregates. ln parity follows the [[q_kaplan_meier]] discipline:
+    round each ln to 1e-9 before the bounded window sum.""".format(
+        b=_PSI_BINS
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    pop = orders.filter(yr.isin(1996, 1997)).select(
+        F.col("o_totalprice").alias("x"), (yr == 1996).cast("int").alias("is_base")
+    )
+    rng = pop.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = pop.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(
+                (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * _PSI_BINS
+            ).cast("int"),
+        ).alias("bin"),
+        "is_base",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_base").cast("long").alias("n_base"),
+        F.sum(1 - F.col("is_base")).cast("long").alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
+    p = (F.col("n_base") + 0.5) / (F.col("tb") + _PSI_BINS * 0.5)
+    q = (F.col("n_cur") + 0.5) / (F.col("tc") + _PSI_BINS * 0.5)
+    term = (p - q) * F.round(F.log(p / q), 9)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_base", "n_cur", F.round(term, 9).alias("psi_term"), term.alias("_t")
+    )
+    return terms.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        "psi_term",
+        F.round(F.sum("_t").over(W.partitionBy()), 6).alias("psi_total"),
+    )

@@ -230,3 +230,56 @@ def test_gini_source_tokens_range(spark):
     row = q_gini_source_tokens(spark, SF_SMOKE).collect()[0]
     assert 0.0 <= row["gini"] < 1.0
     assert row["n_sources"] > 1
+
+
+def test_ann_recall_bounds_and_bruteforce_self_recall(spark):
+    from debezium_cdc_kafka_spark.operators.similarity import ann_recall_eval
+
+    rows = ann_recall_eval(spark, SF_SMOKE).collect()
+    assert rows
+    macro = rows[0]["macro_recall"]
+    assert all(r["macro_recall"] == macro for r in rows)
+    for r in rows:
+        assert 0.0 <= r["recall_at_3"] <= 1.0
+        assert r["n_hits"] <= 3
+    # macro average consistent with per-query hits
+    expect = round(sum(r["n_hits"] for r in rows) / (3.0 * len(rows)), 6)
+    assert abs(macro - expect) < 1e-6
+
+
+def test_psi_drift_additivity(spark):
+    from debezium_cdc_kafka_spark.operators.stats import q_psi_drift
+
+    rows = q_psi_drift(spark, SF_SMOKE).collect()
+    tot = rows[0]["psi_total"]
+    assert all(r["psi_total"] == tot for r in rows)
+    assert abs(sum(r["psi_term"] for r in rows) - tot) < 1e-5
+    # PSI is non-negative (each term is (p-q)ln(p/q) >= 0)
+    assert tot >= 0
+    for r in rows:
+        assert r["psi_term"] >= -1e-12
+
+
+def test_dau_mau_stickiness_bounds(spark):
+    from debezium_cdc_kafka_spark.operators.behavior import q_dau_mau_stickiness
+
+    rows = q_dau_mau_stickiness(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_feature_scaling_invariants(spark):
+    from debezium_cdc_kafka_spark.operators.reshape import (
+        _SEGMENTS,
+        q_feature_scaling,
+    )
+
+    rows = q_feature_scaling(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0.0 <= r["bal_minmax"] <= 1.0
+        onehots = [r[f"seg_{s.lower()}"] for s in _SEGMENTS]
+        assert sum(onehots) == 1, "exactly one segment fires"
+    zs = [r["bal_zscore"] for r in rows]
+    assert abs(sum(zs) / len(zs)) < 0.01, "z-scores are centered"
