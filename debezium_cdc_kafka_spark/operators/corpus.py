@@ -333,3 +333,62 @@ def q_gini_source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: tokens-per-word / chars-per-token by language.
+# ---------------------------------------------------------------------------
+
+FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(text, ' '), w -> w <> '')) AS n_words,
+         len({tokens_sql("text")}) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6) AS fertility,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 6) AS chars_per_token
+FROM t GROUP BY lang
+"""
+
+
+@query("q_tokenizer_fertility", FERTILITY_ORACLE)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: tokens emitted per whitespace word
+    and characters per token — THE cross-lingual tokenizer-quality metric
+    (a tokenizer with fertility 3 on one language triples that language's
+    training cost per word and shrinks its effective context window;
+    budget-mixing by raw token counts, [[q_token_budget_mix]], silently
+    encodes this bias). Here the regex tokenizer plays the tokenizer under
+    audit; swapping in a learned BPE ([[text_bpe_pair_counts]]) keeps the
+    query identical.
+
+    Scale: pure per-row projections collapsed by a map-side-combinable
+    groupBy to |langs| rows; ratio-of-integer-sums division, rounded
+    once."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    t = docs.select(
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )

@@ -1834,3 +1834,89 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_hits").over(wg) / (3.0 * F.count(F.lit(1)).over(wg)), 6
         ).alias("macro_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-table health report: per-label norms, MAD outliers, class weights.
+# ---------------------------------------------------------------------------
+
+_EHN = EMB_NORM_SQL.format(t="e")
+
+EMB_HEALTH_ORACLE = f"""
+WITH norms AS (
+  SELECT e.label, e.vec_id, sqrt({_EHN}) AS nrm
+  FROM embeddings e
+),
+med AS (
+  SELECT label, quantile_cont(nrm, 0.5) AS med FROM norms GROUP BY label
+),
+dev AS (
+  SELECT n.label, n.nrm, m.med, abs(n.nrm - m.med) AS adev
+  FROM norms n JOIN med m ON n.label = m.label
+),
+mad AS (SELECT label, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY label),
+tot AS (SELECT count(*) AS n_total, count(DISTINCT label) AS k FROM norms)
+SELECT dev.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(max(tot.n_total) AS DOUBLE) / (max(tot.k) * count(*)), 6)
+         AS class_weight,
+       round(max(dev.med), 6) AS median_norm,
+       round(max(mad.mad), 6) AS mad_norm,
+       CAST(sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_norm_outliers
+FROM dev JOIN mad ON dev.label = mad.label, tot
+GROUP BY dev.label
+"""
+
+
+@query("q_embedding_health", EMB_HEALTH_ORACLE)
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-table health report: vector counts,
+    inverse-frequency class weights (n_total / (k * n_label) — the loss
+    reweighting for imbalanced training), median L2 norm, MAD, and the
+    count of 3-MAD norm outliers. Degenerate embeddings announce
+    themselves through norms first (a near-zero norm is a dead encoder
+    output; a giant one poisons dot products), so this is the screen an
+    embedding pipeline runs BEFORE building any index on top —
+    complementary to [[q_label_centroid_outliers]], which needs the
+    centroid geometry this screen validates.
+
+    Scale: same shape as [[q_outliers_mad]] — the norm is a per-row fold
+    on the scan, two grouped exact medians with label-sized broadcast
+    results; swap percentile for percentile_approx at 100 TB and the plan
+    is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label", "vec_id", F.sqrt(sq_norm_expr("embedding")).alias("nrm")
+    )
+    med = norms.groupBy("label").agg(
+        F.expr("percentile(nrm, 0.5)").alias("med")
+    )
+    dev = norms.join(F.broadcast(med), "label").withColumn(
+        "adev", F.abs(F.col("nrm") - F.col("med"))
+    )
+    mad = dev.groupBy("label").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    tot = norms.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("label").alias("k"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.max("n_total").cast("double")
+                / (F.max("k") * F.count(F.lit(1))),
+                6,
+            ).alias("class_weight"),
+            F.round(F.max("med"), 6).alias("median_norm"),
+            F.round(F.max("mad"), 6).alias("mad_norm"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_norm_outliers"),
+        )
+    )

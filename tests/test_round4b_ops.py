@@ -283,3 +283,31 @@ def test_feature_scaling_invariants(spark):
         assert sum(onehots) == 1, "exactly one segment fires"
     zs = [r["bal_zscore"] for r in rows]
     assert abs(sum(zs) / len(zs)) < 0.01, "z-scores are centered"
+
+
+def test_embedding_health_class_weights(spark):
+    from debezium_cdc_kafka_spark.operators.similarity import q_embedding_health
+
+    rows = q_embedding_health(spark, SF_SMOKE).collect()
+    n_total = sum(r["n_vecs"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert r["median_norm"] > 0
+        assert r["n_norm_outliers"] <= r["n_vecs"]
+        expect_w = round(n_total / (k * r["n_vecs"]), 6)
+        assert abs(r["class_weight"] - expect_w) < 1e-6
+    # weights average ~1 when weighted by class frequency
+    wsum = sum(r["class_weight"] * r["n_vecs"] for r in rows)
+    assert abs(wsum - n_total) < 1e-3
+
+
+def test_tokenizer_fertility_sane(spark):
+    from debezium_cdc_kafka_spark.operators.corpus import q_tokenizer_fertility
+
+    rows = q_tokenizer_fertility(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # the regex tokenizer splits punctuation off words: fertility >= ~1
+        assert r["fertility"] >= 0.9, r
+        assert r["chars_per_token"] > 1.0
+        assert r["total_words"] <= r["total_chars"]
