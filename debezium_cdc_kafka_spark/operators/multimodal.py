@@ -276,3 +276,145 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".tar"),
         ).alias("shard_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT patch-grid planning over the DECODED features — hash-gates the
+# mapInPandas decode path itself.
+# ---------------------------------------------------------------------------
+
+_PATCH = 16
+
+PATCH_GRID_ORACLE = f"""
+WITH decoded AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         list_sum(list_transform(
+           range(1, least(length(text), 64) + 1),
+           i -> unicode(substr(text, i, 1)))) AS checksum
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, n_bytes,
+         CAST(64 + checksum % 64 AS INT) AS width,
+         CAST(64 + (checksum // 64) % 64 AS INT) AS height,
+         round((checksum % 255) / 255.0, 6) AS brightness
+  FROM decoded
+)
+SELECT doc_id, n_bytes, width, height, brightness,
+       CAST((width + {_PATCH - 1}) // {_PATCH} AS INT) AS patches_x,
+       CAST((height + {_PATCH - 1}) // {_PATCH} AS INT) AS patches_y,
+       CAST(((width + {_PATCH - 1}) // {_PATCH})
+            * ((height + {_PATCH - 1}) // {_PATCH}) AS INT) AS n_patches,
+       CAST(((width + {_PATCH - 1}) // {_PATCH}) * {_PATCH} - width AS INT) AS pad_x,
+       CAST(((height + {_PATCH - 1}) // {_PATCH}) * {_PATCH} - height AS INT) AS pad_y
+FROM dims
+"""
+
+
+@query("multimodal_patch_grid", PATCH_GRID_ORACLE)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid planning computed from the OUTPUT of the Arrow
+    mapInPandas decoder (`extract_features`): 16x16 patch counts and edge
+    padding per image — the tokenization budget a vision encoder pays per
+    blob, aggregated upstream to plan batch shapes. The oracle replays the
+    fake codec's checksum arithmetic in SQL (the corpus is ASCII, so
+    codepoints == bytes), which makes this the query that HASH-GATES the
+    Python decode path itself — byte iteration, Arrow transfer, dtype
+    handling — not just JVM metadata ([[multimodal_blob_meta]]'s scope).
+    Swapping `_decode_fake` for PIL changes the oracle to a fixture table;
+    the plan is unchanged.
+
+    Scale: decode is the sanctioned Arrow slow path, one pass, partition-
+    streamed (never materializes a partition); the grid math is a
+    stateless projection on the decoder's output. No shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(with_blob(docs))
+    px = F.floor((F.col("width") + (_PATCH - 1)) / _PATCH).cast("int")
+    py = F.floor((F.col("height") + (_PATCH - 1)) / _PATCH).cast("int")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "brightness",
+        px.alias("patches_x"),
+        py.alias("patches_y"),
+        (px * py).cast("int").alias("n_patches"),
+        (px * _PATCH - F.col("width")).cast("int").alias("pad_x"),
+        (py * _PATCH - F.col("height")).cast("int").alias("pad_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio chunk planning: fixed-window-with-hop segmentation from metadata.
+# ---------------------------------------------------------------------------
+
+_SR = 16_000          # fake PCM sample rate
+# window/hop sized to the synthetic payloads (~250 samples) so the chunk
+# geometry (overlap, multi-chunk, truncated tail) is actually exercised;
+# a real 16 kHz deployment uses 8000/4000 with the identical plan
+_WIN = 64
+_HOP = 32
+
+AUDIO_CHUNK_ORACLE = f"""
+WITH pcm AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples
+  FROM documents
+  WHERE octet_length(encode(text)) // 2 > 0
+)
+SELECT doc_id, n_samples,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {_HOP} AS BIGINT) AS start_sample,
+       CAST(least(i * {_HOP} + {_WIN}, n_samples) AS BIGINT) AS end_sample,
+       CAST(least(i * {_HOP} + {_WIN}, n_samples) = n_samples AS INTEGER) AS is_tail
+FROM (
+  SELECT doc_id, n_samples,
+         unnest(range(0, greatest((n_samples - {_WIN} + {_HOP} - 1) // {_HOP}, 0) + 1)) AS i
+  FROM pcm
+)
+"""
+
+
+@query("multimodal_audio_chunks", AUDIO_CHUNK_ORACLE)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation planning: treat each payload as 16-bit PCM and
+    emit fixed windows with 50% hop overlap (the standard ASR /
+    audio-embedding frontend shape; window=64/hop=32 samples here, scaled
+    to the synthetic payloads) — chunk count = ceil((n - win)/hop)+1,
+    final chunk truncated and flagged. Like [[multimodal_frame_sample]],
+    this runs ENTIRELY from metadata so the expensive per-window decode
+    downstream touches only planned spans; it is the audio twin of
+    [[q_doc_chunking]]'s text windows.
+
+    Scale: sequence+explode keeps every blob's chunks in its partition —
+    no shuffle, output proportional to total audio duration, not corpus
+    row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    pcm = docs.select(
+        "doc_id",
+        F.floor(F.length(F.encode(F.col("text"), "UTF-8")) / 2)
+        .cast("long")
+        .alias("n_samples"),
+    ).filter(F.col("n_samples") > 0)
+    n_chunks = (
+        F.greatest(
+            F.ceil((F.col("n_samples") - _WIN) / _HOP).cast("long"), F.lit(0)
+        )
+        + 1
+    )
+    chunks = pcm.select(
+        "doc_id",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("i"),
+    )
+    end = F.least(F.col("i").cast("long") * _HOP + _WIN, F.col("n_samples"))
+    return chunks.select(
+        "doc_id",
+        "n_samples",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i").cast("long") * _HOP).alias("start_sample"),
+        end.alias("end_sample"),
+        (end == F.col("n_samples")).cast("int").alias("is_tail"),
+    )

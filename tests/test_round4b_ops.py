@@ -311,3 +311,53 @@ def test_tokenizer_fertility_sane(spark):
         assert r["fertility"] >= 0.9, r
         assert r["chars_per_token"] > 1.0
         assert r["total_words"] <= r["total_chars"]
+
+
+def test_patch_grid_decodes_match_python(spark):
+    """The oracle replays the checksum in SQL; this replays it in Python
+    directly from the parquet bytes — three-way agreement."""
+    from debezium_cdc_kafka_spark.operators.multimodal import (
+        _PATCH,
+        multimodal_patch_grid,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    rows = multimodal_patch_grid(spark, SF_SMOKE).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        payload = texts[r["doc_id"]].encode("utf-8")
+        checksum = sum(payload[:64])
+        assert r["width"] == 64 + checksum % 64
+        assert r["height"] == 64 + (checksum // 64) % 64
+        assert r["n_patches"] == r["patches_x"] * r["patches_y"]
+        assert 0 <= r["pad_x"] < _PATCH and 0 <= r["pad_y"] < _PATCH
+
+
+def test_audio_chunks_cover_and_overlap(spark):
+    from collections import defaultdict
+
+    from debezium_cdc_kafka_spark.operators.multimodal import (
+        _HOP,
+        _WIN,
+        multimodal_audio_chunks,
+    )
+
+    by_doc = defaultdict(list)
+    for r in multimodal_audio_chunks(spark, SF_SMOKE).collect():
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = chunks[0]["n_samples"]
+        # starts advance by hop; tail flagged exactly on the last chunk
+        for i, c in enumerate(chunks):
+            assert c["start_sample"] == i * _HOP
+            assert c["end_sample"] <= n
+        assert chunks[-1]["is_tail"] == 1
+        assert chunks[-1]["end_sample"] == n
+        # full coverage: every sample inside some window
+        covered = max(c["end_sample"] for c in chunks)
+        assert covered == n
+        if len(chunks) > 1:
+            assert chunks[0]["end_sample"] > chunks[1]["start_sample"], "overlap"
