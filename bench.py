@@ -50,12 +50,19 @@ def main() -> int:
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm the JVM once per query shape at the smallest SF so the measured
-    # numbers are steady-state execution (codegen/JIT for the big expression
-    # trees costs seconds on first run), not first-touch compile cost.
+    # Warm the JVM once per query shape at the smallest SF (codegen/JIT for
+    # the big expression trees costs seconds on first run), then once per
+    # query AT THE TARGET SF: allocation-heavy stages (JSON decode, shingle
+    # passes) JIT/GC-converge over the first large-data run, and without a
+    # full-size warm rep the min-of-reps below still carries 30-60% of that
+    # first-touch cost (observed bimodal reps at sf0.1). Steady-state per
+    # query is what BASELINE comparisons need.
     for name in names:
         queries[name](spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache()
+    for name in names:
+        queries[name](spark, sf_dir).count()
+        spark.catalog.clearCache()
 
     # min over `reps` runs per query: single-run wall time at 1–2s scale
     # has ±20% scheduler/GC jitter (observed across rounds 1–2); the min is
