@@ -1053,37 +1053,53 @@ def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to µ-integers and summed exactly, so the distance — and the
     decile cut, which orders by the integer sum — is engine-independent.
 
-    Scale shape: two corpus scans (centroid partial-agg, then score).
-    The centroid table is |labels|·dim rows → broadcast back; the only
-    corpus-sized shuffle keys on vec_id with bounded (64-term) groups.
-    The decile cut is a per-label window, parallel across labels."""
+    Scale shape: the centroid pass explodes to (label, dim) but map-side
+    combine collapses it to |labels|·64 rows before the shuffle; the
+    scoring pass is a broadcast join + zip_with/aggregate fold inside the
+    scan projection — the corpus never shuffles on vec_id (the old
+    explode-join-reaggregate form paid two corpus-sized shuffles). The
+    only corpus-sized shuffle left is the per-label decile window the
+    semantics require."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
-    ).select(
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dimmed = emb.select("vec_id", "label", arr.alias("v"))
+    # centroid pass: explode to (label, dim, v) — map-side combine collapses
+    # it to |labels|x64 rows before the shuffle — then re-assemble each
+    # label's centroid as a dim-ordered array
+    cent = (
+        dimmed.select("label", F.posexplode("v").alias("pos", "ev"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("ev") * 1000000).cast("long"))
+                / F.count(F.lit(1))
+                / 1000000.0,
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("c")
+        )
+    )
+    scored = dimmed.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
-        (F.col("pos") + 1).cast("int").alias("dim"),
-        F.col("v").cast("double").alias("v"),
+        F.aggregate(
+            F.zip_with(
+                "v",
+                "c",
+                lambda v, c: F.round((v - c) * (v - c) * 1000000).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("s6"),
     )
-    cent = dims.groupBy("label", "dim").agg(
-        F.round(
-            F.sum(F.round(F.col("v") * 1000000).cast("long"))
-            / F.count(F.lit(1))
-            / 1000000.0,
-            6,
-        ).alias("c")
-    )
-    terms = dims.join(F.broadcast(cent), ["label", "dim"]).select(
-        "vec_id",
-        "label",
-        F.round((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")) * 1000000)
-        .cast("long")
-        .alias("t6"),
-    )
-    d2 = terms.groupBy("vec_id", "label").agg(F.sum("t6").alias("s6"))
     w = W.partitionBy("label").orderBy("s6", "vec_id")
-    return d2.select(
+    return scored.select(
         "vec_id",
         "label",
         F.round(F.col("s6") / 1000000.0, 6).alias("d2_centroid"),
