@@ -34,7 +34,13 @@ def _norm(v: Any) -> Any:
         if math.isnan(v):
             return "NaN"
         # collapse float-repr noise below the rounding we apply in-query
-        return round(v, 9)
+        r = round(v, 9)
+        # -0.0 == 0.0 under ==, but a bit-pattern value-hash (the driver's
+        # canonicalizer) distinguishes them — be at least as strict here so
+        # a Spark/DuckDB signed-zero disagreement surfaces locally first
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     if isinstance(v, bool):
         return v
     if hasattr(v, "isoformat"):
