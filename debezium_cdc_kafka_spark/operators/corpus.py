@@ -104,6 +104,197 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iterative BPE training: N merge rounds, canonical greedy-leftmost apply.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled-CTE oracle: each round = pair-count → argmax winner →
+    greedy-leftmost merge apply, exactly mirroring the Spark loop. The
+    merge rewrite is expressed positionally (gaps-islands run parity), not
+    via string replace(), so it does not depend on any engine's substring
+    scan semantics."""
+    parts = [
+        f"""
+WITH toks AS (
+  SELECT unnest({tokens_sql("text")}) AS word FROM documents
+), wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY word
+), st0 AS (
+  SELECT word, f, string_split(word, '') AS syms FROM wf
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", ex{r} AS (
+  SELECT word, f, CAST(u.i AS INT) AS pos,
+         syms[CAST(u.i AS INT)] AS s, syms[CAST(u.i AS INT) + 1] AS nxt
+  FROM st{p}, UNNEST(range(1, len(syms) + 1)) AS u(i)
+), win{r} AS (
+  SELECT s AS c1, nxt AS c2, CAST(sum(f) AS BIGINT) AS pair_count
+  FROM ex{r} WHERE nxt IS NOT NULL
+  GROUP BY s, nxt ORDER BY pair_count DESC, c1, c2 LIMIT 1
+)"""
+        )
+        if r < rounds:
+            parts.append(
+                f""", mk{r} AS (
+  SELECT e.word, e.f, e.pos, e.s, e.nxt,
+         coalesce(e.s = w.c1 AND e.nxt = w.c2, FALSE) AS mt,
+         sum(CASE WHEN coalesce(e.s = w.c1 AND e.nxt = w.c2, FALSE)
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY e.word ORDER BY e.pos) AS cm
+  FROM ex{r} e CROSS JOIN win{r} w
+), rk{r} AS (
+  SELECT *, row_number() OVER (
+              PARTITION BY word, CASE WHEN mt THEN pos - cm END
+              ORDER BY pos) AS rnk
+  FROM mk{r}
+), mg{r} AS (
+  SELECT *, (mt AND rnk % 2 = 1) AS mg,
+         coalesce(lag(mt AND rnk % 2 = 1)
+                    OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+  FROM rk{r}
+), st{r} AS (
+  SELECT word, f,
+         list(CASE WHEN mg THEN s || nxt ELSE s END ORDER BY pos) AS syms
+  FROM mg{r} WHERE NOT consumed GROUP BY word, f
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, c1, c2, c1 || c2 AS merged,"
+        f" pair_count FROM win{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+BPE_TRAIN_ORACLE = _bpe_train_oracle(_BPE_ROUNDS)
+
+
+@query("text_bpe_train", BPE_TRAIN_ORACLE)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): [[text_bpe_pair_counts]]
+    is one statistics pass; this runs the full loop — 5 rounds of
+    (count adjacent symbol pairs weighted by word frequency → pick the
+    most frequent pair, ties broken lexicographically → merge every
+    greedy-leftmost non-overlapping occurrence) — and emits the learned
+    merge table, the artifact a tokenizer ships. Pair counts include
+    overlapping occurrences (get_stats semantics); the APPLY step is
+    canonical greedy-leftmost, expressed positionally: islands of
+    consecutive matches (only possible when c1 = c2, e.g. 'aaaa') merge at
+    odd ranks only, and a position is consumed iff its left neighbor
+    merged. No string replace(), so no dependence on engine scan
+    semantics.
+
+    Scale: the corpus is scanned ONCE (word-frequency groupBy,
+    map-side combinable); the training loop runs over the Zipf-bounded
+    vocabulary — state is |vocab| rows regardless of corpus size. Each
+    round localCheckpoints both the 1-row winner (so the cross-join and
+    the final union don't recompute the argmax) and the rewritten state
+    (bounded lineage across rounds, the dedup_clusters / MMR discipline).
+    The per-word windows partition on a high-cardinality key; the only
+    broadcast is the 1-row winner."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    state = wf.select("word", "f", F.split("word", "").alias("syms"))
+    state = state.localCheckpoint(eager=True)
+
+    wword = W.partitionBy("word").orderBy("pos")
+    winners = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        ex = state.select(
+            "word",
+            "f",
+            "syms",
+            F.posexplode("syms").alias("p0", "s"),
+        ).select(
+            "word",
+            "f",
+            (F.col("p0") + 1).cast("int").alias("pos"),
+            "s",
+            F.try_element_at("syms", F.col("p0") + 2).alias("nxt"),
+        )
+        win = (
+            ex.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("s").alias("c1"), F.col("nxt").alias("c2"))
+            .agg(F.sum("f").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "c1", "c2")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        winners.append(
+            win.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                "c1",
+                "c2",
+                F.concat("c1", "c2").alias("merged"),
+                "pair_count",
+            )
+        )
+        if r == _BPE_ROUNDS:
+            break
+        mt = F.coalesce(
+            (F.col("s") == F.col("c1")) & (F.col("nxt") == F.col("c2")),
+            F.lit(False),
+        )
+        mk = (
+            ex.crossJoin(F.broadcast(win))
+            .withColumn("mt", mt)
+            .withColumn("cm", F.sum(F.col("mt").cast("int")).over(wword))
+        )
+        rk = mk.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy(
+                    "word", F.when(F.col("mt"), F.col("pos") - F.col("cm"))
+                ).orderBy("pos")
+            ),
+        )
+        mg = rk.withColumn(
+            "mg", F.col("mt") & (F.col("rnk") % 2 == 1)
+        ).withColumn(
+            "consumed",
+            F.coalesce(F.lag("mg").over(wword), F.lit(False)),
+        )
+        state = (
+            mg.filter(~F.col("consumed"))
+            .groupBy("word", "f")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                F.when(
+                                    F.col("mg"),
+                                    F.concat("s", "nxt"),
+                                )
+                                .otherwise(F.col("s"))
+                                .alias("sym"),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("sym"),
+                ).alias("syms")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    out = winners[0]
+    for w_ in winners[1:]:
+        out = out.unionByName(w_)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Heaps' law: vocabulary growth per source.
 # ---------------------------------------------------------------------------
 

@@ -361,3 +361,54 @@ def test_audio_chunks_cover_and_overlap(spark):
         assert covered == n
         if len(chunks) > 1:
             assert chunks[0]["end_sample"] > chunks[1]["start_sample"], "overlap"
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Independent third implementation: Sennrich get_stats (overlapping
+    pair counts) + greedy-leftmost apply, in plain Python over the raw
+    parquet — the Spark loop and the unrolled-CTE oracle must both agree
+    with it."""
+    import re
+
+    from debezium_cdc_kafka_spark.functions.textfns import TOKEN_SPLIT_RE
+    from debezium_cdc_kafka_spark.operators.corpus import (
+        _BPE_ROUNDS,
+        text_bpe_train,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["text"])
+    wf = Counter()
+    for txt in t["text"].to_pylist():
+        for w in re.split(TOKEN_SPLIT_RE, txt.lower()):
+            if w:
+                wf[w] += 1
+    state = {w: list(w) for w in wf}
+    expected = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        counts = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += wf[w]
+        (c1, c2), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((r, c1, c2, c1 + c2, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == c1 and syms[i + 1] == c2:
+                    out.append(c1 + c2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+
+    got = [
+        (r["merge_round"], r["c1"], r["c2"], r["merged"], r["pair_count"])
+        for r in sorted(
+            text_bpe_train(spark, SF_SMOKE).collect(),
+            key=lambda r: r["merge_round"],
+        )
+    ]
+    assert got == expected
