@@ -1936,3 +1936,131 @@ def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_norm_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez farthest-point traversal).
+# ---------------------------------------------------------------------------
+
+_KC_K = 6
+
+_KC_DIST6 = (
+    "CAST(round(1000000 * list_sum(list_transform(range(1, 65), "
+    "i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))"
+    " * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))))"
+    " AS BIGINT)"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy rounds: each = argmax of the running min-distance,
+    then a cross-join update against the 1-row winner — the exact mirror
+    of the Spark loop."""
+    parts = [
+        """
+WITH s1 AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+), st1 AS (
+  SELECT a.vec_id, a.embedding, {d6} AS d6
+  FROM embeddings a CROSS JOIN s1 b
+)""".format(d6=_KC_DIST6)
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(
+            """, w{r} AS (
+  SELECT vec_id, embedding, d6 FROM st{p} ORDER BY d6 DESC, vec_id LIMIT 1
+)""".format(r=r, p=r - 1)
+        )
+        if r < _KC_K:
+            parts.append(
+                """, st{r} AS (
+  SELECT a.vec_id, a.embedding, least(a.d6, {d6}) AS d6
+  FROM st{p} a CROSS JOIN w{r} b
+)""".format(r=r, p=r - 1, d6=_KC_DIST6)
+            )
+    sel = ["SELECT CAST(1 AS INT) AS sel_round, vec_id,"
+           " CAST(0.0 AS DOUBLE) AS d2_sel FROM s1"]
+    sel += [
+        f"SELECT CAST({r} AS INT), vec_id, round(d6 / 1000000.0, 6) FROM w{r}"
+        for r in range(2, _KC_K + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def _kc_dist6(v, cv):
+    diffs = F.zip_with(v, cv, lambda x, y: (x - y) * (x - y))
+    return F.round(
+        1000000 * F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    ).cast("long")
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 2-approximation, the
+    farthest-point traversal): seed with the lowest vec_id, then k-1
+    rounds of "select the point farthest from every chosen center" —
+    THE diverse-subset selection primitive (coreset construction,
+    active-learning seed pools, k-center initialization; complements
+    [[semdedup_survivors]], which removes redundancy, by *maximizing*
+    coverage). Emits each center with its selection-time distance — the
+    running coverage radius, whose final value is the 2-approx bound.
+
+    Exactness: squared L2 folded in sequential order (dedup.py dot_expr
+    discipline) and rounded to µ-integers before any comparison, so the
+    argmax — ties broken by vec_id — is engine-independent.
+
+    Scale: each round is one corpus scan + a broadcast 1-row center + a
+    TakeOrdered argmax: O(k·n·d) total, no pairwise materialization, no
+    corpus shuffle at all. State (vec, running min-distance) is
+    localCheckpointed per round so lineage stays flat at any k. At 100 TB
+    the same loop runs unchanged; k is the only growth knob."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pts = emb.select("vec_id", arr.alias("v"))
+    seed = pts.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
+    out = [
+        seed.select(
+            F.lit(1).cast("int").alias("sel_round"),
+            "vec_id",
+            F.lit(0.0).alias("d2_sel"),
+        )
+    ]
+    state = (
+        pts.crossJoin(F.broadcast(seed.select(F.col("v").alias("cv"))))
+        .select("vec_id", "v", _kc_dist6(F.col("v"), F.col("cv")).alias("d6"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, _KC_K + 1):
+        win = (
+            state.orderBy(F.col("d6").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            win.select(
+                F.lit(r).cast("int").alias("sel_round"),
+                "vec_id",
+                F.round(F.col("d6") / 1000000.0, 6).alias("d2_sel"),
+            )
+        )
+        if r < _KC_K:
+            state = (
+                state.crossJoin(
+                    F.broadcast(win.select(F.col("v").alias("cv")))
+                )
+                .select(
+                    "vec_id",
+                    "v",
+                    F.least(
+                        F.col("d6"), _kc_dist6(F.col("v"), F.col("cv"))
+                    ).alias("d6"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+QUERIES["q_kcenter_coreset"] = q_kcenter_coreset
+ORACLES["q_kcenter_coreset"] = _kcenter_oracle()

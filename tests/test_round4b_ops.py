@@ -412,3 +412,46 @@ def test_bpe_train_matches_python_reference(spark):
         )
     ]
     assert got == expected
+
+
+def test_kcenter_matches_python_and_monotone(spark):
+    """Independent Python farthest-point traversal over the raw parquet;
+    also pins the k-center invariant: selection distances never increase."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        _KC_K,
+        q_kcenter_coreset,
+    )
+
+    t = pq.read_table(
+        f"{SF_SMOKE}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in t.to_pylist()
+    }
+
+    def d6(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(1000000 * acc)
+
+    seed = min(vecs)
+    chosen = [(1, seed, 0.0)]
+    dist = {i: d6(v, vecs[seed]) for i, v in vecs.items()}
+    for r in range(2, _KC_K + 1):
+        w = min(dist, key=lambda i: (-dist[i], i))
+        chosen.append((r, w, round(dist[w] / 1000000.0, 6)))
+        for i, v in vecs.items():
+            dist[i] = min(dist[i], d6(v, vecs[w]))
+
+    got = [
+        (r["sel_round"], r["vec_id"], r["d2_sel"])
+        for r in sorted(
+            q_kcenter_coreset(spark, SF_SMOKE).collect(),
+            key=lambda r: r["sel_round"],
+        )
+    ]
+    assert got == chosen
+    sel_d = [d for _, _, d in got[1:]]
+    assert sel_d == sorted(sel_d, reverse=True)
