@@ -637,3 +637,96 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_term",
         F.round(F.sum("_t").over(W.partitionBy()), 6).alias("psi_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: exact ROC-AUC via the Mann-Whitney rank form.
+# ---------------------------------------------------------------------------
+
+
+def _auc_oracle() -> str:
+    from .text import CLASSIFIER_ORACLE
+
+    return f"""
+WITH scored AS ({CLASSIFIER_ORACLE}),
+lab AS (
+  SELECT s.quality_score AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM scored s JOIN documents d USING (doc_id)
+),
+grp AS (
+  SELECT sc, CAST(count(*) AS BIGINT) AS c, CAST(sum(pos) AS BIGINT) AS p
+  FROM lab GROUP BY sc
+),
+cum AS (
+  SELECT sc, c, p,
+         CAST(coalesce(sum(c) OVER (
+           ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS below
+  FROM grp
+),
+agg AS (
+  SELECT CAST(sum(p * (2 * below + c + 1)) AS BIGINT) AS r2,
+         CAST(sum(p) AS BIGINT) AS npos,
+         CAST(sum(c - p) AS BIGINT) AS nneg
+  FROM cum
+)
+SELECT npos AS n_pos, nneg AS n_neg,
+       round((r2 - npos * (npos + 1)) / (2.0 * npos * nneg), 6) AS auc,
+       round((r2 - npos * (npos + 1)) / (1.0 * npos * nneg) - 1.0, 6) AS gini
+FROM agg
+"""
+
+
+AUC_ORACLE = _auc_oracle()
+
+
+@query("q_classifier_auc", AUC_ORACLE)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of [[text_quality_classifier]]'s score against the
+    corpus ground truth (lang = 'en', the probe's anglocentric stopword
+    prior makes this its de-facto target domain) — the eval gate run
+    before any learned filter is trusted in a curation pipeline. Uses the
+    Mann-Whitney U rank form with mid-rank tie handling, kept in doubled
+    integers (2-R-plus = sum over tie groups of p*(2*below + c + 1)) so
+    the statistic is exact and engine-independent; Gini = 2-AUC-1 ships
+    alongside.
+
+    Scale: one corpus-sized groupBy collapses scores to tie groups; the
+    quality score is quantized to 4dp, so the grouped table is bounded at
+    ~10^4 rows regardless of corpus size and the running-count window
+    over it is calendar-bounded-style safe (never data-proportional).
+    The doubled rank sum fits int64 up to ~10^9 rows per evaluation
+    slice; beyond that, shard the eval by split and average."""
+    from .text import text_quality_classifier
+
+    scored = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("pos")
+    )
+    lab = scored.join(docs, "doc_id")
+    grp = lab.groupBy(F.col("quality_score").alias("sc")).agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    wnd = W.orderBy("sc").rowsBetween(W.unboundedPreceding, -1)
+    cum = grp.withColumn(
+        "below", F.coalesce(F.sum("c").over(wnd), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("p") * (2 * F.col("below") + F.col("c") + 1)
+        ).alias("r2"),
+        F.sum("p").alias("npos"),
+        F.sum(F.col("c") - F.col("p")).alias("nneg"),
+    )
+    raw = F.col("r2") - F.col("npos") * (F.col("npos") + 1)
+    return agg.select(
+        F.col("npos").alias("n_pos"),
+        F.col("nneg").alias("n_neg"),
+        F.round(raw / (2.0 * F.col("npos") * F.col("nneg")), 6).alias("auc"),
+        F.round(
+            raw / (1.0 * F.col("npos") * F.col("nneg")) - 1.0, 6
+        ).alias("gini"),
+    )

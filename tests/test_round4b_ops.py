@@ -455,3 +455,32 @@ def test_kcenter_matches_python_and_monotone(spark):
     assert got == chosen
     sel_d = [d for _, _, d in got[1:]]
     assert sel_d == sorted(sel_d, reverse=True)
+
+
+def test_classifier_auc_equals_pair_counting(spark):
+    """The Mann-Whitney rank form must equal the definitional pair count
+    (#pos>neg + 0.5*#ties) / (n_pos*n_neg), computed brute-force in
+    Python from the classifier's own scores."""
+    from debezium_cdc_kafka_spark.operators.stats import q_classifier_auc
+    from debezium_cdc_kafka_spark.operators.text import text_quality_classifier
+
+    langs = dict(
+        (r["doc_id"], r["lang"])
+        for r in pq.read_table(
+            f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pylist()
+    )
+    scored = [
+        (r["quality_score"], 1 if langs[r["doc_id"]] == "en" else 0)
+        for r in text_quality_classifier(spark, SF_SMOKE).collect()
+    ]
+    pos = [s for s, y in scored if y == 1]
+    neg = [s for s, y in scored if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expected = round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+
+    row = q_classifier_auc(spark, SF_SMOKE).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - expected) < 1e-9
+    assert abs(row["gini"] - (2 * row["auc"] - 1)) < 2e-6
