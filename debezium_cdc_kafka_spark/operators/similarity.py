@@ -2064,3 +2064,179 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_kcenter_coreset"] = q_kcenter_coreset
 ORACLES["q_kcenter_coreset"] = _kcenter_oracle()
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over the blocked epsilon-neighbor graph (graph formulation).
+# ---------------------------------------------------------------------------
+
+_DB_TAU = 0.2      # cosine >= tau  <=>  within-epsilon neighbor
+_DB_MINPTS = 5     # core iff >= 5 neighbors (excluding self)
+
+_DB_COS_SQL = (
+    f"{EMB_DOT_SQL} / sqrt(({EMB_NORM_SQL.format(t='a')})"
+    f" * ({EMB_NORM_SQL.format(t='b')}))"
+)
+
+DBSCAN_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_DB_COS_SQL} >= {_DB_TAU}
+),
+edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION SELECT v2, v1 FROM pairs),
+deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS nbrs FROM edges GROUP BY src),
+core AS (SELECT n FROM deg WHERE nbrs >= {_DB_MINPTS}),
+cedges AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN core c1 ON e.src = c1.n JOIN core c2 ON e.dst = c2.n
+),
+reach AS (
+  SELECT n, n AS m FROM core
+  UNION
+  SELECT r.n, e.dst AS m FROM reach r JOIN cedges e ON e.src = r.m
+),
+clab AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n),
+blab AS (
+  SELECT e.src AS n, min(c.cluster_id) AS cluster_id
+  FROM edges e JOIN clab c ON e.dst = c.n
+  WHERE e.src NOT IN (SELECT n FROM core)
+  GROUP BY e.src
+)
+SELECT emb.vec_id,
+       CASE WHEN cl.n IS NOT NULL THEN 'core'
+            WHEN bl.n IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(cl.cluster_id, bl.cluster_id, -1) AS BIGINT) AS cluster_id,
+       CAST(coalesce(d.nbrs, 0) AS BIGINT) AS n_neighbors
+FROM embeddings emb
+LEFT JOIN clab cl ON emb.vec_id = cl.n
+LEFT JOIN blab bl ON emb.vec_id = bl.n
+LEFT JOIN deg d ON emb.vec_id = d.n
+"""
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) in its graph formulation over the
+    blocked cosine epsilon-neighbor relation: core points have >=
+    {minPts} neighbors, clusters are connected components of the
+    core-core subgraph (min-label propagation, the [[dedup_clusters]]
+    loop), border points attach to their lowest-id core cluster, the
+    rest is noise — the density-based complement of [[ann_kmeans_assign]]
+    (no k, finds noise) used to mine coherent topic blobs / outlier
+    pockets in embedding space before curation.
+
+    Determinism: neighbor candidates are blocked by label (the IVF-cell
+    pattern of [[dedup_embedding_cosine]]); cosine is the sequential fold
+    of dedup.dot_expr, compared exactly — identical across engines — and
+    every tie-break is min(id). Oracle: recursive-CTE transitive closure
+    of the same graph.
+
+    Scale: the pair space is per-cell quadratic (never global); degree,
+    core filter and border attach are each one keyed aggregate/join;
+    label propagation localCheckpoints per round with diameter-bounded
+    iterations. Edges/core/cedges localCheckpoint eagerly, so the pair
+    join runs exactly once for the loop AND the final assembly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("v1"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("e1"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("e2"),
+    )
+    cos = dot_expr("e1", "e2") / F.sqrt(
+        sq_norm_expr("e1") * sq_norm_expr("e2")
+    )
+    pairs = (
+        a.join(b, "lbl")
+        .filter((F.col("v1") < F.col("v2")) & (cos >= _DB_TAU))
+        .select("v1", "v2")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("v2"), F.col("v1")))
+        .toDF("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("nbrs")
+    )
+    core = (
+        deg.filter(F.col("nbrs") >= _DB_MINPTS)
+        .select("n")
+        .localCheckpoint(eager=True)
+    )
+    cedges = (
+        edges.join(core.withColumnRenamed("n", "src"), "src")
+        .join(core.withColumnRenamed("n", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = core.select("n", F.col("n").alias("label")).localCheckpoint()
+    for _ in range(10):
+        nbr = (
+            cedges.join(labels, cedges.dst == labels.n)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.n == nbr.src, "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), F.col("x.n") == F.col("y.n"))
+            .filter(F.col("x.label") != F.col("y.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    clab = labels.select("n", F.col("label").alias("cluster_id"))
+    blab = (
+        edges.join(core.withColumnRenamed("n", "src"), "src", "left_anti")
+        .join(clab.withColumnRenamed("n", "dst"), "dst")
+        .groupBy(F.col("src").alias("n"))
+        .agg(F.min("cluster_id").alias("b_cluster"))
+    )
+    out = (
+        emb.select("vec_id")
+        .join(clab.withColumnRenamed("n", "vec_id"), "vec_id", "left")
+        .join(blab.withColumnRenamed("n", "vec_id"), "vec_id", "left")
+        .join(
+            deg.withColumnRenamed("n", "vec_id").withColumnRenamed(
+                "nbrs", "d_nbrs"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("cluster_id").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("cluster_id", "b_cluster", F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce("d_nbrs", F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+    )
+    return out
+
+
+QUERIES["q_dbscan_clusters"] = q_dbscan_clusters
+ORACLES["q_dbscan_clusters"] = DBSCAN_ORACLE

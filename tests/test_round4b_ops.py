@@ -484,3 +484,67 @@ def test_classifier_auc_equals_pair_counting(spark):
     assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
     assert abs(row["auc"] - expected) < 1e-9
     assert abs(row["gini"] - (2 * row["auc"] - 1)) < 2e-6
+
+
+def test_dbscan_matches_python_reference(spark):
+    """Independent Python graph-DBSCAN (same blocking, tau, minPts) over
+    the raw parquet: roles and min-core-id cluster labels must agree."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        _DB_MINPTS,
+        _DB_TAU,
+        q_dbscan_clusters,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    rows = t.to_pylist()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    lbl = {r["vec_id"]: r["label"] for r in rows}
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return d / math.sqrt(na * nb)
+
+    ids = sorted(vecs)
+    adj = defaultdict(set)
+    for i, u in enumerate(ids):
+        for v in ids[i + 1:]:
+            if lbl[u] == lbl[v] and cos(vecs[u], vecs[v]) >= _DB_TAU:
+                adj[u].add(v)
+                adj[v].add(u)
+    cores = {n for n in ids if len(adj[n]) >= _DB_MINPTS}
+    comp = {}
+    for n in sorted(cores):
+        if n in comp:
+            continue
+        stack, members = [n], []
+        seen = {n}
+        while stack:
+            x = stack.pop()
+            members.append(x)
+            for y in adj[x]:
+                if y in cores and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        root = min(members)
+        for m in members:
+            comp[m] = root
+    expected = {}
+    for n in ids:
+        if n in cores:
+            expected[n] = ("core", comp[n], len(adj[n]))
+        else:
+            cn = [comp[m] for m in adj[n] if m in cores]
+            if cn:
+                expected[n] = ("border", min(cn), len(adj[n]))
+            else:
+                expected[n] = ("noise", -1, len(adj[n]))
+
+    got = {
+        r["vec_id"]: (r["role"], r["cluster_id"], r["n_neighbors"])
+        for r in q_dbscan_clusters(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
