@@ -2240,3 +2240,148 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_dbscan_clusters"] = q_dbscan_clusters
 ORACLES["q_dbscan_clusters"] = DBSCAN_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the mutual k-NN graph.
+# ---------------------------------------------------------------------------
+
+_LP_HOLD_MOD = 5   # vec_id % 5 == 0 -> label hidden (20% holdout)
+
+LABELPROP_ORACLE = f"""
+WITH mutual AS ({KNNG_ORACLE}),
+edges AS (
+  SELECT v1 AS n, v2 AS m FROM mutual UNION ALL SELECT v2, v1 FROM mutual
+),
+lab0 AS (
+  SELECT vec_id AS m, label FROM embeddings WHERE vec_id % {_LP_HOLD_MOD} <> 0
+),
+hold AS (
+  SELECT vec_id AS n, label AS true_label
+  FROM embeddings WHERE vec_id % {_LP_HOLD_MOD} = 0
+),
+v1 AS (
+  SELECT e.n, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges e JOIN lab0 l USING (m)
+  WHERE e.n IN (SELECT n FROM hold)
+  GROUP BY e.n, l.label
+),
+p1 AS (
+  SELECT n, label AS pred FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n ORDER BY cnt DESC, label) AS rk
+    FROM v1
+  ) WHERE rk = 1
+),
+lab1 AS (
+  SELECT m, label FROM lab0
+  UNION ALL SELECT n AS m, pred AS label FROM p1
+),
+v2 AS (
+  SELECT e.n, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges e JOIN lab1 l USING (m)
+  WHERE e.n IN (SELECT n FROM hold) AND e.n NOT IN (SELECT n FROM p1)
+  GROUP BY e.n, l.label
+),
+p2 AS (
+  SELECT n, label AS pred FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n ORDER BY cnt DESC, label) AS rk
+    FROM v2
+  ) WHERE rk = 1
+)
+SELECT h.n AS vec_id, h.true_label,
+       CAST(coalesce(p1.pred, p2.pred, -1) AS INT) AS pred_label,
+       CAST(CASE WHEN p1.n IS NOT NULL THEN 1
+                 WHEN p2.n IS NOT NULL THEN 2 ELSE 0 END AS INT) AS src_round,
+       CAST(coalesce(p1.pred, p2.pred, -999) = h.true_label AS INT) AS correct
+FROM hold h
+LEFT JOIN p1 ON h.n = p1.n
+LEFT JOIN p2 ON h.n = p2.n
+"""
+
+
+def _lp_argmax(votes: DataFrame) -> DataFrame:
+    rk = F.row_number().over(
+        W.partitionBy("n").orderBy(F.col("cnt").desc(), "label")
+    )
+    return (
+        votes.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("n", F.col("label").alias("pred"))
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (hard-label Zhu & Ghahramani):
+    hide 20% of labels (vec_id % 5 = 0), then two voting rounds over the
+    mutual k-NN graph of [[q_knn_graph]] — each holdout node takes the
+    majority label among its LABELED neighbors (ties to the smallest
+    label), and round-1 winners vote in round 2. The weak-supervision
+    primitive for stretching a small labeled pool across a large corpus;
+    emits per-node prediction, resolving round, and correctness against
+    the hidden truth. The k-NN substrate is label-BLIND (k-means-cell
+    candidate blocking), so no ground truth leaks into the graph.
+
+    Scale: the expensive part is the k-NN graph, already cell-blocked;
+    each round is one edge-to-labels hash join + one (node,label) count
+    + a k-bounded argmax window (neighbor lists are <= k=5, so vote
+    groups never exceed 5 labels). Rounds are data-independent plans —
+    unrolled twice here; production would loop with localCheckpoint
+    exactly like [[q_dbscan_clusters]]."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = q_knn_graph(spark, sf_dir).select("v1", "v2")
+    edges = (
+        knn.union(knn.select(F.col("v2"), F.col("v1")))
+        .toDF("n", "m")
+        .localCheckpoint(eager=True)
+    )
+    lab0 = emb.filter(F.col("vec_id") % _LP_HOLD_MOD != 0).select(
+        F.col("vec_id").alias("m"), "label"
+    )
+    hold = emb.filter(F.col("vec_id") % _LP_HOLD_MOD == 0).select(
+        F.col("vec_id").alias("n"), F.col("label").alias("true_label")
+    )
+    held_edges = edges.join(hold.select("n"), "n")
+    v1 = (
+        held_edges.join(lab0, "m")
+        .groupBy("n", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p1 = _lp_argmax(v1).localCheckpoint(eager=True)
+    lab1 = lab0.unionByName(
+        p1.select(F.col("n").alias("m"), F.col("pred").alias("label"))
+    )
+    v2 = (
+        held_edges.join(p1.select("n"), "n", "left_anti")
+        .join(lab1, "m")
+        .groupBy("n", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p2 = _lp_argmax(v2)
+    return (
+        hold.join(p1.withColumnRenamed("pred", "pr1"), "n", "left")
+        .join(p2.withColumnRenamed("pred", "pr2"), "n", "left")
+        .select(
+            F.col("n").alias("vec_id"),
+            "true_label",
+            F.coalesce("pr1", "pr2", F.lit(-1)).cast("int").alias(
+                "pred_label"
+            ),
+            F.when(F.col("pr1").isNotNull(), 1)
+            .when(F.col("pr2").isNotNull(), 2)
+            .otherwise(0)
+            .cast("int")
+            .alias("src_round"),
+            (
+                F.coalesce("pr1", "pr2", F.lit(-999))
+                == F.col("true_label")
+            )
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+QUERIES["q_label_propagation"] = q_label_propagation
+ORACLES["q_label_propagation"] = LABELPROP_ORACLE

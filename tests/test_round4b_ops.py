@@ -548,3 +548,46 @@ def test_dbscan_matches_python_reference(spark):
         for r in q_dbscan_clusters(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_label_propagation_matches_python(spark):
+    """Python replay of the two voting rounds over the (already
+    oracle-gated) mutual k-NN edge set."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        _LP_HOLD_MOD,
+        q_knn_graph,
+        q_label_propagation,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in pq.read_table(
+            f"{SF_SMOKE}/embeddings.parquet", columns=["vec_id", "label"]
+        ).to_pylist()
+    }
+    adj = defaultdict(set)
+    for r in q_knn_graph(spark, SF_SMOKE).collect():
+        adj[r["v1"]].add(r["v2"])
+        adj[r["v2"]].add(r["v1"])
+
+    hold = {i for i in labels if i % _LP_HOLD_MOD == 0}
+    known = {i: labels[i] for i in labels if i not in hold}
+    expected = {}
+    for rnd in (1, 2):
+        newly = {}
+        for n in sorted(hold - expected.keys()):
+            votes = Counter(known[m] for m in adj[n] if m in known)
+            if votes:
+                lab = min(votes, key=lambda x: (-votes[x], x))
+                newly[n] = (lab, rnd)
+        expected.update(newly)
+        known.update({n: v[0] for n, v in newly.items()})
+
+    got = {
+        r["vec_id"]: (r["pred_label"], r["src_round"], r["correct"])
+        for r in q_label_propagation(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == hold
+    for n in hold:
+        pl, sr = expected.get(n, (-1, 0))
+        assert got[n] == (pl, sr, 1 if pl == labels[n] else 0), n
