@@ -730,3 +730,173 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw / (1.0 * F.col("npos") * F.col("nneg")) - 1.0, 6
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump training: exact Gini split search over quality features.
+# ---------------------------------------------------------------------------
+
+_STUMP_FEATS = ("avg_token_len", "n_tokens", "punct_ratio", "stopword_ratio")
+
+
+def _stump_oracle() -> str:
+    from ..functions.textfns import tokens_sql
+    from .text import _SW_LIST_SQL
+
+    feats = f"""
+SELECT doc_id,
+       CAST(len(toks) AS DOUBLE) AS n_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS avg_token_len,
+       round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(CAST(len(list_filter(toks, t -> list_contains({_SW_LIST_SQL}, t))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+FROM (SELECT doc_id, text, lang, {tokens_sql("text")} AS toks FROM documents)
+"""
+    melted = "\nUNION ALL\n".join(
+        f"SELECT '{f}' AS feature, {f} AS val, y FROM f" for f in _STUMP_FEATS
+    )
+    return f"""
+WITH f AS ({feats}),
+m AS ({melted}),
+g AS (
+  SELECT feature, val, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(y) AS BIGINT) AS p
+  FROM m GROUP BY feature, val
+),
+cum AS (
+  SELECT feature, val,
+         CAST(sum(c) OVER w AS BIGINT) AS nl,
+         CAST(sum(p) OVER w AS BIGINT) AS pl,
+         CAST(sum(c) OVER t AS BIGINT) AS n,
+         CAST(sum(p) OVER t AS BIGINT) AS pos
+  FROM g
+  WINDOW w AS (PARTITION BY feature ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         t AS (PARTITION BY feature)
+),
+cost AS (
+  SELECT feature, val AS threshold, nl AS n_left, n - nl AS n_right,
+         pl AS pos_left, pos - pl AS pos_right, n,
+         (nl * nl - (pl * pl + (nl - pl) * (nl - pl))) * (n - nl)
+         + ((n - nl) * (n - nl)
+            - ((pos - pl) * (pos - pl)
+               + ((n - nl) - (pos - pl)) * ((n - nl) - (pos - pl)))) * nl
+           AS gini_num,
+         nl * (n - nl) AS gini_den
+  FROM cum WHERE n - nl > 0
+),
+best AS (
+  SELECT *, row_number() OVER (
+              PARTITION BY feature
+              ORDER BY gini_num * 1.0 / gini_den, threshold) AS rk
+  FROM cost
+)
+SELECT feature, threshold, n_left, n_right, pos_left, pos_right,
+       gini_num, gini_den,
+       round(gini_num * 1.0 / gini_den / n, 6) AS wgini,
+       CAST(row_number() OVER (
+              ORDER BY gini_num * 1.0 / gini_den, feature) = 1 AS INT)
+         AS is_global_best
+FROM best WHERE rk = 1
+"""
+
+
+STUMP_ORACLE = _stump_oracle()
+
+
+@query("q_decision_stump", STUMP_ORACLE)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree in-engine: for each quality feature
+    of [[text_quality_stats]], scan every distinct threshold and pick the
+    split minimizing weighted Gini impurity for the lang='en' target —
+    the white-box baseline a pipeline fits BEFORE reaching for a learned
+    quality filter, and the exact building block of tree ensembles. One
+    row per feature (its best split + class counts per side) with the
+    global winner flagged.
+
+    Exactness: weighted Gini for a split is the rational
+    [(nl^2-pl^2-ql^2)*nr + (nr^2-pr^2-qr^2)*nl] / (nl*nr*n) — numerator
+    and denominator are emitted as exact int64 columns, and the ordering
+    key is their IEEE-double ratio: identical integer inputs divide to
+    the identical double in both engines, so the argmin (ties: smaller
+    threshold, then feature name) is engine-independent. Numerator fits
+    int64 up to ~10^6-row evaluation slices; features quantize to 4dp,
+    so the candidate table stays bounded (~4x10^4 rows) at any corpus
+    size. A constant feature (e.g. punct_ratio on a punctuation-free
+    corpus) has no valid split and emits no row.
+
+    Scale: one corpus scan melts 4 features via stack() (no extra scans),
+    one groupBy collapses to the bounded candidate table, and every
+    window after that runs over it — prefix sums partitioned per feature,
+    never data-proportional."""
+    from .text import text_quality_stats
+
+    feats = text_quality_stats(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    stack_expr = ", ".join(
+        f"'{f}', CAST({f} AS DOUBLE)" for f in _STUMP_FEATS
+    )
+    m = feats.join(docs, "doc_id").select(
+        F.expr(
+            f"stack({len(_STUMP_FEATS)}, {stack_expr}) AS (feature, val)"
+        ),
+        "y",
+    )
+    g = m.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+    )
+    wcum = (
+        W.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("feature")
+    cum = g.select(
+        "feature",
+        "val",
+        F.sum("c").over(wcum).alias("nl"),
+        F.sum("p").over(wcum).alias("pl"),
+        F.sum("c").over(wtot).alias("n"),
+        F.sum("p").over(wtot).alias("pos"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("n") - nl
+    pr = F.col("pos") - pl
+    num = (
+        (nl * nl - (pl * pl + (nl - pl) * (nl - pl))) * nr
+        + (nr * nr - (pr * pr + (nr - pr) * (nr - pr))) * nl
+    )
+    scored = cum.filter(nr > 0).select(
+        "feature",
+        F.col("val").alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        pl.alias("pos_left"),
+        pr.alias("pos_right"),
+        num.alias("gini_num"),
+        (nl * nr).alias("gini_den"),
+        F.col("n"),
+    )
+    ratio = F.col("gini_num") * 1.0 / F.col("gini_den")
+    rk = F.row_number().over(
+        W.partitionBy("feature").orderBy(ratio, "threshold")
+    )
+    best = scored.withColumn("rk", rk).filter(F.col("rk") == 1).drop("rk")
+    grk = F.row_number().over(W.orderBy(ratio, "feature"))
+    return best.select(
+        "feature",
+        "threshold",
+        "n_left",
+        "n_right",
+        "pos_left",
+        "pos_right",
+        "gini_num",
+        "gini_den",
+        F.round(ratio / F.col("n"), 6).alias("wgini"),
+        (grk == 1).cast("int").alias("is_global_best"),
+    )

@@ -591,3 +591,62 @@ def test_label_propagation_matches_python(spark):
     for n in hold:
         pl, sr = expected.get(n, (-1, 0))
         assert got[n] == (pl, sr, 1 if pl == labels[n] else 0), n
+
+
+def test_decision_stump_minimizes_definitional_gini(spark):
+    """The cleared-fraction integer cost must pick the same split as the
+    definitional weighted Gini computed in exact rational arithmetic."""
+    from fractions import Fraction
+
+    from debezium_cdc_kafka_spark.operators.stats import (
+        _STUMP_FEATS,
+        q_decision_stump,
+    )
+    from debezium_cdc_kafka_spark.operators.text import text_quality_stats
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in pq.read_table(
+            f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pylist()
+    }
+    rows = text_quality_stats(spark, SF_SMOKE).collect()
+    best = {}
+    for f in _STUMP_FEATS:
+        pts = sorted(
+            (float(r[f]), 1 if langs[r["doc_id"]] == "en" else 0)
+            for r in rows
+        )
+        n = len(pts)
+        pos = sum(y for _, y in pts)
+        cands = {}
+        nl = pl = 0
+        for i, (v, y) in enumerate(pts):
+            nl, pl = nl + 1, pl + y
+            if i + 1 < n and pts[i + 1][0] == v:
+                continue
+            if nl == n:
+                continue
+            nr, prr = n - nl, pos - pl
+            gini = Fraction(nl, n) * (
+                1 - Fraction(pl, nl) ** 2 - Fraction(nl - pl, nl) ** 2
+            ) + Fraction(nr, n) * (
+                1 - Fraction(prr, nr) ** 2 - Fraction(nr - prr, nr) ** 2
+            )
+            cands[v] = gini
+        if cands:
+            thr = min(cands, key=lambda v: (cands[v], v))
+            best[f] = (
+                thr,
+                (
+                    sum(1 for v, _ in pts if v <= thr),
+                    sum(y for v, y in pts if v <= thr),
+                ),
+            )
+
+    got = {r["feature"]: r for r in q_decision_stump(spark, SF_SMOKE).collect()}
+    assert set(got) == set(best)
+    for f, (thr, (nl, pl)) in best.items():
+        assert got[f]["threshold"] == thr, f
+        assert got[f]["n_left"] == nl and got[f]["pos_left"] == pl, f
+    assert sum(r["is_global_best"] for r in got.values()) == 1
