@@ -110,12 +110,14 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_train_oracle(rounds: int) -> str:
+def _bpe_train_oracle(rounds: int, segmentation: bool = False) -> str:
     """Unrolled-CTE oracle: each round = pair-count → argmax winner →
     greedy-leftmost merge apply, exactly mirroring the Spark loop. The
     merge rewrite is expressed positionally (gaps-islands run parity), not
     via string replace(), so it does not depend on any engine's substring
-    scan semantics."""
+    scan semantics. With ``segmentation`` the final state is also built
+    and the select re-tokenizes every document against it (the APPLY
+    step) instead of emitting the merge table."""
     parts = [
         f"""
 WITH toks AS (
@@ -139,7 +141,7 @@ WITH toks AS (
   GROUP BY s, nxt ORDER BY pair_count DESC, c1, c2 LIMIT 1
 )"""
         )
-        if r < rounds:
+        if r < rounds or segmentation:
             parts.append(
                 f""", mk{r} AS (
   SELECT e.word, e.f, e.pos, e.s, e.nxt,
@@ -164,6 +166,19 @@ WITH toks AS (
   FROM mg{r} WHERE NOT consumed GROUP BY word, f
 )"""
             )
+    if segmentation:
+        sel = f""", docw AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(st.syms)) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       round(CAST(sum(length(d.word)) AS DOUBLE) / sum(len(st.syms)), 4)
+         AS chars_per_token
+FROM docw d JOIN st{rounds} st ON d.word = st.word
+GROUP BY d.doc_id"""
+        return "".join(parts) + sel
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS merge_round, c1, c2, c1 || c2 AS merged,"
         f" pair_count FROM win{r}"
@@ -198,6 +213,17 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded lineage across rounds, the dedup_clusters / MMR discipline).
     The per-word windows partition on a high-cardinality key; the only
     broadcast is the 1-row winner."""
+    winners, _ = _bpe_fit(spark, sf_dir, _BPE_ROUNDS, final_state=False)
+    out = winners[0]
+    for w_ in winners[1:]:
+        out = out.unionByName(w_)
+    return out
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str, rounds: int, final_state: bool):
+    """Shared BPE training loop: returns (per-round winner DataFrames,
+    final segmented-vocab state or None). See text_bpe_train for the
+    algorithm and scale discussion."""
     docs = load_table(spark, sf_dir, "documents")
     wf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -209,7 +235,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wword = W.partitionBy("word").orderBy("pos")
     winners = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         ex = state.select(
             "word",
             "f",
@@ -239,7 +265,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count",
             )
         )
-        if r == _BPE_ROUNDS:
+        if r == rounds and not final_state:
             break
         mt = F.coalesce(
             (F.col("s") == F.col("c1")) & (F.col("nxt") == F.col("c2")),
@@ -288,10 +314,45 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    out = winners[0]
-    for w_ in winners[1:]:
-        out = out.unionByName(w_)
-    return out
+    return winners, (state if final_state else None)
+
+
+BPE_APPLY_ORACLE = _bpe_train_oracle(_BPE_ROUNDS, segmentation=True)
+
+
+@query("text_bpe_apply", BPE_APPLY_ORACLE)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY: segment every document under the merge table
+    [[text_bpe_train]] learns, reporting per-doc word/subword/char counts
+    and the chars-per-token compression — the fertility measurement a
+    pipeline runs when swapping tokenizers (pairs with
+    [[q_tokenizer_fertility]], which audits a fixed regex tokenizer).
+
+    The trained state IS the segmentation: BPE applies merges per
+    distinct word, so tokenizing the corpus is one broadcast-join of the
+    token stream against the segmented |vocab|-row table — no per-
+    document merge walk, the production trick that makes BPE encoding a
+    dictionary lookup at scale. Costs one extra merge rewrite vs
+    training (the final round's state is actually built) plus one corpus
+    scan for the join."""
+    _, seg = _bpe_fit(spark, sf_dir, _BPE_ROUNDS, final_state=True)
+    docs = load_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        docw.join(F.broadcast(seg.select("word", F.size("syms").alias("k"))),
+                  "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("k").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.round(
+                F.sum(F.length("word")).cast("double") / F.sum("k"), 4
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -650,3 +650,59 @@ def test_decision_stump_minimizes_definitional_gini(spark):
         assert got[f]["threshold"] == thr, f
         assert got[f]["n_left"] == nl and got[f]["pos_left"] == pl, f
     assert sum(r["is_global_best"] for r in got.values()) == 1
+
+
+def test_bpe_apply_matches_python_segmentation(spark):
+    """Segment each document under the Python-reference merge state and
+    compare per-doc word/subword/char counts."""
+    import re
+
+    from debezium_cdc_kafka_spark.functions.textfns import TOKEN_SPLIT_RE
+    from debezium_cdc_kafka_spark.operators.corpus import (
+        _BPE_ROUNDS,
+        text_bpe_apply,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        r["doc_id"]: [
+            w for w in re.split(TOKEN_SPLIT_RE, r["text"].lower()) if w
+        ]
+        for r in t.to_pylist()
+    }
+    wf = Counter(w for ws in docs.values() for w in ws)
+    state = {w: list(w) for w in wf}
+    for _ in range(_BPE_ROUNDS):
+        counts = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += wf[w]
+        (c1, c2), _cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == c1 and syms[i + 1] == c2:
+                    out.append(c1 + c2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars"])
+        for r in text_bpe_apply(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {d for d, ws in docs.items() if ws}
+    for d, ws in docs.items():
+        if not ws:
+            continue
+        exp = (
+            len(ws),
+            sum(len(state[w]) for w in ws),
+            sum(len(w) for w in ws),
+        )
+        assert got[d] == exp, d
+        assert exp[0] <= exp[1] <= exp[2]
