@@ -900,3 +900,91 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio / F.col("n"), 6).alias("wgini"),
         (grk == 1).cast("int").alias("is_global_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve + Brier score for the quality classifier.
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def _calibration_oracle() -> str:
+    from .text import CLASSIFIER_ORACLE
+
+    return f"""
+WITH scored AS ({CLASSIFIER_ORACLE}),
+lab AS (
+  SELECT CAST(least(CAST(floor(s.quality_score * {_CAL_BINS}) AS INT),
+                    {_CAL_BINS - 1}) AS INT) AS bin,
+         s.quality_score AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       round(CAST(sum(CAST(round(sc * 10000) AS BIGINT)) AS BIGINT)
+             / count(*) / 10000.0, 6) AS mean_pred,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+       round(CAST(sum(CAST(round((sc - y) * (sc - y) * 100000000) AS BIGINT))
+                  AS BIGINT) / count(*) / 100000000.0, 6) AS brier
+FROM lab GROUP BY bin
+"""
+
+
+CALIBRATION_ORACLE = _calibration_oracle()
+
+
+@query("q_calibration_curve", CALIBRATION_ORACLE)
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for [[text_quality_classifier]] against the
+    lang='en' target: 10 equal-width score bins, each with its mean
+    predicted probability, observed positive rate, and per-bin Brier
+    score — the calibration audit that tells a pipeline whether a
+    filter's scores can be thresholded by probability or only ranked
+    (pairs with [[q_classifier_auc]], which measures ranking alone).
+
+    Exactness: mean_pred folds 4dp scores scaled to exact 1e4 integers
+    and brier folds (sc-y)^2 scaled to exact 1e8 integers before the one
+    division+round each, so bin statistics are engine-independent.
+
+    Scale: a single map + groupBy over {_CAL_BINS} fixed bins — map-side
+    combinable, output size constant in the corpus."""
+    from .text import text_quality_classifier
+
+    scored = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    sc = F.col("quality_score")
+    lab = scored.join(docs, "doc_id").select(
+        F.least(
+            F.floor(sc * _CAL_BINS).cast("int"), F.lit(_CAL_BINS - 1)
+        ).alias("bin"),
+        sc.alias("sc"),
+        "y",
+    )
+    n = F.count(F.lit(1))
+    return lab.groupBy("bin").agg(
+        n.alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.round(
+            F.sum(F.round(F.col("sc") * 10000).cast("long")) / n / 10000.0, 6
+        ).alias("mean_pred"),
+        F.round(F.sum("y").cast("double") / n, 6).alias("frac_pos"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("sc") - F.col("y"))
+                    * (F.col("sc") - F.col("y"))
+                    * 100000000
+                ).cast("long")
+            )
+            / n
+            / 100000000.0,
+            6,
+        ).alias("brier"),
+    )

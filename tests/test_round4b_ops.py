@@ -706,3 +706,40 @@ def test_bpe_apply_matches_python_segmentation(spark):
         )
         assert got[d] == exp, d
         assert exp[0] <= exp[1] <= exp[2]
+
+
+def test_calibration_curve_invariants(spark):
+    """Bin invariants + Python recompute of per-bin stats from the
+    classifier's own scores."""
+    from debezium_cdc_kafka_spark.operators.stats import (
+        _CAL_BINS,
+        q_calibration_curve,
+    )
+    from debezium_cdc_kafka_spark.operators.text import text_quality_classifier
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in pq.read_table(
+            f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pylist()
+    }
+    binned = defaultdict(list)
+    for r in text_quality_classifier(spark, SF_SMOKE).collect():
+        s = r["quality_score"]
+        b = min(int(s * _CAL_BINS), _CAL_BINS - 1)
+        binned[b].append((s, 1 if langs[r["doc_id"]] == "en" else 0))
+
+    got = {r["bin"]: r for r in q_calibration_curve(spark, SF_SMOKE).collect()}
+    assert set(got) == set(binned)
+    for b, pts in binned.items():
+        n = len(pts)
+        assert got[b]["n"] == n
+        assert got[b]["n_pos"] == sum(y for _, y in pts)
+        mp = round(sum(round(s * 10000) for s, _ in pts) / n / 10000.0, 6)
+        assert got[b]["mean_pred"] == mp
+        br = round(
+            sum(round((s - y) * (s - y) * 1e8) for s, y in pts) / n / 1e8, 6
+        )
+        assert abs(got[b]["brier"] - br) < 1e-9
+        assert 0.0 <= got[b]["frac_pos"] <= 1.0
+        assert b / _CAL_BINS - 1e-9 <= got[b]["mean_pred"] <= (b + 1) / _CAL_BINS + 0.05
