@@ -1016,3 +1016,176 @@ def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("leaked_test_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: downweight duplicates instead of dropping them.
+# ---------------------------------------------------------------------------
+
+_SOFT_NORM_RE = "[^a-z0-9]+"
+
+SOFT_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS uid, text, source FROM documents
+  UNION ALL
+  -- mutated re-crawl (same construction as dedup_normalized_exact):
+  -- case/punctuation noise that normalization must collapse
+  SELECT doc_id + 10000000 AS uid, upper(text) || ' !!', source
+  FROM documents
+), normed AS (
+  SELECT uid, source,
+         md5(trim(regexp_replace(lower(text), '{_SOFT_NORM_RE}', ' ', 'g')))
+           AS h,
+         CAST(len(list_filter(
+           regexp_split_to_array(lower(text), '{_SOFT_NORM_RE}'),
+           t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM corpus
+), sized AS (
+  SELECT uid, source, n_tokens,
+         count(*) OVER (PARTITION BY h) AS n_copies
+  FROM normed
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(n_copies > 1 AS INT)) AS BIGINT) AS n_duplicated,
+       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(n_tokens * 1000000 // n_copies) AS BIGINT) AS eff_utokens,
+       round(CAST(sum(n_tokens) AS BIGINT) * 1000000.0
+             / sum(n_tokens * 1000000 // n_copies), 6) AS dup_inflation
+FROM sized GROUP BY source
+"""
+
+
+@query("q_soft_dedup_weights", SOFT_DEDUP_ORACLE)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SoftDeDup, Xie et al. 2024): instead of DROPPING
+    duplicates, weight every document by 1/n_copies of its normalized
+    content — repeated text still trains, but its gradient mass matches
+    a deduplicated corpus. Emits the per-source ledger a mixture planner
+    consumes: raw token mass vs effective (weighted) token mass and the
+    inflation ratio — sources whose ratio is high are boilerplate farms
+    ([[dedup_normalized_exact]] finds the copies; this prices them). The
+    corpus includes the same mutated re-crawl fixture so cluster sizes
+    are exercised.
+
+    Exactness: per-doc effective mass is the integer µtoken quotient
+    n_tokens·1e6 DIV n_copies (truncating division agrees across engines,
+    test_divsafety.py), summed exactly; the single ratio rounds at 6dp.
+
+    Scale: one groupBy(content-hash) sized via a hash-partitioned count
+    window (key-partitioned, never global), then one groupBy(source) —
+    two shuffles on the corpus, output bounded by the source count. The
+    per-DOC weight table (uid, 1/n) is the same plan minus the final
+    collapse, feeding the training sampler directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").alias("uid"), "text", "source"
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") + 10000000).alias("uid"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+            "source",
+        )
+    )
+    norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), _SOFT_NORM_RE, " "))
+    )
+    normed = corpus.select(
+        "uid",
+        "source",
+        norm.alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    sized = normed.withColumn(
+        "n_copies", F.count(F.lit(1)).over(W.partitionBy("h"))
+    )
+    eff = F.expr("n_tokens * 1000000 DIV n_copies")
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_copies") > 1).cast("int")).cast("long").alias("n_duplicated"),
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.sum(eff).alias("eff_utokens"),
+        F.round(
+            F.sum("n_tokens") * 1000000.0 / F.sum(eff), 6
+        ).alias("dup_inflation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch global shuffle + fixed-size batch plan.
+# ---------------------------------------------------------------------------
+
+_SHUF_EPOCHS = 2
+_SHUF_BATCH = 32
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, epoch,
+         {md5_long_sql("epoch || ':' || doc_id")} AS h
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, {_SHUF_EPOCHS})) AS epoch)
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), ranked AS (
+  SELECT doc_id, epoch, h,
+         row_number() OVER (ORDER BY epoch, h, doc_id) AS rk
+  FROM e
+)
+SELECT doc_id, CAST(epoch AS INT) AS epoch,
+       CAST((rk - 1 - epoch * n_docs) // {_SHUF_BATCH} AS BIGINT) AS batch_id,
+       CAST((rk - 1 - epoch * n_docs) % {_SHUF_BATCH} AS INT) AS pos
+FROM ranked CROSS JOIN n
+"""
+
+
+@query("q_epoch_shuffle_plan", EPOCH_SHUFFLE_ORACLE)
+def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order plan: a deterministic, independently re-derivable
+    global permutation of the corpus per epoch, chopped into fixed-size
+    batches — what a data loader needs from a 100 TB corpus (shuffling
+    must happen HERE, in the engine, because no trainer can shuffle what
+    it streams). Order = md5(epoch:doc_id), so epochs are decorrelated,
+    any worker can recompute its own slice, and resuming epoch 3 batch
+    41,000 is a filter, not a replay.
+
+    Exactness: the rank is over the unique key (epoch, hash, doc_id);
+    batch/pos are integer DIV/% of the per-epoch index (rank minus
+    epoch·N, N in-plan via a broadcast 1-row count).
+
+    Scale: the permutation is [[functions/distributed.py]]'s two-pass
+    global_row_number — range-partition on (epoch, hash), rank locally,
+    shift by broadcast offsets — never a single-partition window. This is
+    also the scale answer for the batch boundary: batches never
+    materialize; they are arithmetic on the rank."""
+    from ..functions.distributed import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SHUF_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        md5_long(
+            F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id"))
+        ).alias("h"),
+    )
+    ranked = global_row_number(
+        e, [F.col("epoch"), F.col("h"), F.col("doc_id")], "rk"
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idx = (F.col("rk") - 1 - F.col("epoch") * F.col("n_docs")).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("epoch").cast("int").alias("epoch"),
+            idx.alias("_idx"),
+        )
+        .select(
+            "doc_id",
+            "epoch",
+            F.expr(f"_idx DIV {_SHUF_BATCH}").alias("batch_id"),
+            (F.col("_idx") % _SHUF_BATCH).cast("int").alias("pos"),
+        )
+    )

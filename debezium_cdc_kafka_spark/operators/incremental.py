@@ -210,3 +210,149 @@ def q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_partkey")
         .limit(_ITK_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental distinct-count maintenance: KMV sketch merge under an
+# append delta (CDC × sketch fusion).
+# ---------------------------------------------------------------------------
+
+_IKD_K = 64
+_IKD_SPLIT = "1999-01-01"
+_IKD_MAX = float(1 << 60)
+
+
+def _ikd_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    est = (
+        f"CASE WHEN m < {_IKD_K} THEN CAST(m AS DOUBLE) "
+        f"ELSE {_IKD_K - 1}.0 * {_IKD_MAX!r} / kth END"
+    )
+    return f"""
+WITH state_h AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE ts < TIMESTAMP '{_IKD_SPLIT}'
+), state AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM state_h
+  ) WHERE rn <= {_IKD_K}
+), delta_h AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE ts >= TIMESTAMP '{_IKD_SPLIT}'
+), merged AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT h FROM state UNION SELECT h FROM delta_h)
+  ) WHERE rn <= {_IKD_K}
+), full_h AS (
+  SELECT DISTINCT {h} AS h FROM events
+), fullk AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM full_h
+  ) WHERE rn <= {_IKD_K}
+), mstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM merged
+), fstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM fullk
+), sizes AS (
+  SELECT CAST((SELECT count(*) FROM state) AS BIGINT) AS m_state,
+         CAST((SELECT count(*) FROM delta_h) AS BIGINT) AS n_delta_hashes
+)
+SELECT {_IKD_K} AS k, m_state, n_delta_hashes,
+       round((SELECT {est} FROM mstats), 6) AS est_incremental,
+       round((SELECT {est} FROM fstats), 6) AS est_full,
+       CAST((SELECT m FROM mstats) = (SELECT m FROM fstats)
+            AND coalesce((SELECT kth FROM mstats)
+                         = (SELECT kth FROM fstats), TRUE) AS INTEGER)
+         AS sketch_identical
+FROM sizes
+"""
+
+
+IKD_ORACLE = _ikd_oracle()
+
+
+@query("q_incremental_distinct", IKD_ORACLE)
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-user maintenance: a stored KMV sketch (the
+    {_IKD_K} smallest md5 hashes of user_id seen BEFORE the split, cf.
+    [[q_kmv_sketch_ops]]) is merged with one append delta (events at/after
+    the split) by unioning hashes and re-truncating to k — the defining
+    KMV property: k-smallest(state ∪ Δ) ≡ k-smallest(full corpus),
+    because truncation discards only hashes that can never re-enter. The
+    query computes BOTH the O(|Δ|+k) incremental estimate and the full
+    recompute, and hash-gates their equality (`sketch_identical` = 1) —
+    the invariant an incremental pipeline audits before trusting its
+    sketches. Companion to [[dedup_incremental_minhash]] (pairs view) and
+    [[q_incremental_topk]] (ranking view): the cardinality leg of the
+    CDC-maintained derived-artifact family.
+
+    Scale: maintenance reads the DELTA ONLY plus k stored hashes (the
+    full-recompute branch exists here purely as the audit oracle); the
+    k-smallest rank runs over a distinct-hash stream prefiltered by the
+    stored kth value in production (everything above it is dead on
+    arrival). Estimates are deterministic md5 arithmetic — the driver
+    gates values, not an error bound."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_IKD_SPLIT).cast("timestamp")
+    h = md5_long(F.col("user_id").cast("string"))
+
+    def ksmall(df: DataFrame) -> DataFrame:
+        # conservative hash-threshold prefilter (same construction and 8x
+        # margin as q_kmv_sketch_ops): the O(k)-survivor stream makes the
+        # unpartitioned rank a constant-size sort, never data-proportional
+        n_est = df.agg(F.approx_count_distinct("h").alias("n"))
+        thr = n_est.select(
+            F.least(
+                F.lit(int(_IKD_MAX) - 1),
+                (
+                    F.lit(8.0 * _IKD_K * _IKD_MAX)
+                    / F.greatest(F.col("n"), F.lit(_IKD_K)).cast("double")
+                ).cast("long"),
+            ).alias("thr")
+        )
+        pruned = df.crossJoin(F.broadcast(thr)).filter(F.col("h") <= F.col("thr"))
+        rn = F.row_number().over(W.orderBy("h"))
+        return (
+            pruned.select("h").withColumn("rn", rn)
+            .filter(F.col("rn") <= _IKD_K)
+            .drop("rn")
+        )
+
+    state = ksmall(ev.filter(F.col("ts") < split).select(h.alias("h")).distinct())
+    delta = ev.filter(F.col("ts") >= split).select(h.alias("h")).distinct()
+    merged = ksmall(state.unionAll(delta).distinct())
+    fullk = ksmall(ev.select(h.alias("h")).distinct())
+
+    def stats(df: DataFrame, pre: str) -> DataFrame:
+        m = F.count(F.lit(1))
+        est = F.when(m < _IKD_K, m.cast("double")).otherwise(
+            F.lit(float(_IKD_K - 1)) * _IKD_MAX / F.max("h")
+        )
+        return df.agg(
+            m.alias(f"{pre}_m"),
+            F.max("h").alias(f"{pre}_kth"),
+            F.round(est, 6).alias(f"{pre}_est"),
+        )
+    sizes = state.agg(F.count(F.lit(1)).alias("m_state")).crossJoin(
+        delta.agg(F.count(F.lit(1)).alias("n_delta_hashes"))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(stats(merged, "inc")))
+        .crossJoin(F.broadcast(stats(fullk, "ful")))
+        .select(
+            F.lit(_IKD_K).cast("int").alias("k"),
+            "m_state",
+            "n_delta_hashes",
+            F.col("inc_est").alias("est_incremental"),
+            F.col("ful_est").alias("est_full"),
+            (
+                (F.col("inc_m") == F.col("ful_m"))
+                & F.coalesce(F.col("inc_kth") == F.col("ful_kth"), F.lit(True))
+            ).cast("int").alias("sketch_identical"),
+        )
+    )

@@ -418,3 +418,179 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         end.alias("end_sample"),
         (end == F.col("n_samples")).cast("int").alias("is_tail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection over decoded payloads — the
+# image-dedup twin of dedup_simhash, gating the Python decode path.
+# ---------------------------------------------------------------------------
+
+_PH_BITS = 60          # fits non-negative int64; 4 bands x 15 bits
+_PH_BANDS = 4
+_PH_BAND_BITS = 15
+_PH_CAP = 64           # band buckets larger than this are boilerplate; skip
+_PH_HAM = 8            # max Hamming distance for a verified near-dup pair
+
+
+def _phash_fake(payload: bytes) -> int:
+    """Deterministic stand-in for an image perceptual hash (pHash/aHash):
+    threshold each of the first 60 bytes against the mean of the first 64
+    — the exact shape of average-hash over DCT/pixel blocks, computed on
+    bytes because no codec ships here. Replace with a real
+    decode→resize→DCT→threshold at will; banding and verification are
+    representation-agnostic."""
+    head = payload[:64]
+    n = len(head)
+    if n == 0:
+        return 0
+    mean = sum(head) // n
+    fp = 0
+    for j in range(min(n, _PH_BITS)):
+        if head[j] > mean:
+            fp |= 1 << j
+    return fp
+
+
+def phash_features(blobs: DataFrame) -> DataFrame:
+    """mapInPandas fingerprint extraction: (uid, payload) → (uid, fp).
+    Same Arrow contract as `extract_features`; real formats raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts = pdf["format"]
+            real = fmts.str.startswith(_REAL_FORMATS)
+            if real.any():
+                raise NotImplementedError(
+                    f"no codec for {sorted(fmts[real].unique())} in this environment"
+                )
+            yield pd.DataFrame(
+                {
+                    "uid": pdf["uid"],
+                    "fp": pdf["payload"].map(_phash_fake).astype("int64"),
+                }
+            )
+
+    return blobs.select(
+        "uid", "payload", F.col("meta.format").alias("format")
+    ).mapInPandas(run, "uid long, fp long")
+
+
+PHASH_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS uid, text FROM documents
+  UNION ALL
+  -- appended-tail mutant: first 64 payload bytes unchanged for docs with
+  -- >= 64 bytes, so its fingerprint collides with the original's
+  SELECT doc_id + 10000000 AS uid, text || ' ~~x' FROM documents
+), bytes AS (
+  SELECT uid,
+         list_transform(range(1, least(length(text), 64) + 1),
+                        i -> unicode(substr(text, i, 1))) AS bs
+  FROM corpus WHERE length(text) > 0
+), fps AS (
+  SELECT uid,
+         CAST(list_sum(list_transform(
+           range(1, least(len(bs), {_PH_BITS}) + 1),
+           j -> CASE WHEN bs[j] > CAST(list_sum(bs) AS BIGINT) // len(bs)
+                     THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END))
+           AS BIGINT) AS fp
+  FROM bytes
+), banded AS (
+  SELECT uid, fp, band,
+         (fp >> (band * {_PH_BAND_BITS})) & {(1 << _PH_BAND_BITS) - 1}
+           AS band_val
+  FROM fps CROSS JOIN (SELECT unnest(range(0, {_PH_BANDS})) AS band)
+), capped AS (
+  SELECT * FROM (
+    SELECT uid, fp, band, band_val,
+           count(*) OVER (PARTITION BY band, band_val) AS bucket_n
+    FROM banded
+  ) WHERE bucket_n <= {_PH_CAP}
+), pairs AS (
+  SELECT DISTINCT a.uid AS uid_a, b.uid AS uid_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.uid < b.uid
+)
+SELECT uid_a, uid_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(fp_a, fp_b)) <= {_PH_HAM}
+"""
+
+
+@query("multimodal_phash_dedup", PHASH_DEDUP_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary payloads —
+    image dedup, the multimodal twin of [[dedup_simhash]]: fingerprint
+    every blob with a 60-bit average-hash (computed in the Arrow decode
+    path, so this query hash-gates mapInPandas like
+    [[multimodal_patch_grid]]), band the fingerprint 4×15 bits, join
+    only within band buckets, and verify candidates by Hamming distance
+    ≤ {_PH_HAM}. The corpus carries an appended-tail mutant per doc
+    (bytes appended AFTER the hashed head), the re-encode/re-crop class
+    of duplicate that exact digest dedup ([[multimodal_blob_meta]])
+    can never catch.
+
+    Scale: fingerprints are one decode pass; candidate generation is a
+    bucket equi-join, never all-pairs. By pigeonhole, any pair with
+    Hamming < {_PH_BANDS} shares an untouched band (recall 1.0 there);
+    pairs at distance {_PH_BANDS}..{_PH_HAM} are found iff their flips
+    spare a band — the standard Manku-style banding trade, widened by
+    adding bands, not by widening the join. Hot buckets (all-dark /
+    all-light images — degenerate fingerprints) are capped at {_PH_CAP}
+    members, the same boilerplate guard as [[dedup_ngram_jaccard_capped]].
+    Verification is a bit_count over the pruned pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("uid"), "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + 10000000).alias("uid"),
+            F.concat(F.col("text"), F.lit(" ~~x")).alias("text"),
+        )
+    ).filter(F.length("text") > 0)
+    blobs = corpus.select(
+        "uid",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(F.lit("fake/utf8-text").alias("format")).alias("meta"),
+    )
+    fps = phash_features(blobs)
+    banded = fps.select(
+        "uid",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(_PH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(fp, band * {_PH_BAND_BITS}) & {(1 << _PH_BAND_BITS) - 1}"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    capped = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "band_val"))
+    ).filter(F.col("bucket_n") <= _PH_CAP)
+    a = capped.select(
+        F.col("band"),
+        F.col("band_val"),
+        F.col("uid").alias("uid_a"),
+        F.col("fp").alias("fp_a"),
+    )
+    b = capped.select(
+        F.col("band").alias("band2"),
+        F.col("band_val").alias("band_val2"),
+        F.col("uid").alias("uid_b"),
+        F.col("fp").alias("fp_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.band == b.band2)
+            & (a.band_val == b.band_val2)
+            & (F.col("uid_a") < F.col("uid_b")),
+        )
+        .select("uid_a", "uid_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select(
+        "uid_a", "uid_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= _PH_HAM)

@@ -988,3 +988,396 @@ def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test between two segments.
+# ---------------------------------------------------------------------------
+
+_TT_A, _TT_B = "BUILDING", "MACHINERY"
+
+WELCH_ORACLE = f"""
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{_TT_A}', '{_TT_B}')
+), g AS (
+  SELECT seg,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(c) AS HUGEINT) AS DOUBLE) AS s1,
+         CAST(CAST(sum(c * c) AS HUGEINT) AS DOUBLE) AS s2
+  FROM j GROUP BY seg
+), m AS (
+  SELECT seg, n, s1 / n / 100.0 AS mean,
+         (s2 - s1 * s1 / n) / (n - 1) / 10000.0 AS var
+  FROM g
+), w AS (
+  SELECT max(CASE WHEN seg = '{_TT_A}' THEN n END) AS n_a,
+         max(CASE WHEN seg = '{_TT_B}' THEN n END) AS n_b,
+         max(CASE WHEN seg = '{_TT_A}' THEN mean END) AS m_a,
+         max(CASE WHEN seg = '{_TT_B}' THEN mean END) AS m_b,
+         max(CASE WHEN seg = '{_TT_A}' THEN var END) AS v_a,
+         max(CASE WHEN seg = '{_TT_B}' THEN var END) AS v_b
+  FROM m
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+             / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 3) AS welch_df,
+       CAST(abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > 1.96
+            AS INTEGER) AS significant_95
+FROM w
+"""
+
+
+@query("q_welch_ttest", WELCH_ORACLE)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean order value between
+    two customer segments — the A/B-comparison primitive a data pipeline
+    runs before trusting that a slice difference (or an experiment arm)
+    is real and not noise. Emits both group means, the t statistic, the
+    Welch-Satterthwaite degrees of freedom, and a 95% significance flag.
+
+    Exactness: sums of cents and of squared cents are exact integers
+    (decimal(38,0) in Spark, HUGEINT in DuckDB — squared cents overflow
+    int64 when summed), converted to double only once; from identical
+    doubles both engines compute identical t/df, rounded in-query.
+
+    Scale: ONE aggregation pass over the joined fact table collapses to a
+    2-row moment table (n, sum, sum-of-squares per arm — all map-side
+    combinable partials); the test statistic is O(1) scalar math over
+    those 6 numbers. Adding arms or metrics widens the partial, never
+    adds a pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(_TT_A, _TT_B)
+    )
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    g = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n") / 100.0
+    var = (
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+        / 10000.0
+    )
+    m = g.select("seg", "n", mean.alias("mean"), var.alias("var"))
+    pick = lambda seg, c: F.max(F.when(F.col("seg") == seg, F.col(c)))  # noqa: E731
+    w = m.agg(
+        pick(_TT_A, "n").alias("n_a"),
+        pick(_TT_B, "n").alias("n_b"),
+        pick(_TT_A, "mean").alias("m_a"),
+        pick(_TT_B, "mean").alias("m_b"),
+        pick(_TT_A, "var").alias("v_a"),
+        pick(_TT_B, "var").alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (F.col("v_a") / F.col("n_a")) * (F.col("v_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (F.col("v_b") / F.col("n_b")) * (F.col("v_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 3).alias("welch_df"),
+        (F.abs(t) > 1.96).cast("int").alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns.
+# ---------------------------------------------------------------------------
+
+MI_ORACLE = """
+WITH cell AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+  FROM documents GROUP BY lang, source
+), marg AS (
+  SELECT lang, source, n_xy,
+         sum(n_xy) OVER (PARTITION BY lang)   AS n_x,
+         sum(n_xy) OVER (PARTITION BY source) AS n_y,
+         sum(n_xy) OVER ()                    AS n
+  FROM cell
+), terms AS (
+  SELECT lang, source, n_xy,
+         round((CAST(n_xy AS DOUBLE) / n)
+               * ln(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y)),
+               9) AS mi_term
+  FROM marg
+)
+SELECT lang, source, n_xy, mi_term,
+       round(sum(mi_term) OVER (), 6) AS mi_total
+FROM terms
+"""
+
+
+@query("q_mutual_information", MI_ORACLE)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical document attributes
+    (lang, source): per-cell contributions p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    and the total MI in nats — the dependence screen a pipeline runs to
+    learn whether a metadata column carries signal about another (near-0:
+    drop or sample freely; high: stratify by it, cf. [[q_dataset_split]]).
+    Empty cells contribute nothing (the 0·ln0 = 0 convention), so only
+    observed cells appear.
+
+    Exactness: every ratio is integer/integer from one count table; the
+    ln term rounds at 1e-9 before the total sums the rounded terms
+    (repo-wide ulp discipline for transcendentals).
+
+    Scale: one groupBy collapses the corpus to the contingency table
+    (langs × sources — bounded by attribute cardinality, not rows); all
+    three margin windows run over that bounded table only."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    marg = cell.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.sum("n_xy").over(W.partitionBy("lang")).alias("n_x"),
+        F.sum("n_xy").over(W.partitionBy("source")).alias("n_y"),
+        F.sum("n_xy").over(W.partitionBy()).alias("n"),
+    )
+    term = F.round(
+        (F.col("n_xy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("n_xy").cast("double")
+            * F.col("n")
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        ),
+        9,
+    )
+    return marg.select(
+        "lang",
+        "source",
+        "n_xy",
+        term.alias("mi_term"),
+    ).withColumn("mi_total", F.round(F.sum("mi_term").over(W.partitionBy()), 6))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap confidence interval.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Poisson(1) CDF at k = 0..3; u >= the last threshold clamps to 4.
+_POIS_CDF = (0.367879441, 0.735758882, 0.919698603, 0.981011843)
+
+
+def _bootstrap_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    key = "o_orderkey || ':' || b"
+    u = f"(({md5_long_sql(key)}) % 1000000 + 0.5) / 1000000.0"
+    case = (
+        f"CASE WHEN u < {_POIS_CDF[0]} THEN 0"
+        f" WHEN u < {_POIS_CDF[1]} THEN 1"
+        f" WHEN u < {_POIS_CDF[2]} THEN 2"
+        f" WHEN u < {_POIS_CDF[3]} THEN 3 ELSE 4 END"
+    )
+    return f"""
+WITH draw AS (
+  SELECT b, {u} AS u, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+), wtd AS (
+  SELECT b, {case} AS w, c FROM draw
+), res AS (
+  SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+         round(CAST(sum(w * c) AS BIGINT) / 100.0 / sum(w), 6) AS mean_b
+  FROM wtd GROUP BY b
+), ranked AS (
+  SELECT b, n_eff, mean_b,
+         row_number() OVER (ORDER BY mean_b, b) AS rn
+  FROM res
+)
+SELECT b, n_eff, mean_b,
+       round(max(CASE WHEN rn <= 2 THEN mean_b END) OVER (), 6) AS ci_lo,
+       round(min(CASE WHEN rn >= {_BOOT_B - 1} THEN mean_b END) OVER (), 6)
+         AS ci_hi
+FROM ranked
+"""
+
+
+BOOTSTRAP_ORACLE = _bootstrap_oracle()
+
+
+@query("q_bootstrap_ci", BOOTSTRAP_ORACLE)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., the MapReduce-era bootstrap)
+    confidence interval for mean order value: each of B=32 resamples
+    weights every row by an independent Poisson(1) draw — derandomized
+    through the md5 inverse-CDF trick of [[q_dp_noisy_counts]] so both
+    engines (and reruns) draw identical weights — and the CI is read off
+    the order statistics of the resample means (2nd and 31st of 32 ≈ a
+    90% interval). THE way to put error bars on a corpus statistic at
+    100 TB: no resample materializes, sampling-with-replacement becomes a
+    per-row weight.
+
+    Exactness: weights and cent-values are integers, so each resample
+    mean is a ratio of exact integers; sum(w*c) stays far under int64.
+
+    Scale: the explode inflates the scan B× but stays map-local (no
+    shuffle until the B-row aggregate — partial aggs collapse each
+    partition to B rows first); the rank/CI windows run over the B-row
+    frame, a constant. Widening to per-segment CIs adds the segment to
+    the groupBy key, nothing else."""
+    from ..functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    draw = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        md5_long(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b")))
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .otherwise(4)
+    )
+    res = (
+        draw.select("b", w.alias("w"), "c")
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("c")) / 100.0 / F.sum("w"), 6
+            ).alias("mean_b"),
+        )
+    )
+    rn = F.row_number().over(W.orderBy("mean_b", "b"))
+    ranked = res.withColumn("rn", rn)
+    return ranked.select(
+        F.col("b").cast("long").alias("b"),
+        "n_eff",
+        "mean_b",
+        F.round(
+            F.max(F.when(F.col("rn") <= 2, F.col("mean_b"))).over(W.partitionBy()),
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            F.min(
+                F.when(F.col("rn") >= _BOOT_B - 1, F.col("mean_b"))
+            ).over(W.partitionBy()),
+            6,
+        ).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across all market segments.
+# ---------------------------------------------------------------------------
+
+ANOVA_ORACLE = """
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT seg,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(c) AS HUGEINT) AS DOUBLE) AS s1,
+         CAST(CAST(sum(c * c) AS HUGEINT) AS DOUBLE) AS s2
+  FROM j GROUP BY seg
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum(n) AS n_tot, sum(s1) AS s1_tot, sum(s2) AS s2_tot,
+         sum(s1 * s1 / n) AS sq_grp
+  FROM g
+), ss AS (
+  SELECT k, CAST(n_tot AS BIGINT) AS n_total,
+         (sq_grp - s1_tot * s1_tot / n_tot) / 10000.0 AS ssb,
+         (s2_tot - sq_grp) / 10000.0 AS ssw,
+         (s2_tot - s1_tot * s1_tot / n_tot) / 10000.0 AS sst
+  FROM t
+)
+SELECT k, n_total,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n_total - k AS BIGINT) AS df_within,
+       round((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS f_stat,
+       round(ssb / sst, 9) AS eta_squared
+FROM ss
+"""
+
+
+@query("q_anova_oneway", ANOVA_ORACLE)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of mean order value across ALL market
+    segments — the k-group generalization of [[q_welch_ttest]]: decompose
+    total variance into between-group and within-group sums of squares
+    and report F plus the effect size η² (the share of variance the
+    grouping explains — near 0 means the column is noise as a stratifier,
+    cf. [[q_mutual_information]] for the categorical-categorical analog).
+
+    Exactness: the identities SSB = Σs²_g/n_g − S²/N and SSW = ΣΣx² −
+    Σs²_g/n_g need only (n, Σx, Σx²) per group — summed exactly as
+    integers (decimal(38,0)/HUGEINT) and converted to double once.
+
+    Scale: ONE aggregation pass collapses the fact table to k moment rows
+    (map-side combinable); the F statistic is scalar math over the k-row
+    frame. This is the textbook 'statistics as partial aggregates'
+    shape — it never re-scans per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    g = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s1").alias("s1_tot"),
+        F.sum("s2").alias("s2_tot"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("sq_grp"),
+    )
+    ssb = (F.col("sq_grp") - F.col("s1_tot") * F.col("s1_tot") / F.col("n_tot")) / 10000.0
+    ssw = (F.col("s2_tot") - F.col("sq_grp")) / 10000.0
+    sst = (
+        F.col("s2_tot") - F.col("s1_tot") * F.col("s1_tot") / F.col("n_tot")
+    ) / 10000.0
+    return t.select(
+        "k",
+        F.col("n_tot").cast("long").alias("n_total"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / sst, 9).alias("eta_squared"),
+    )

@@ -600,3 +600,104 @@ def q_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("c") - F.count(F.lit(1)) * F.max("mu")) / F.max("sd"), 6
         ).alias("z_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample autocorrelation function of the daily event-count series.
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+ACF_ORACLE = f"""
+WITH day AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY d
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM day
+), dev AS (
+  -- centered value scaled by n so it stays integer: n*x - s = n*(x - mean)
+  SELECT d, CAST(day.x * tot.n - tot.s AS BIGINT) AS e, tot.n
+  FROM day CROSS JOIN tot
+), lagged AS (
+  SELECT l.lag, a.e AS e, b.e AS e_lag
+  FROM dev a
+  CROSS JOIN (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag) l
+  JOIN dev b ON b.d = a.d - CAST(l.lag AS INT)
+), a0 AS (
+  SELECT CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE) AS denom FROM dev
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(e AS HUGEINT) * e_lag) AS DOUBLE) / a0.denom, 6)
+         AS acf
+FROM lagged CROSS JOIN a0
+GROUP BY lag, a0.denom
+"""
+
+
+@query("q_acf_lags", ACF_ORACLE)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..7: r_k = Σ(x_t-x̄)(x_{t-k}-x̄) / Σ(x_t-x̄)² — the seasonality /
+    burst-memory diagnostic read before choosing forecast features or a
+    rollup grain (a spike at lag 7 = weekly cycle; slow decay = trending
+    traffic; cf. [[q_seasonal_hourly_baseline]] which *assumes* the cycle
+    this measures).
+
+    Exactness: deviations are kept integer by scaling with the day count
+    (n·x_t − Σx = n·(x_t − x̄)); products sum exactly (decimal(38,0) /
+    HUGEINT — squared scaled deviations can pass int64), and the single
+    division + round lands both engines on the same double.
+
+    The shift is CALENDAR lag (day d pairs with day d−k when both
+    exist), not positional — identical on a dense daily grid, and the
+    honest definition when days are missing.
+
+    Scale: the corpus collapses to the per-day count table in one
+    map-side-combinable groupBy; the lag shift is a self-join of that
+    CALENDAR-BOUNDED table with itself (days, not rows — the same
+    discipline as [[q_cusum_changepoint]]), broadcast on both sides.
+    Lags explode ×7 over that tiny table only."""
+    events = load_table(spark, sf_dir, "events")
+    day = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tot = day.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = day.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("x") * F.col("n") - F.col("s")).alias("e")
+    )
+    denom = dev.agg(
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("denom")
+    )
+    lags = dev.select(
+        "d",
+        "e",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))
+        ).alias("lag"),
+    )
+    prior = dev.select(F.col("d").alias("d2"), F.col("e").alias("e_lag"))
+    lagged = lags.join(
+        F.broadcast(prior),
+        F.date_sub(F.col("d"), F.col("lag")) == F.col("d2"),
+    )
+    return (
+        lagged.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("e") * F.col("e_lag")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("num"),
+        )
+        .crossJoin(F.broadcast(denom))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(F.col("num") / F.col("denom"), 6).alias("acf"),
+        )
+    )

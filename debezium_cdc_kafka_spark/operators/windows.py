@@ -278,3 +278,60 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey", 2, -1).over(wo).alias("after_next_orderkey"),
         F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias("first_orderdate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed top-k: trending event types per tumbling hour.
+# ---------------------------------------------------------------------------
+
+_WTOPK_K = 3
+
+WTOPK_ORACLE = f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY ws, event_type
+), rk AS (
+  SELECT ws, event_type, n,
+         row_number() OVER (
+           PARTITION BY ws ORDER BY n DESC, event_type) AS rk
+  FROM b
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= {_WTOPK_K}
+"""
+
+
+@query("q_windowed_topk_types", WTOPK_ORACLE)
+def q_windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: the top-{_WTOPK_K} event types per tumbling
+    1-hour window, ranked by count with a deterministic name tiebreak —
+    the leaderboard shape behind "what's hot right now" dashboards and
+    per-window head/tail analyses ([[q_tumbling_window_1h]] emits the
+    full histogram; this keeps only the head).
+
+    Scale: one groupBy collapses events to (window × type) partials
+    (map-side combinable), and the rank window partitions BY WINDOW — a
+    frame bounded by the event-type cardinality, never data-sized. In
+    the streaming form the same plan runs over the watermarked window
+    aggregate, with the rank applied per finalized window at emit time
+    (rank-over-updating-state isn't expressible in-flight; the batch
+    form here IS the replay-equivalent result)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        W.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        b.withColumn("rk", rk)
+        .filter(F.col("rk") <= _WTOPK_K)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -1,0 +1,259 @@
+"""Property tests for the round-4c additions: Welch t-test, mutual
+information, Poisson bootstrap, autocorrelation, soft-dedup weighting,
+epoch shuffle planning, perceptual-hash dedup. The DuckDB oracles pin
+cross-engine equality; these pin SEMANTICS against independent Python
+reimplementations and structural invariants.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from debezium_cdc_kafka_spark.operators.curation import (
+    _SHUF_BATCH,
+    _SHUF_EPOCHS,
+    q_epoch_shuffle_plan,
+    q_soft_dedup_weights,
+)
+from debezium_cdc_kafka_spark.operators.multimodal import (
+    _PH_HAM,
+    _phash_fake,
+    multimodal_phash_dedup,
+)
+from debezium_cdc_kafka_spark.operators.incremental import q_incremental_distinct
+from debezium_cdc_kafka_spark.operators.stats import (
+    _POIS_CDF,
+    q_anova_oneway,
+    q_bootstrap_ci,
+    q_mutual_information,
+    q_welch_ttest,
+)
+from debezium_cdc_kafka_spark.operators.timeseries import q_acf_lags
+from debezium_cdc_kafka_spark.operators.windows import q_windowed_topk_types
+from tests.conftest import SF_SMOKE
+
+
+def _read(table: str) -> list[dict]:
+    return pq.read_table(f"{SF_SMOKE}/{table}.parquet").to_pylist()
+
+
+def test_welch_matches_textbook_formula(spark):
+    """Recompute Welch's t and the Satterthwaite df from raw parquet with
+    plain Python floats; the engine (exact integer sums -> double) must
+    land on the same values at the published rounding."""
+    custseg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in _read("customer")
+        if r["c_mktsegment"] in ("BUILDING", "MACHINERY")
+    }
+    groups = defaultdict(list)
+    for r in _read("orders"):
+        seg = custseg.get(r["o_custkey"])
+        if seg:
+            groups[seg].append(round(r["o_totalprice"] * 100) / 100.0)
+    xa, xb = groups["BUILDING"], groups["MACHINERY"]
+    na, nb = len(xa), len(xb)
+    ma, mb = sum(xa) / na, sum(xb) / nb
+    va = sum((x - ma) ** 2 for x in xa) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in xb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+
+    row = q_welch_ttest(spark, SF_SMOKE).collect()[0]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["mean_a"] - ma) < 1e-4 and abs(row["mean_b"] - mb) < 1e-4
+    assert abs(row["t_stat"] - t) < 1e-4
+    assert abs(row["welch_df"] - df) < 1e-2
+    assert row["significant_95"] == int(abs(t) > 1.96)
+
+
+def test_mutual_information_matches_python(spark):
+    """MI total must equal the definitional sum over the contingency
+    table, and must be bounded by min(H(lang), H(source))."""
+    docs = _read("documents")
+    joint = Counter((d["lang"], d["source"]) for d in docs)
+    nx = Counter(d["lang"] for d in docs)
+    ny = Counter(d["source"] for d in docs)
+    n = len(docs)
+    mi = sum(
+        (c / n) * round(math.log(c * n / (nx[x] * ny[y])), 9)
+        for (x, y), c in joint.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in nx.values())
+    hy = -sum((c / n) * math.log(c / n) for c in ny.values())
+
+    rows = q_mutual_information(spark, SF_SMOKE).collect()
+    assert len(rows) == len(joint)
+    got = rows[0]["mi_total"]
+    assert abs(got - mi) < 1e-5
+    assert -1e-9 <= got <= min(hx, hy) + 1e-6
+
+
+def test_bootstrap_weights_are_poisson_and_deterministic(spark):
+    """The derandomized Poisson(1) draws must hit the pmf within sampling
+    noise, resample means must bracket the true mean, and the CI columns
+    must be the 2nd/31st order statistics of the 32 means."""
+    rows = sorted(q_bootstrap_ci(spark, SF_SMOKE).collect(), key=lambda r: r["b"])
+    assert len(rows) == 32
+    orders = _read("orders")
+    n = len(orders)
+    true_mean = sum(o["o_totalprice"] for o in orders) / n
+    means = sorted(r["mean_b"] for r in rows)
+    assert rows[0]["ci_lo"] == means[1]
+    assert rows[0]["ci_hi"] == means[-2]
+    assert means[0] <= true_mean <= means[-1]
+    # n_eff ~ Poisson(1) sum: mean n, sd ~ sqrt(n); allow 5 sigma
+    for r in rows:
+        assert abs(r["n_eff"] - n) <= 5 * math.sqrt(n) + 5
+    # rerun is bit-identical (derandomized)
+    again = sorted(q_bootstrap_ci(spark, SF_SMOKE).collect(), key=lambda r: r["b"])
+    assert [r["mean_b"] for r in again] == [r["mean_b"] for r in rows]
+
+
+def test_poisson_cdf_constants():
+    """The inverse-CDF thresholds are the Poisson(1) CDF at k=0..3."""
+    cdf, term = 0.0, math.exp(-1.0)
+    for k, want in enumerate(_POIS_CDF):
+        cdf += term
+        assert abs(cdf - want) < 5e-9, (k, cdf, want)
+        term /= k + 1
+
+
+def test_acf_matches_python(spark):
+    """Calendar-lag autocorrelation must equal the definitional centered
+    products over the per-day count table; acf at lag 0 would be 1."""
+    from datetime import timedelta
+
+    days = Counter()
+    for e in _read("events"):
+        days[e["ts"].date()] += 1
+    xs = days
+    nd = len(days)
+    mean = sum(days.values()) / nd
+    denom = sum((v - mean) ** 2 for v in days.values())
+    rows = {r["lag"]: r for r in q_acf_lags(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, 8))
+    for k in range(1, 8):
+        pairs = [
+            (xs[d] - mean) * (xs[d - timedelta(days=k)] - mean)
+            for d in xs
+            if d - timedelta(days=k) in xs
+        ]
+        assert rows[k]["n_pairs"] == len(pairs)
+        assert abs(rows[k]["acf"] - sum(pairs) / denom) < 1e-5
+        assert -1.001 <= rows[k]["acf"] <= 1.001
+
+
+def test_soft_dedup_inflation(spark):
+    """Every source must show inflation >= 2x (the mutant doubles every
+    content), raw >= effective mass, and the totals must reconcile with
+    the corpus construction (2x docs per source)."""
+    docs = _read("documents")
+    per_source = Counter(d["source"] for d in docs)
+    rows = q_soft_dedup_weights(spark, SF_SMOKE).collect()
+    assert {r["source"] for r in rows} == set(per_source)
+    for r in rows:
+        assert r["n_docs"] == 2 * per_source[r["source"]]
+        # original + mutant always share a normalized content hash
+        assert r["n_duplicated"] == r["n_docs"]
+        assert r["eff_utokens"] <= r["raw_tokens"] * 1_000_000
+        assert r["dup_inflation"] >= 2.0 - 1e-9
+
+
+def test_epoch_shuffle_is_batched_permutation(spark):
+    """Each epoch is a full permutation of the corpus chopped into
+    batches of exactly _SHUF_BATCH (last batch ragged), and the two
+    epochs order the corpus differently."""
+    rows = q_epoch_shuffle_plan(spark, SF_SMOKE).collect()
+    n_docs = len(_read("documents"))
+    assert len(rows) == _SHUF_EPOCHS * n_docs
+    by_epoch = defaultdict(dict)
+    for r in rows:
+        by_epoch[r["epoch"]][r["doc_id"]] = (r["batch_id"], r["pos"])
+    orders = []
+    for epoch, assign in by_epoch.items():
+        assert len(assign) == n_docs  # every doc exactly once
+        slots = sorted(assign.values())
+        want = [(i // _SHUF_BATCH, i % _SHUF_BATCH) for i in range(n_docs)]
+        assert slots == want  # dense, no gap, no double-fill
+        orders.append(tuple(sorted(assign, key=lambda d: assign[d])))
+    assert orders[0] != orders[1]  # epochs decorrelated
+
+
+def test_phash_pairs_include_mutants_and_respect_threshold(spark):
+    """Every doc >= 64 bytes must pair with its appended-tail mutant at
+    hamming 0; all emitted pairs respect the threshold; fingerprints
+    recomputed in pure Python agree."""
+    rows = multimodal_phash_dedup(spark, SF_SMOKE).collect()
+    got = {(r["uid_a"], r["uid_b"]): r["hamming"] for r in rows}
+    assert all(h <= _PH_HAM for h in got.values())
+    docs = _read("documents")
+    long_docs = [d for d in docs if len(d["text"].encode()) >= 64]
+    assert long_docs, "fixture should contain docs >= 64 bytes"
+    for d in long_docs[:50]:
+        pair = (d["doc_id"], d["doc_id"] + 10000000)
+        assert got.get(pair) == 0, pair
+    # python replay of the fingerprint arithmetic
+    for d in docs[:20]:
+        fp = _phash_fake(d["text"].encode())
+        assert 0 <= fp < (1 << 60)
+
+
+def test_anova_matches_python(spark):
+    """F and eta^2 must equal the definitional decomposition computed in
+    plain Python over raw parquet."""
+    custseg = {r["c_custkey"]: r["c_mktsegment"] for r in _read("customer")}
+    groups = defaultdict(list)
+    for r in _read("orders"):
+        groups[custseg[r["o_custkey"]]].append(round(r["o_totalprice"] * 100) / 100.0)
+    k = len(groups)
+    allx = [x for xs in groups.values() for x in xs]
+    n = len(allx)
+    grand = sum(allx) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - grand) ** 2 for xs in groups.values())
+    ssw = sum(
+        sum((x - sum(xs) / len(xs)) ** 2 for x in xs) for xs in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+
+    row = q_anova_oneway(spark, SF_SMOKE).collect()[0]
+    assert row["k"] == k and row["n_total"] == n
+    assert row["df_between"] == k - 1 and row["df_within"] == n - k
+    assert abs(row["f_stat"] - f) < 1e-3
+    assert abs(row["eta_squared"] - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_windowed_topk_is_per_window_head(spark):
+    """Per window: ranks are 1..min(k, types present), counts
+    non-increasing in rank, and each (window, type) count matches a
+    Python recount."""
+    truth = Counter()
+    for e in _read("events"):
+        ws = e["ts"].replace(minute=0, second=0, microsecond=0)
+        truth[(ws.strftime("%Y-%m-%d %H:%M:%S"), e["event_type"])] += 1
+    rows = q_windowed_topk_types(spark, SF_SMOKE).collect()
+    by_w = defaultdict(list)
+    for r in rows:
+        assert truth[(r["window_start"], r["event_type"])] == r["n"]
+        by_w[r["window_start"]].append((r["rk"], r["n"]))
+    for w, rks in by_w.items():
+        rks.sort()
+        assert [r for r, _ in rks] == list(range(1, len(rks) + 1))
+        ns = [n for _, n in rks]
+        assert ns == sorted(ns, reverse=True)
+        assert len(rks) <= 3
+
+
+def test_incremental_distinct_invariant(spark):
+    """The KMV merge invariant must hold: incremental == full, and both
+    estimates must be within the ~1/sqrt(k-2) band of the true count."""
+    row = q_incremental_distinct(spark, SF_SMOKE).collect()[0]
+    assert row["sketch_identical"] == 1
+    assert row["est_incremental"] == row["est_full"]
+    exact = len({e["user_id"] for e in _read("events")})
+    assert abs(row["est_incremental"] - exact) <= 0.5 * exact
+    assert row["m_state"] <= row["k"]
