@@ -2385,3 +2385,116 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_label_propagation"] = q_label_propagation
 ORACLES["q_label_propagation"] = LABELPROP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval: does a 16-d prefix of the 64-d embedding
+# retrieve the same neighbors?
+# ---------------------------------------------------------------------------
+
+_MAT_DIM = 16
+
+_TRUNC_DOT_SQL = (
+    f"list_sum(list_transform(range(1, {_MAT_DIM + 1}), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_TRUNC_NORM_SQL = (
+    f"list_sum(list_transform(range(1, {_MAT_DIM + 1}), "
+    "i -> CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE)))"
+)
+_TRUNC_COS_SQL = (
+    f"{_TRUNC_DOT_SQL} / sqrt(({_TRUNC_NORM_SQL.format(t='a')})"
+    f" * ({_TRUNC_NORM_SQL.format(t='b')}))"
+)
+
+MATRYOSHKA_ORACLE = f"""
+WITH fullk AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.{_QUERY_PRED}
+), trunck AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_TRUNC_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.{_QUERY_PRED}
+), hits AS (
+  SELECT f.query_id, CAST(count(t.cand_id) AS BIGINT) AS n_overlap
+  FROM (SELECT * FROM fullk WHERE rk <= 5) f
+  LEFT JOIN (SELECT * FROM trunck WHERE rk <= 5) t
+    ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+  GROUP BY f.query_id
+)
+SELECT query_id, n_overlap,
+       round(n_overlap / 5.0, 6) AS overlap_at_5,
+       round(sum(n_overlap) OVER () / (5.0 * count(*) OVER ()), 6)
+         AS macro_overlap
+FROM hits
+"""
+
+
+@query("q_matryoshka_recall", MATRYOSHKA_ORACLE)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022): retrieve top-5
+    by cosine over only the FIRST {_MAT_DIM} of 64 dimensions and measure
+    per-query overlap with the full-dimension top-5 — the quality gate
+    run before shipping truncated embeddings (4× less storage/bandwidth,
+    cf. [[q_jl_projection]] which reduces by random projection instead of
+    prefix truncation; this measures what that buys back in retrieval).
+
+    Scale: both retrievals are the bounded broadcast-probe scans of
+    [[ann_bruteforce_topk]] (probe set: every 100th vector); the overlap
+    join touches k × queries rows and the macro average is an integer-sum
+    window over that tiny frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("e1"),
+        F.slice(F.col("embedding"), 1, _MAT_DIM).alias("t1"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("e2"),
+        F.slice(F.col("embedding"), 1, _MAT_DIM).alias("t2"),
+    )
+    joined = F.broadcast(q).join(c, F.col("cand_id") != F.col("query_id"))
+    wf = W.partitionBy("query_id").orderBy(
+        _cosine("e1", "e2").desc(), F.col("cand_id")
+    )
+    wt = W.partitionBy("query_id").orderBy(
+        _cosine("t1", "t2").desc(), F.col("cand_id")
+    )
+    fullk = (
+        joined.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id")
+    )
+    trunck = (
+        joined.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").alias("tq"), F.col("cand_id").alias("tc")
+        )
+    )
+    hits = (
+        fullk.join(
+            trunck,
+            (fullk.query_id == trunck.tq) & (fullk.cand_id == trunck.tc),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tc").alias("n_overlap"))
+    )
+    wg = W.partitionBy()
+    return hits.select(
+        "query_id",
+        "n_overlap",
+        F.round(F.col("n_overlap") / 5.0, 6).alias("overlap_at_5"),
+        F.round(
+            F.sum("n_overlap").over(wg) / (5.0 * F.count(F.lit(1)).over(wg)), 6
+        ).alias("macro_overlap"),
+    )

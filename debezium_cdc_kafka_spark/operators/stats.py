@@ -1381,3 +1381,114 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.round(ssb / sst, 9).alias("eta_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, exact).
+# ---------------------------------------------------------------------------
+
+SPEARMAN_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS li_n
+  FROM lineitem GROUP BY l_orderkey
+), rows_ AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x, li_n AS y
+  FROM orders JOIN li ON o_orderkey = l_orderkey
+), xv AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c FROM rows_ GROUP BY x
+), xr AS (
+  SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+            AS r2x
+  FROM xv
+), yv AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS c FROM rows_ GROUP BY y
+), yr AS (
+  SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+            AS r2y
+  FROM yv
+), ranked AS (
+  SELECT r2x, r2y FROM rows_ JOIN xr USING (x) JOIN yr USING (y)
+), sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(r2x) AS HUGEINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(r2y) AS HUGEINT) AS DOUBLE) AS sy,
+         CAST(sum(CAST(r2x AS HUGEINT) * r2x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(r2y AS HUGEINT) * r2y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(r2x AS HUGEINT) * r2y) AS DOUBLE) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS spearman_rho
+FROM sums
+"""
+
+
+@query("q_spearman_corr", SPEARMAN_ORACLE)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between order value and
+    order width (lineitem count) — the monotonic-dependence screen that
+    Pearson ([[q_correlation_matrix]]) misses whenever the relationship
+    is nonlinear or outlier-ridden; on heavy-tailed pipeline metrics the
+    rank form is the trustworthy one. Computed as Pearson over mid-rank
+    ties: each value's DOUBLED average rank 2·c_less + count + 1 is an
+    exact integer (the [[q_classifier_auc]] trick), so every sum the
+    correlation needs is exact integer arithmetic until one final double
+    conversion.
+
+    Scale: ranks come from the per-VALUE count table — the y side is
+    bounded by the value domain; the x side (cents) can be data-
+    proportional, so its cumulative count runs through
+    functions/distributed.py's two-pass prefix sum, never a global
+    window. Rank join-back is value-keyed; the moment collapse is one
+    map-side-combinable aggregate."""
+    from ..functions.distributed import global_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    rows = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"), "y"
+    )
+
+    def doubled_ranks(col: str) -> DataFrame:
+        vt = rows.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        pre = global_prefix_sum(
+            vt, [F.col(col)], F.col("c"), out="cl", inclusive=False
+        )
+        return pre.select(
+            col, (2 * F.col("cl") + F.col("c") + 1).alias(f"r2{col}")
+        )
+
+    ranked = (
+        rows.join(doubled_ranks("x"), "x")
+        .join(F.broadcast(doubled_ranks("y")), "y")
+        .select("r2x", "r2y")
+    )
+    # products of doubled ranks can pass int64 at extreme row counts:
+    # widen to decimal BEFORE multiplying (HUGEINT on the oracle side)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = lambda c: F.sum(c).cast("double")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d(dec("r2x")).alias("sx"),
+        d(dec("r2y")).alias("sy"),
+        d(dec("r2x") * F.col("r2x")).alias("sxx"),
+        d(dec("r2y") * F.col("r2y")).alias("syy"),
+        d(dec("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )

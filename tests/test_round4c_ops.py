@@ -24,11 +24,13 @@ from debezium_cdc_kafka_spark.operators.multimodal import (
     multimodal_phash_dedup,
 )
 from debezium_cdc_kafka_spark.operators.incremental import q_incremental_distinct
+from debezium_cdc_kafka_spark.operators.similarity import q_matryoshka_recall
 from debezium_cdc_kafka_spark.operators.stats import (
     _POIS_CDF,
     q_anova_oneway,
     q_bootstrap_ci,
     q_mutual_information,
+    q_spearman_corr,
     q_welch_ttest,
 )
 from debezium_cdc_kafka_spark.operators.timeseries import q_acf_lags
@@ -257,3 +259,89 @@ def test_incremental_distinct_invariant(spark):
     exact = len({e["user_id"] for e in _read("events")})
     assert abs(row["est_incremental"] - exact) <= 0.5 * exact
     assert row["m_state"] <= row["k"]
+
+
+def test_spearman_matches_scipy_free_python(spark):
+    """Tie-corrected Spearman must equal Pearson over mid-rank-averaged
+    ranks computed independently in Python."""
+    li_n = Counter()
+    for r in _read("lineitem"):
+        li_n[r["l_orderkey"]] += 1
+    xs, ys = [], []
+    for o in _read("orders"):
+        if o["o_orderkey"] in li_n:
+            xs.append(round(o["o_totalprice"] * 100))
+            ys.append(li_n[o["o_orderkey"]])
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = avg
+            i = j + 1
+        return ranks
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    rho = num / den
+
+    row = q_spearman_corr(spark, SF_SMOKE).collect()[0]
+    assert row["n"] == n
+    assert abs(row["spearman_rho"] - rho) < 1e-5
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_matryoshka_overlap_bounds(spark):
+    """Overlap@5 per query lies in [0,1]; macro equals mean of per-query
+    values; truncation to the same 64 dims would give overlap 1."""
+    rows = q_matryoshka_recall(spark, SF_SMOKE).collect()
+    assert rows, "probe set must be non-empty"
+    per_q = [r["n_overlap"] for r in rows]
+    assert all(0 <= v <= 5 for v in per_q)
+    macro = rows[0]["macro_overlap"]
+    assert abs(macro - sum(per_q) / (5.0 * len(per_q))) < 1e-6
+    for r in rows:
+        assert abs(r["overlap_at_5"] - r["n_overlap"] / 5.0) < 1e-9
+
+
+def test_kcore_is_fixpoint_and_valid(spark):
+    """The 8-round peel must reach the true fixpoint at smoke scale
+    (pinned vs an until-convergence Python peel), every core member must
+    have >= K neighbors inside the core, and the core must be maximal
+    (re-adding any non-member immediately violates the bound)."""
+    from debezium_cdc_kafka_spark.operators.graph import _KCORE_K, graph_kcore
+
+    adj = defaultdict(set)
+    order_parts = defaultdict(set)
+    for r in _read("lineitem"):
+        order_parts[r["l_orderkey"]].add(r["l_partkey"])
+    for parts in order_parts.values():
+        for p in parts:
+            for q in parts:
+                if p != q:
+                    adj[p].add(q)
+    alive = set(adj)
+    while True:
+        nxt = {n for n in alive if len(adj[n] & alive) >= _KCORE_K}
+        if nxt == alive:
+            break
+        alive = nxt
+
+    rows = graph_kcore(spark, SF_SMOKE).collect()
+    got_core = {r["p_partkey"] for r in rows if r["in_core"] == 1}
+    assert got_core == alive  # 8-round budget reached the fixpoint
+    for r in rows:
+        assert r["deg0"] == len(adj.get(r["p_partkey"], ()))
+    for n in got_core:
+        assert len(adj[n] & got_core) >= _KCORE_K
