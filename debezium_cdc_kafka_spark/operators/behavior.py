@@ -760,3 +760,95 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-event prediction eval: how predictive is the Markov matrix?
+# ---------------------------------------------------------------------------
+
+NEXT_EVENT_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), pred AS (
+  SELECT from_type, to_type AS predicted
+  FROM (
+    SELECT from_type, to_type,
+           row_number() OVER (
+             PARTITION BY from_type ORDER BY n DESC, to_type) AS rk
+    FROM pairs
+  ) WHERE rk = 1
+)
+SELECT p.from_type, pr.predicted,
+       CAST(sum(p.n) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN p.to_type = pr.predicted THEN p.n ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN p.to_type = pr.predicted THEN p.n ELSE 0 END)
+             / CAST(sum(p.n) AS DOUBLE), 6) AS top1_accuracy
+FROM pairs p JOIN pred pr USING (from_type)
+GROUP BY p.from_type, pr.predicted
+"""
+
+
+@query("q_next_event_accuracy", NEXT_EVENT_ORACLE)
+def q_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine model evaluation: use the first-order Markov matrix
+    ([[q_markov_transitions]]) as a next-event predictor — per state,
+    predict the argmax transition — and score its top-1 accuracy against
+    the corpus itself (training-set accuracy: the UPPER bound any
+    1st-order sequence model gets; far-from-uniform rows here are the
+    states worth a session-based model, cf. [[q_top_session_paths]]).
+
+    Exactness: prediction and score both come from the integer pair-count
+    table; one rounded division per state.
+
+    Scale: the only corpus-sized work is the per-user sequencing window
+    (user-bounded state, the [[q_markov_transitions]] shuffle — bucketed
+    events tables skip it); everything else lives on the |types|² count
+    table, including the argmax rank (frame bounded by type
+    cardinality)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("from_type").orderBy(F.col("n").desc(), "to_type")
+    )
+    pred = (
+        pairs.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    correct = F.sum(
+        F.when(F.col("to_type") == F.col("predicted"), F.col("n")).otherwise(0)
+    )
+    return (
+        pairs.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.sum("n").alias("n_pairs"),
+            correct.alias("n_correct"),
+        )
+        .select(
+            "from_type",
+            "predicted",
+            "n_pairs",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_pairs").cast("double"), 6
+            ).alias("top1_accuracy"),
+        )
+    )

@@ -644,3 +644,109 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit: the frequency-side scaling law (Heaps' is the
+# vocabulary side).
+# ---------------------------------------------------------------------------
+
+_ZIPF_MIN_FREQ = 5  # drop the hapax tail (frequency < 5): log-log OLS over
+                    # the tail fits noise, the standard truncation
+
+ZIPF_ORACLE = f"""
+WITH words AS (
+  SELECT unnest({{tok}}) AS word FROM documents
+), freq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f
+  FROM words GROUP BY word HAVING count(*) >= {_ZIPF_MIN_FREQ}
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r FROM freq
+), pts AS (
+  -- ln terms as exact nano-integers so the moment sums are
+  -- order-independent across engines
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000000) AS BIGINT) AS lxn,
+         CAST(round(ln(CAST(f AS DOUBLE)) * 1000000000) AS BIGINT) AS lyn
+  FROM ranked
+), sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(lxn) AS HUGEINT) AS DOUBLE) / 1e9 AS sx,
+         CAST(CAST(sum(lyn) AS HUGEINT) AS DOUBLE) / 1e9 AS sy,
+         CAST(sum(CAST(lxn AS HUGEINT) * lxn) AS DOUBLE) / 1e18 AS sxx,
+         CAST(sum(CAST(lxn AS HUGEINT) * lyn) AS DOUBLE) / 1e18 AS sxy,
+         CAST(sum(CAST(lyn AS HUGEINT) * lyn) AS DOUBLE) / 1e18 AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+FROM sums
+"""
+
+
+@query("q_zipf_fit", ZIPF_ORACLE.format(tok=tokens_sql("text")))
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency table: OLS slope of
+    ln(freq) against ln(rank) — natural language sits near slope −1, and
+    deviation is the corpus-health signal ([[q_heaps_law]] measures the
+    vocabulary side of the same power law): too-steep means template
+    spam dominating the head, too-flat means id-noise inflating the
+    tail. The hapax tail (freq < {_ZIPF_MIN_FREQ}) is truncated before
+    the fit, the standard practice.
+
+    Exactness: ranks are integers off the frequency table; both ln terms
+    round at 1e-9 before the moment sums (repo transcendental
+    discipline), and the OLS closed form divides once per statistic.
+
+    Scale: token stream collapses to the VOCABULARY-bounded frequency
+    table in one map-side-combinable groupBy; the rank and the moment
+    sums live entirely on that table (at extreme vocabularies the rank
+    swaps onto functions/distributed.py's two-pass form with the same
+    semantics). Slope/intercept/R² are scalar math over one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+    freq = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") >= _ZIPF_MIN_FREQ)
+    )
+    r = F.row_number().over(W.orderBy(F.col("f").desc(), "word"))
+    pts = freq.withColumn("r", r).select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000000)
+        .cast("long")
+        .alias("lxn"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000000)
+        .cast("long")
+        .alias("lyn"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(dec("lxn")).cast("double") / 1e9).alias("sx"),
+        (F.sum(dec("lyn")).cast("double") / 1e9).alias("sy"),
+        (F.sum(dec("lxn") * F.col("lxn")).cast("double") / 1e18).alias("sxx"),
+        (F.sum(dec("lxn") * F.col("lyn")).cast("double") / 1e18).alias("sxy"),
+        (F.sum(dec("lyn") * F.col("lyn")).cast("double") / 1e18).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r_squared"),
+    )

@@ -594,3 +594,106 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "uid_a", "uid_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= _PH_HAM)
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing over decoded dimensions (SDXL-style training prep).
+# ---------------------------------------------------------------------------
+
+_AR_BUCKETS = [  # (idx, name, a, b) — ratio a:b
+    (0, "1:1", 1, 1),
+    (1, "4:3", 4, 3),
+    (2, "3:4", 3, 4),
+    (3, "16:9", 16, 9),
+    (4, "9:16", 9, 16),
+]
+
+_AR_VALUES_SQL = ", ".join(f"({i}, '{nm}', {a}, {b})" for i, nm, a, b in _AR_BUCKETS)
+
+ASPECT_ORACLE = f"""
+WITH decoded AS (
+  SELECT doc_id,
+         list_sum(list_transform(
+           range(1, least(length(text), 64) + 1),
+           i -> unicode(substr(text, i, 1)))) AS checksum
+  FROM documents
+), dims AS (
+  SELECT doc_id,
+         CAST(64 + checksum % 64 AS INT) AS width,
+         CAST(64 + (checksum // 64) % 64 AS INT) AS height
+  FROM decoded
+), scored AS (
+  SELECT doc_id, width, height, b.idx, b.nm,
+         round(abs(CAST(width AS DOUBLE) / height
+                   - CAST(b.a AS DOUBLE) / b.b), 9) AS diff,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(abs(CAST(width AS DOUBLE) / height
+                              - CAST(b.a AS DOUBLE) / b.b), 9), b.idx
+         ) AS rk
+  FROM dims CROSS JOIN (
+    SELECT * FROM (VALUES {_AR_VALUES_SQL}) AS t(idx, nm, a, b)
+  ) b
+)
+SELECT doc_id, width, height, nm AS bucket, diff AS ar_distance
+FROM scored WHERE rk = 1
+"""
+
+
+@query("multimodal_aspect_buckets", ASPECT_ORACLE)
+def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing of decoded images — assign every blob to
+    the nearest of 5 canonical aspect ratios (1:1, 4:3, 3:4, 16:9, 9:16),
+    the batching prep diffusion/vision training uses so same-shape images
+    share a batch and nothing is destructively cropped (the bucket is the
+    groupBy key the loader feeds [[q_length_grouped_batches]]-style
+    packing with). Dimensions come from the Arrow decode path
+    ([[multimodal_patch_grid]]'s gate), so this also exercises
+    mapInPandas.
+
+    Exactness: the ratio distance |w/h − a/b| is one IEEE division per
+    side from identical integers (identical in both engines), rounded at
+    1e-9 before the argmin; ties break on bucket index.
+
+    Scale: decode is one streamed pass; the candidate explode is ×5 and
+    the argmin window partitions per doc over a 5-row frame. Bucket
+    HISTOGRAMS (the loader's view) are one further map-side-combinable
+    groupBy on the output."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(with_blob(docs)).select("doc_id", "width", "height")
+    buckets = [
+        F.struct(
+            F.lit(i).alias("idx"),
+            F.lit(nm).alias("nm"),
+            F.lit(a).alias("a"),
+            F.lit(b).alias("b"),
+        )
+        for i, nm, a, b in _AR_BUCKETS
+    ]
+    exploded = feats.select(
+        "doc_id", "width", "height", F.explode(F.array(*buckets)).alias("bk")
+    )
+    diff = F.round(
+        F.abs(
+            F.col("width").cast("double") / F.col("height")
+            - F.col("bk.a").cast("double") / F.col("bk.b")
+        ),
+        9,
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(diff, F.col("bk.idx"))
+    )
+    return (
+        exploded.withColumn("diff", diff)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.col("bk.nm").alias("bucket"),
+            F.col("diff").alias("ar_distance"),
+        )
+    )

@@ -345,3 +345,95 @@ def test_kcore_is_fixpoint_and_valid(spark):
         assert r["deg0"] == len(adj.get(r["p_partkey"], ()))
     for n in got_core:
         assert len(adj[n] & got_core) >= _KCORE_K
+
+
+def test_zipf_fit_matches_python_ols(spark):
+    """Slope/intercept/R^2 must match a pure-Python log-log OLS over the
+    same truncated frequency table; natural-ish text gives a negative
+    slope with decent fit."""
+    from debezium_cdc_kafka_spark.operators.corpus import (
+        _ZIPF_MIN_FREQ,
+        q_zipf_fit,
+    )
+
+    freq = Counter()
+    for d in _read("documents"):
+        for w in __import__("re").split(r"[^a-z0-9]+", d["text"].lower()):
+            if w:
+                freq[w] += 1
+    kept = sorted(
+        ((f, w) for w, f in freq.items() if f >= _ZIPF_MIN_FREQ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    pts = [
+        (round(math.log(r + 1), 9), round(math.log(f), 9))
+        for r, (f, _) in enumerate(kept)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    row = q_zipf_fit(spark, SF_SMOKE).collect()[0]
+    assert row["n_types"] == n
+    assert abs(row["zipf_slope"] - slope) < 1e-4
+    assert row["zipf_slope"] < 0
+    assert 0.0 <= row["r_squared"] <= 1.0
+
+
+def test_aspect_buckets_are_nearest(spark):
+    """Every assignment must be the true nearest canonical ratio, with
+    the decoded dims matching the fake codec."""
+    from debezium_cdc_kafka_spark.operators.multimodal import (
+        _AR_BUCKETS,
+        multimodal_aspect_buckets,
+    )
+
+    rows = multimodal_aspect_buckets(spark, SF_SMOKE).collect()
+    docs = {d["doc_id"]: d["text"].encode() for d in _read("documents")}
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        payload = docs[r["doc_id"]]
+        cs = sum(payload[:64])
+        assert r["width"] == 64 + cs % 64
+        assert r["height"] == 64 + (cs // 64) % 64
+        best = min(
+            _AR_BUCKETS,
+            key=lambda t: (round(abs(r["width"] / r["height"] - t[2] / t[3]), 9), t[0]),
+        )
+        assert r["bucket"] == best[1]
+
+
+def test_next_event_accuracy_matches_python(spark):
+    """Per-state argmax prediction and its accuracy must match an
+    independent Python replay of the sequence pairing."""
+    from debezium_cdc_kafka_spark.operators.behavior import q_next_event_accuracy
+
+    by_user = defaultdict(list)
+    for e in _read("events"):
+        by_user[e["user_id"]].append((e["ts"], e["event_id"], e["event_type"]))
+    pairs = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    pred, tot, hit = {}, Counter(), Counter()
+    for (a, b), n in pairs.items():
+        tot[a] += n
+        cur = pred.get(a)
+        if cur is None or n > pairs[(a, cur)] or (n == pairs[(a, cur)] and b < cur):
+            pred[a] = b
+    for (a, b), n in pairs.items():
+        if pred[a] == b:
+            hit[a] += n
+
+    rows = {r["from_type"]: r for r in q_next_event_accuracy(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(pred)
+    for a, r in rows.items():
+        assert r["predicted"] == pred[a]
+        assert r["n_pairs"] == tot[a]
+        assert r["n_correct"] == hit[a]
+        assert abs(r["top1_accuracy"] - hit[a] / tot[a]) < 1e-6
