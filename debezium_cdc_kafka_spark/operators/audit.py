@@ -327,3 +327,76 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sensitive_distinct") >= _L_DIV).cast("int").alias("l_diverse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Generalization: the suppression step k-anonymity auditing implies.
+# ---------------------------------------------------------------------------
+
+GENERALIZE_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS INT) AS bal_band
+  FROM customer
+), sized AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band)
+           AS class_n
+  FROM qi
+), gen AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN class_n >= {_K_ANON} THEN bal_band ELSE -1 END AS band_gen
+  FROM sized
+)
+SELECT c_nationkey, c_mktsegment, band_gen,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(count(*) >= {_K_ANON} AS INTEGER) AS k_anonymous
+FROM gen
+GROUP BY c_nationkey, c_mktsegment, band_gen
+"""
+
+
+@query("q_qi_generalize", GENERALIZE_ORACLE)
+def q_qi_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization pass over the quasi-identifier space: every
+    equivalence class [[q_k_anonymity]] flags as too small (< k={_K_ANON})
+    has its balance band COARSENED into the per-(nation, segment)
+    catch-all (band −1), then classes are recounted — the transform that
+    turns the audit into a releasable table. Catch-alls that are STILL
+    below k are the residual risk the release either suppresses row-wise
+    or generalizes up the next attribute; they stay flagged here rather
+    than silently passing.
+
+    Scale: one key-partitioned count window sizes classes (same shuffle
+    key as the final groupBy, so AQE coalesces the exchange), one
+    re-aggregation on the generalized key; output stays bounded by the
+    QI space."""
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window as W
+
+    band = F.floor(F.col("c_acctbal") / 1000).cast("int")
+    qi = cust.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+    sized = qi.withColumn(
+        "class_n",
+        F.count(F.lit(1)).over(
+            W.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+        ),
+    )
+    gen = sized.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("class_n") >= _K_ANON, F.col("bal_band"))
+        .otherwise(F.lit(-1))
+        .alias("band_gen"),
+    )
+    return (
+        gen.groupBy("c_nationkey", "c_mktsegment", "band_gen")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band_gen",
+            "group_n",
+            (F.col("group_n") >= _K_ANON).cast("int").alias("k_anonymous"),
+        )
+    )

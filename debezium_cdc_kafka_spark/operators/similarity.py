@@ -2498,3 +2498,73 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_overlap").over(wg) / (5.0 * F.count(F.lit(1)).over(wg)), 6
         ).alias("macro_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MRR: reciprocal-rank relevance eval of the LSH index against labels.
+# ---------------------------------------------------------------------------
+
+MRR_ORACLE = f"""
+WITH lsh AS ({LSH_ORACLE}),
+lab AS (
+  SELECT l.query_id, l.cand_id, l.rk,
+         CAST(qe.label = ce.label AS INTEGER) AS relevant
+  FROM lsh l
+  JOIN embeddings qe ON qe.vec_id = l.query_id
+  JOIN embeddings ce ON ce.vec_id = l.cand_id
+),
+firsts AS (
+  SELECT query_id,
+         CAST(coalesce(min(CASE WHEN relevant = 1 THEN rk END), 0) AS INT)
+           AS first_rel_rank
+  FROM lab GROUP BY query_id
+)
+SELECT query_id, first_rel_rank,
+       round(CASE WHEN first_rel_rank > 0
+                  THEN 1.0 / first_rel_rank ELSE 0.0 END, 6)
+         AS reciprocal_rank,
+       round(sum(CASE WHEN first_rel_rank > 0
+                      THEN 1.0 / first_rel_rank ELSE 0.0 END) OVER ()
+             / count(*) OVER (), 6) AS macro_mrr
+FROM firsts
+"""
+
+
+@query("q_retrieval_mrr", MRR_ORACLE)
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank of the LSH index ([[ann_lsh_hyperplane]])
+    against label relevance: for each probe, 1/rank of the first
+    retrieved neighbor sharing the probe's label — the position-weighted
+    IR metric that complements [[ann_recall_eval]] (recall counts hits
+    anywhere in the top-k; MRR rewards putting a relevant one FIRST,
+    which is what a RAG context window actually consumes).
+
+    Scale: retrieval is the bounded bucket-probe plan; the label join is
+    on (probe ∪ candidate) ids — k×queries rows — and the macro window
+    runs over the probe frame. Relevance here is the label column; swap
+    in a qrels table and the plan is unchanged."""
+    lsh = ann_lsh_hyperplane(spark, sf_dir).select("query_id", "cand_id", "rk")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ql = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
+    cl = emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("clab"))
+    lab = lsh.join(ql, "query_id").join(cl, "cand_id")
+    firsts = lab.groupBy("query_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("qlab") == F.col("clab"), F.col("rk"))),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("first_rel_rank")
+    )
+    rr = F.when(
+        F.col("first_rel_rank") > 0, 1.0 / F.col("first_rel_rank")
+    ).otherwise(0.0)
+    wg = W.partitionBy()
+    return firsts.select(
+        "query_id",
+        "first_rel_rank",
+        F.round(rr, 6).alias("reciprocal_rank"),
+        F.round(F.sum(rr).over(wg) / F.count(F.lit(1)).over(wg), 6).alias(
+            "macro_mrr"
+        ),
+    )

@@ -437,3 +437,57 @@ def test_next_event_accuracy_matches_python(spark):
         assert r["n_pairs"] == tot[a]
         assert r["n_correct"] == hit[a]
         assert abs(r["top1_accuracy"] - hit[a] / tot[a]) < 1e-6
+
+
+def test_retrieval_mrr_bounds_and_python_replay(spark):
+    """MRR per query in [0,1]; macro equals the mean; first_rel_rank
+    agrees with a Python scan over the LSH result ranking."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        ann_lsh_hyperplane,
+        q_retrieval_mrr,
+    )
+
+    labels = {e["vec_id"]: e["label"] for e in _read("embeddings")}
+    lsh = defaultdict(list)
+    for r in ann_lsh_hyperplane(spark, SF_SMOKE).collect():
+        lsh[r["query_id"]].append((r["rk"], r["cand_id"]))
+    rows = q_retrieval_mrr(spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in rows} == set(lsh)
+    rrs = []
+    for r in rows:
+        ranked = sorted(lsh[r["query_id"]])
+        want = 0
+        for rk, cand in ranked:
+            if labels[cand] == labels[r["query_id"]]:
+                want = rk
+                break
+        assert r["first_rel_rank"] == want
+        rr = 1.0 / want if want else 0.0
+        assert abs(r["reciprocal_rank"] - rr) < 1e-6
+        rrs.append(rr)
+    assert abs(rows[0]["macro_mrr"] - sum(rrs) / len(rrs)) < 1e-6
+
+
+def test_qi_generalize_absorbs_small_classes(spark):
+    """Post-generalization: every original class >= k survives unchanged,
+    all sub-k mass lands in band -1, and total row count is conserved."""
+    from debezium_cdc_kafka_spark.operators.audit import (
+        _K_ANON,
+        q_k_anonymity,
+        q_qi_generalize,
+    )
+
+    before = {(r["c_nationkey"], r["c_mktsegment"], r["bal_band"]): r["group_n"]
+              for r in q_k_anonymity(spark, SF_SMOKE).collect()}
+    after = {(r["c_nationkey"], r["c_mktsegment"], r["band_gen"]): r
+             for r in q_qi_generalize(spark, SF_SMOKE).collect()}
+    assert sum(before.values()) == sum(r["group_n"] for r in after.values())
+    for (nat, seg, band), n in before.items():
+        if n >= _K_ANON:
+            assert after[(nat, seg, band)]["group_n"] == n
+    expected_other = defaultdict(int)
+    for (nat, seg, band), n in before.items():
+        if n < _K_ANON:
+            expected_other[(nat, seg)] += n
+    for (nat, seg), n in expected_other.items():
+        assert after[(nat, seg, -1)]["group_n"] == n
