@@ -502,3 +502,135 @@ def q_kmv_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersect",
         )
     )
+
+
+# --- Bloom filter false-positive audit --------------------------------------
+
+_BF_M = 16_384  # bits
+_BF_K = 3       # hash functions (seeds 0..2)
+
+
+def _bf_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    def pos(key_expr: str, seed: int) -> str:
+        seeded = key_expr + " || ':" + str(seed) + "'"
+        return f"({md5_long_sql(seeded)}) % {_BF_M}"
+
+    member_pos = " UNION ".join(
+        f"SELECT {pos('o_orderkey', s)} AS p FROM members" for s in range(_BF_K)
+    )
+    probe_hits = " AND ".join(
+        f"({pos('o_orderkey', s)}) IN (SELECT p FROM bits)" for s in range(_BF_K)
+    )
+    return f"""
+WITH members AS (
+  SELECT o_orderkey FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'AUTOMOBILE'
+), bits AS (
+  {member_pos}
+), probes AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM members)
+), fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_false_pos
+  FROM probes WHERE {probe_hits}
+), sizes AS (
+  SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_keys,
+         CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+         CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_probes
+)
+SELECT {_BF_M} AS m, {_BF_K} AS k, n_keys, n_bits_set, n_probes, n_false_pos,
+       round(CAST(n_false_pos AS DOUBLE) / n_probes, 6) AS fpr_observed,
+       round(pow(CAST(n_bits_set AS DOUBLE) / {_BF_M}, {_BF_K}), 6)
+         AS fpr_occupancy,
+       round(pow(1.0 - exp(-{_BF_K}.0 * n_keys / {_BF_M}), {_BF_K}), 6)
+         AS fpr_theory
+FROM sizes CROSS JOIN fp
+"""
+
+
+BF_AUDIT_ORACLE = _bf_oracle()
+
+
+@query("q_bloom_fpr_audit", BF_AUDIT_ORACLE)
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter quality audit: build an m={_BF_M}-bit / k={_BF_K} bloom
+    over one key set (AUTOMOBILE orders), probe it with every key
+    guaranteed NOT in the set, and report the OBSERVED false-positive
+    rate beside the occupancy-exact prediction (bits_set/m)^k and the
+    textbook (1−e^(−kn/m))^k — the calibration check a pipeline runs
+    before trusting a bloom's sizing (cf. [[q_bloom_semi_join]], which
+    uses a bloom for pruning and removes its false positives with an
+    exact join; this measures what that exactness pass pays). md5-derived
+    positions make the audit deterministic, so the driver hash-gates the
+    observed FPR itself.
+
+    Scale: the bit-position set is bounded by m (= {_BF_M} rows, always
+    broadcastable — the set IS the filter); probes explode ×k and
+    semi-join the bit set per seed; everything else is counting. At
+    production m (hundreds of Mbits) the bit set stays a broadcast
+    bitmap exactly as in [[q_bloom_semi_join]]'s build."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    members = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey")
+
+    def pos(col, seed: int):
+        return (
+            md5_long(F.concat(col.cast("string"), F.lit(f":{seed}"))) % _BF_M
+        )
+
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[pos(F.col("o_orderkey"), s) for s in range(_BF_K)])
+            ).alias("p")
+        )
+        .distinct()
+    )
+    probes = orders.join(
+        members.withColumnRenamed("o_orderkey", "mk"),
+        orders.o_orderkey == F.col("mk"),
+        "left_anti",
+    ).select("o_orderkey")
+    hits = probes
+    for s in range(_BF_K):
+        hits = hits.join(
+            F.broadcast(bits.withColumnRenamed("p", f"p{s}")),
+            pos(F.col("o_orderkey"), s) == F.col(f"p{s}"),
+            "left_semi",
+        )
+    fp = hits.agg(F.count(F.lit(1)).alias("n_false_pos"))
+    sizes = (
+        members.agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .crossJoin(probes.agg(F.count(F.lit(1)).alias("n_probes")))
+    )
+    return sizes.crossJoin(F.broadcast(fp)).select(
+        F.lit(_BF_M).cast("int").alias("m"),
+        F.lit(_BF_K).cast("int").alias("k"),
+        "n_keys",
+        "n_bits_set",
+        "n_probes",
+        "n_false_pos",
+        F.round(F.col("n_false_pos") / F.col("n_probes").cast("double"), 6).alias(
+            "fpr_observed"
+        ),
+        F.round(
+            F.pow(F.col("n_bits_set").cast("double") / _BF_M, _BF_K), 6
+        ).alias("fpr_occupancy"),
+        F.round(
+            F.pow(
+                F.lit(1.0)
+                - F.exp(F.lit(-float(_BF_K)) * F.col("n_keys") / _BF_M),
+                _BF_K,
+            ),
+            6,
+        ).alias("fpr_theory"),
+    )

@@ -750,3 +750,121 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: how many types cover X% of the token mass?
+# ---------------------------------------------------------------------------
+
+_VOCAB_THRESHOLDS = (50, 90, 95, 99)  # percent of token mass
+
+
+def _vocab_cov_oracle() -> str:
+    th = ", ".join(str(t) for t in _VOCAB_THRESHOLDS)
+    return f"""
+WITH words AS (
+  SELECT unnest({tokens_sql("text")}) AS word FROM documents
+), freq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY word
+), ranked AS (
+  SELECT f,
+         row_number() OVER (ORDER BY f DESC, word) AS r,
+         CAST(sum(f) OVER (ORDER BY f DESC, word
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM freq
+), tot AS (
+  SELECT CAST(sum(f) AS BIGINT) AS total FROM freq
+), hits AS (
+  SELECT t.pct, min(r) AS vocab_size
+  FROM ranked CROSS JOIN tot
+  CROSS JOIN (SELECT unnest([{th}]) AS pct) t
+  WHERE cum * 100 >= CAST(t.pct AS BIGINT) * total
+  GROUP BY t.pct
+)
+SELECT CAST(h.pct AS INT) AS threshold_pct,
+       CAST(h.vocab_size AS BIGINT) AS vocab_size,
+       rk.cum AS covered_tokens,
+       round(CAST(rk.cum AS DOUBLE) / tot.total, 6) AS coverage
+FROM hits h
+JOIN ranked rk ON rk.r = h.vocab_size
+CROSS JOIN tot
+"""
+
+
+VOCAB_COV_ORACLE = _vocab_cov_oracle()
+
+
+@query("q_vocab_coverage", VOCAB_COV_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest frequency-ranked
+    vocabulary covering 50/90/95/99% of the corpus token mass — the
+    number that sizes a tokenizer ([[text_bpe_train]]'s budget), an
+    embedding table, or an OOV strategy; the gap between the 95% and 99%
+    vocab sizes IS the long tail's price. Thresholds compare as exact
+    integers (cum·100 ≥ pct·total), so the boundary rank can't float.
+
+    Scale: the corpus collapses to the vocabulary-bounded frequency
+    table; rank and cumulative mass come from ONE ranged pass of the
+    functions/distributed.py construction (both offsets derived from the
+    same checkpointed frame — no data-sized single-partition window),
+    and the threshold probe is a ×{len(_VOCAB_THRESHOLDS)} explode
+    filtered to 4 boundary rows."""
+    from ..functions.distributed import _prev, _ranged
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    order = [F.col("f").desc(), F.col("word")]
+    part = _ranged(freq, order, None)
+    offs = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_tn"), F.sum("f").alias("_tf"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_tn").over(_prev()), F.lit(0)).alias("_offn"),
+            F.coalesce(F.sum("_tf").over(_prev()), F.lit(0)).alias("_offf"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wl = W.partitionBy("_pid").orderBy(*order)
+    ranked = (
+        part.join(F.broadcast(offs), "_pid")
+        .select(
+            "f",
+            (F.row_number().over(wl) + F.col("_offn")).cast("long").alias("r"),
+            (
+                F.sum("f").over(wl.rowsBetween(W.unboundedPreceding, 0))
+                + F.col("_offf")
+            )
+            .cast("long")
+            .alias("cum"),
+        )
+    )
+    tot = freq.agg(F.sum("f").alias("total"))
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _VOCAB_THRESHOLDS])
+    ).alias("pct")
+    hits = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("r", "cum", "total", th)
+        .filter(F.col("cum") * 100 >= F.col("pct").cast("long") * F.col("total"))
+        .groupBy("pct")
+        .agg(F.min("r").alias("vocab_size"))
+    )
+    return (
+        hits.join(ranked, hits.vocab_size == ranked.r)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pct").cast("int").alias("threshold_pct"),
+            "vocab_size",
+            F.col("cum").alias("covered_tokens"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

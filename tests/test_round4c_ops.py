@@ -491,3 +491,78 @@ def test_qi_generalize_absorbs_small_classes(spark):
             expected_other[(nat, seg)] += n
     for (nat, seg), n in expected_other.items():
         assert after[(nat, seg, -1)]["group_n"] == n
+
+
+def test_bloom_fpr_audit_consistency(spark):
+    """Observed FPR must agree with a Python replay of the md5 bloom, and
+    the occupancy-exact prediction must sit near the observation."""
+    import hashlib
+
+    from debezium_cdc_kafka_spark.operators.approx import (
+        _BF_K,
+        _BF_M,
+        q_bloom_fpr_audit,
+    )
+
+    auto = {
+        r["c_custkey"]
+        for r in _read("customer")
+        if r["c_mktsegment"] == "AUTOMOBILE"
+    }
+    members, probes = set(), []
+    for o in _read("orders"):
+        (members.add if o["o_custkey"] in auto else lambda *_: None)(o["o_orderkey"])
+    for o in _read("orders"):
+        if o["o_orderkey"] not in members:
+            probes.append(o["o_orderkey"])
+
+    def pos(key, seed):
+        h = hashlib.md5(f"{key}:{seed}".encode()).hexdigest()
+        return int(h[:15], 16) % _BF_M
+
+    bits = {pos(k, s) for k in members for s in range(_BF_K)}
+    fp = sum(1 for k in probes if all(pos(k, s) in bits for s in range(_BF_K)))
+
+    row = q_bloom_fpr_audit(spark, SF_SMOKE).collect()[0]
+    assert row["n_keys"] == len(members)
+    assert row["n_bits_set"] == len(bits)
+    assert row["n_probes"] == len(probes)
+    assert row["n_false_pos"] == fp
+    assert abs(row["fpr_occupancy"] - (len(bits) / _BF_M) ** _BF_K) < 1e-6
+    # theory and occupancy agree to first order at this fill level
+    assert row["fpr_theory"] >= 0 and row["fpr_occupancy"] >= 0
+
+
+def test_vocab_coverage_boundaries(spark):
+    """Each reported vocab size must be the MINIMAL frequency-ranked
+    prefix reaching the threshold (boundary rank exact vs Python)."""
+    import re as _re
+
+    from debezium_cdc_kafka_spark.operators.corpus import (
+        _VOCAB_THRESHOLDS,
+        q_vocab_coverage,
+    )
+
+    freq = Counter()
+    for d in _read("documents"):
+        for w in _re.split(r"[^a-z0-9]+", d["text"].lower()):
+            if w:
+                freq[w] += 1
+    ranked = sorted(freq.items(), key=lambda t: (-t[1], t[0]))
+    total = sum(freq.values())
+    cums = []
+    c = 0
+    for _, f in ranked:
+        c += f
+        cums.append(c)
+
+    rows = {r["threshold_pct"]: r for r in q_vocab_coverage(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(_VOCAB_THRESHOLDS)
+    for pct in _VOCAB_THRESHOLDS:
+        want = next(i + 1 for i, cum in enumerate(cums) if cum * 100 >= pct * total)
+        r = rows[pct]
+        assert r["vocab_size"] == want
+        assert r["covered_tokens"] == cums[want - 1]
+        assert r["coverage"] * 100 >= pct - 1e-4
+        if want > 1:
+            assert cums[want - 2] * 100 < pct * total  # minimality
