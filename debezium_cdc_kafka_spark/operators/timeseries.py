@@ -701,3 +701,80 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / F.col("denom"), 6).alias("acf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candles: open/high/low/close per tumbling window per event type.
+# ---------------------------------------------------------------------------
+
+OHLC_ORACLE = """
+WITH keyed AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS seq
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min_by(value, seq), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(max_by(value, seq), 2) AS close,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS volume
+FROM keyed
+GROUP BY ws, event_type
+"""
+
+
+@query("q_ohlc_candles", OHLC_ORACLE)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlesticks: open/high/low/close/volume of the value column
+    per (tumbling hour × event type) — the continuous-aggregate shape
+    every metrics/hypertable store serves ([[q_multires_rollup]] rolls up
+    counts; this is the finance-grade rollup where FIRST and LAST matter).
+    Open/close are min_by/max_by over a zero-padded (timestamp, event_id)
+    sequence key, giving simultaneous events a total order — the same
+    determinism discipline as the CDC last-event-wins reduction
+    (operators/cdc.py max_by; reference consumer.py:55-75 replays
+    serially, this reduces associatively).
+
+    Scale: ONE hash aggregate — min_by/max_by/min/max/sum are all
+    map-side-combinable partials, so the shuffle carries 6 numbers per
+    (window, type) group and no window function exists in the plan. The
+    streaming form is the identical aggregate under a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = ev.select(
+        F.window("ts", "1 hour").alias("w"),
+        "event_type",
+        "value",
+        seq.alias("seq"),
+    )
+    return (
+        keyed.groupBy("w", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("min_by(value, seq)"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.expr("max_by(value, seq)"), 2).alias("close"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("volume"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

@@ -566,3 +566,29 @@ def test_vocab_coverage_boundaries(spark):
         assert r["coverage"] * 100 >= pct - 1e-4
         if want > 1:
             assert cums[want - 2] * 100 < pct * total  # minimality
+
+
+def test_ohlc_matches_python(spark):
+    """open/high/low/close/volume per (hour, type) vs a Python replay
+    with the same (ts, event_id) total order."""
+    from debezium_cdc_kafka_spark.operators.timeseries import q_ohlc_candles
+
+    groups = defaultdict(list)
+    for e in _read("events"):
+        ws = e["ts"].replace(minute=0, second=0, microsecond=0)
+        groups[(ws.strftime("%Y-%m-%d %H:%M:%S"), e["event_type"])].append(
+            (e["ts"], e["event_id"], e["value"])
+        )
+    rows = q_ohlc_candles(spark, SF_SMOKE).collect()
+    assert len(rows) == len(groups)
+    for r in rows:
+        evs = sorted(groups[(r["window_start"], r["event_type"])])
+        vals = [v for _, _, v in evs]
+        assert r["n_events"] == len(evs)
+        assert abs(r["open"] - round(evs[0][2], 2)) < 1e-9
+        assert abs(r["close"] - round(evs[-1][2], 2)) < 1e-9
+        assert abs(r["high"] - round(max(vals), 2)) < 1e-9
+        assert abs(r["low"] - round(min(vals), 2)) < 1e-9
+        assert abs(r["volume"] - round(sum(round(v * 100) for v in vals) / 100, 2)) < 1e-6
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
