@@ -400,3 +400,85 @@ def q_qi_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_n") >= _K_ANON).cast("int").alias("k_anonymous"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: reconcile two table versions by key + content hash.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH snap_a AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), snap_b AS (
+  -- deterministic next-crawl: every 13th doc dropped, every 7th doc's
+  -- content mutated, new docs appended above the id space
+  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                          ELSE text END) AS h
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT new_id AS doc_id, h FROM (
+    SELECT doc_id + 10000000 AS new_id, md5('new page ' || doc_id) AS h
+    FROM documents WHERE doc_id % 11 = 0
+  )
+), j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'deleted'
+              WHEN a.doc_id IS NULL THEN 'added'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM j GROUP BY change_type
+"""
+
+
+@query("q_snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of the corpus by
+    (key, content hash) into added / deleted / changed / unchanged — the
+    audit a lakehouse runs between crawl snapshots to KNOW what a refresh
+    did before feeding the delta downstream (the batch complement of the
+    CDC stream: [[cdc_final_state]] replays recorded changes, this
+    RECOVERS the change set when all you have is two table states). The
+    second snapshot is a deterministic fixture (every 13th doc deleted,
+    every 7th mutated, every 11th spawning a new doc) so all four
+    dispositions are exercised.
+
+    Scale: one full-outer hash join on the key with md5 content digests
+    computed scan-side — no row content ever shuffles, only (key, hash);
+    the summary collapse is map-side combinable. Feeding the 'changed' ∪
+    'added' set to [[dedup_incremental_minhash]] / [[q_incremental_distinct]]
+    is exactly the O(|Δ|) maintenance entry point."""
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = docs.select("doc_id", F.md5("text").alias("h"))
+    mutated = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    snap_b = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id", F.md5(mutated).alias("h"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new page "), F.col("doc_id").cast("string"))).alias("h"),
+            )
+        )
+    )
+    a = snap_a.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"))
+    b = snap_b.select(F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"))
+    j = a.join(b, a.id_a == b.id_b, "full_outer").select(
+        F.coalesce(F.col("id_a"), F.col("id_b")).alias("doc_id"),
+        F.when(F.col("id_b").isNull(), "deleted")
+        .when(F.col("id_a").isNull(), "added")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -592,3 +592,22 @@ def test_ohlc_matches_python(spark):
         assert abs(r["volume"] - round(sum(round(v * 100) for v in vals) / 100, 2)) < 1e-6
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
+
+
+def test_snapshot_diff_recovers_fixture_changes(spark):
+    """The diff must recover exactly the fixture's change set."""
+    from debezium_cdc_kafka_spark.operators.audit import q_snapshot_diff
+
+    ids = [d["doc_id"] for d in _read("documents")]
+    deleted = {i for i in ids if i % 13 == 0}
+    changed = {i for i in ids if i % 13 != 0 and i % 7 == 0}
+    added = {i + 10000000 for i in ids if i % 11 == 0}
+    unchanged = {i for i in ids if i % 13 != 0 and i % 7 != 0}
+
+    rows = {r["change_type"]: r for r in q_snapshot_diff(spark, SF_SMOKE).collect()}
+    assert rows["deleted"]["n_docs"] == len(deleted)
+    assert rows["changed"]["n_docs"] == len(changed)
+    assert rows["added"]["n_docs"] == len(added)
+    assert rows["unchanged"]["n_docs"] == len(unchanged)
+    assert rows["added"]["min_doc_id"] == min(added)
+    assert rows["deleted"]["max_doc_id"] == max(deleted)
