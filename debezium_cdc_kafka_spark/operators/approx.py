@@ -634,3 +634,107 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fpr_theory"),
     )
+
+
+# --- AMS (tug-of-war) second-moment sketch ----------------------------------
+
+_AMS_R = 16  # independent ±1 estimators
+
+
+def _ams_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    key = "l_partkey || ':' || i"
+    sign = f"(1 - 2 * (({md5_long_sql(key)}) % 2))"
+    return f"""
+WITH freq AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY l_partkey
+), exact_ AS (
+  SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_exact FROM freq
+), est AS (
+  SELECT i, CAST(sum(f * {sign}) AS BIGINT) AS z
+  FROM freq CROSS JOIN (SELECT unnest(range(0, {_AMS_R})) AS i)
+  GROUP BY i
+), x AS (
+  SELECT i, CAST(z AS HUGEINT) * z AS x,
+         row_number() OVER (ORDER BY CAST(z AS HUGEINT) * z, i) AS rn
+  FROM est
+), med AS (
+  SELECT CAST(avg(CAST(x AS DOUBLE)) AS DOUBLE) AS f2_est
+  FROM x WHERE rn IN ({_AMS_R // 2}, {_AMS_R // 2 + 1})
+)
+SELECT {_AMS_R} AS r, e.f2_exact,
+       round(m.f2_est, 1) AS f2_estimate,
+       round(abs(m.f2_est - e.f2_exact) / e.f2_exact, 6) AS rel_error
+FROM exact_ e CROSS JOIN med m
+"""
+
+
+AMS_ORACLE = _ams_oracle()
+
+
+@query("q_ams_f2_sketch", AMS_ORACLE)
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sketch (Alon-Matias-Szegedy 1996) for the second
+    frequency moment F₂ = Σ f_k² of part keys — F₂ IS the self-join size,
+    the number a join planner wants before it picks a strategy for a
+    skewed key ([[q_salted_skew_join]] is the mitigation; this is the
+    detector's streamable form). Each of r={_AMS_R} estimators folds the
+    whole frequency vector into ONE counter Σ f_k·s_i(k) with md5-derived
+    ±1 signs; squaring gives an unbiased F₂ estimate and the median
+    tames the variance. Derandomized signs make the estimate itself
+    hash-gateable, and the exact F₂ sits beside it for the relative
+    error.
+
+    Scale: the sketch is r counters — updatable one row at a time with
+    no frequency table at all (the streaming form); here the partial
+    Σ f·s per estimator is map-side combinable, the square/median run
+    over the r-row frame. The exact branch exists as the audit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    exact = freq.agg(
+        F.sum((F.col("f") * F.col("f")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("f2_exact")
+    )
+    est = freq.select(
+        "f",
+        "l_partkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_R - 1))).alias("i"),
+    ).select(
+        "i",
+        (
+            F.col("f")
+            * (
+                1
+                - 2
+                * (
+                    md5_long(
+                        F.concat(
+                            F.col("l_partkey").cast("string"),
+                            F.lit(":"),
+                            F.col("i"),
+                        )
+                    )
+                    % 2
+                )
+            )
+        ).alias("fs"),
+    ).groupBy("i").agg(F.sum("fs").alias("z"))
+    from pyspark.sql.window import Window as W
+
+    x = est.select(
+        "i", (F.col("z").cast("decimal(38,0)") * F.col("z")).alias("x")
+    ).withColumn("rn", F.row_number().over(W.orderBy("x", "i")))
+    med = x.filter(
+        F.col("rn").isin(_AMS_R // 2, _AMS_R // 2 + 1)
+    ).agg(F.avg(F.col("x").cast("double")).alias("f2_est"))
+    return exact.crossJoin(F.broadcast(med)).select(
+        F.lit(_AMS_R).cast("int").alias("r"),
+        "f2_exact",
+        F.round(F.col("f2_est"), 1).alias("f2_estimate"),
+        F.round(
+            F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6
+        ).alias("rel_error"),
+    )

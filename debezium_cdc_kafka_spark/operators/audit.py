@@ -482,3 +482,111 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness: the distributional refinement of l-diversity.
+# ---------------------------------------------------------------------------
+
+_T_CLOSE = 0.2
+
+TCLOSE_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS INT) AS band
+  FROM customer
+), cell AS (
+  SELECT c_nationkey, c_mktsegment, band, CAST(count(*) AS BIGINT) AS n_cb
+  FROM qi GROUP BY c_nationkey, c_mktsegment, band
+), gdist AS (
+  SELECT band, CAST(sum(n_cb) AS BIGINT) AS n_gb FROM cell GROUP BY band
+), grid AS (
+  -- dense class x band grid so absent bands contribute their global mass
+  SELECT cls.c_nationkey, cls.c_mktsegment, g.band,
+         coalesce(c.n_cb, 0) AS n_cb, g.n_gb,
+         cls.n_c, t.n
+  FROM (SELECT c_nationkey, c_mktsegment, CAST(sum(n_cb) AS BIGINT) AS n_c
+        FROM cell GROUP BY c_nationkey, c_mktsegment) cls
+  CROSS JOIN gdist g
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM qi) t
+  LEFT JOIN cell c ON c.c_nationkey = cls.c_nationkey
+    AND c.c_mktsegment = cls.c_mktsegment AND c.band = g.band
+), walk AS (
+  SELECT c_nationkey, c_mktsegment, n_c,
+         sum(CAST(n_cb AS DOUBLE) / n_c - CAST(n_gb AS DOUBLE) / n)
+           OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band) AS cdf_gap
+  FROM grid
+)
+SELECT c_nationkey, c_mktsegment, CAST(n_c AS BIGINT) AS group_n,
+       round(max(abs(cdf_gap)), 6) AS t_distance,
+       CAST(max(abs(cdf_gap)) <= {_T_CLOSE} AS INTEGER) AS t_close
+FROM walk
+GROUP BY c_nationkey, c_mktsegment, n_c
+"""
+
+
+@query("q_t_closeness", TCLOSE_ORACLE)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the distributional member of
+    the privacy trio: [[q_k_anonymity]] checks class SIZE, [[q_l_diversity]]
+    checks sensitive-value VARIETY, and this checks the sensitive-value
+    DISTRIBUTION: per QI class, the earth-mover's distance between the
+    class's balance-band distribution and the global one (for an ordered
+    1-D attribute, EMD = max |CDF gap| over the band walk — Kolmogorov
+    form), flagged against t={_T_CLOSE}. A class can pass k and l yet
+    still leak by skew; this is the audit that catches it.
+
+    Scale: the corpus collapses to the class × band contingency table;
+    the dense grid (classes × bands — both bounded), the CDF walk, and
+    the max all run over that bounded frame. Ratios are
+    integer-over-integer, so the gate is exact after one round."""
+    from pyspark.sql.window import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("int")
+    qi = cust.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    cell = qi.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("n_cb")
+    )
+    glob = cell.groupBy("band").agg(F.sum("n_cb").alias("n_gb"))
+    cls = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_cb").alias("n_c")
+    )
+    tot = qi.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            F.coalesce(F.col("n_cb"), F.lit(0)).alias("n_cb"),
+            "n_gb",
+            "n_c",
+            "n",
+        )
+    )
+    w = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    gap = F.sum(
+        F.col("n_cb").cast("double") / F.col("n_c")
+        - F.col("n_gb").cast("double") / F.col("n")
+    ).over(w)
+    walk = grid.select(
+        "c_nationkey", "c_mktsegment", "n_c", gap.alias("cdf_gap")
+    )
+    return (
+        walk.groupBy("c_nationkey", "c_mktsegment", "n_c")
+        .agg(F.max(F.abs(F.col("cdf_gap"))).alias("t_raw"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_c").cast("long").alias("group_n"),
+            F.round(F.col("t_raw"), 6).alias("t_distance"),
+            (F.col("t_raw") <= _T_CLOSE).cast("int").alias("t_close"),
+        )
+    )

@@ -2568,3 +2568,154 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "macro_mrr"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering quality eval: purity + NMI of k-means cells vs labels.
+# ---------------------------------------------------------------------------
+
+PURITY_ORACLE = f"""
+WITH assign AS ({KMEANS_ORACLE}),
+cells AS (
+  SELECT a.cluster_id, e.label, CAST(count(*) AS BIGINT) AS n_cl
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cluster_id, e.label
+), margins AS (
+  SELECT cluster_id, label, n_cl,
+         sum(n_cl) OVER (PARTITION BY cluster_id) AS n_c,
+         sum(n_cl) OVER (PARTITION BY label) AS n_l,
+         sum(n_cl) OVER () AS n
+  FROM cells
+), mi AS (
+  SELECT sum(round((CAST(n_cl AS DOUBLE) / n)
+        * ln(CAST(n_cl AS DOUBLE) * n / (CAST(n_c AS DOUBLE) * n_l)), 9))
+        AS mi_nats
+  FROM margins
+), hc AS (
+  SELECT -sum(round((CAST(n_c AS DOUBLE) / n) * ln(CAST(n_c AS DOUBLE) / n), 9))
+           AS h
+  FROM (SELECT DISTINCT cluster_id, n_c, n FROM margins)
+), hl AS (
+  SELECT -sum(round((CAST(n_l AS DOUBLE) / n) * ln(CAST(n_l AS DOUBLE) / n), 9))
+           AS h
+  FROM (SELECT DISTINCT label, n_l, n FROM margins)
+), best AS (
+  SELECT cluster_id, label AS majority_label, n_cl AS n_major, n_c, n
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY n_cl DESC, label) AS rk
+    FROM margins
+  ) WHERE rk = 1
+), tot AS (
+  SELECT CAST(sum(n_major) AS BIGINT) AS sum_major, max(n) AS n FROM best
+)
+SELECT b.cluster_id, CAST(b.n_c AS BIGINT) AS cluster_n, b.majority_label,
+       round(CAST(b.n_major AS DOUBLE) / b.n_c, 6) AS cluster_purity,
+       round(CAST(t.sum_major AS DOUBLE) / t.n, 6) AS overall_purity,
+       round(mi.mi_nats / sqrt(hc.h * hl.h), 6) AS nmi
+FROM best b CROSS JOIN tot t CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+"""
+
+
+@query("q_cluster_purity", PURITY_ORACLE)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality eval: purity and normalized mutual information
+    of the k-means cell assignment ([[ann_kmeans_assign]]) against the
+    label column — the external-validity check run before trusting cells
+    for [[semdedup_survivors]] pruning or IVF routing (high NMI = cells
+    track semantics; purity ≈ label prior = the quantizer learned
+    nothing). Per-cell purity rows plus the corpus-level purity and NMI
+    (MI over sqrt(H_cluster·H_label), the [[q_mutual_information]]
+    machinery) on every row.
+
+    Scale: assignment is the bounded broadcast-seed scan; everything
+    here lives on the cells × labels contingency table (k·|labels| rows)
+    — margins, entropies, argmax, all windows over that bounded frame."""
+    assign = ann_kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cells = (
+        assign.join(emb, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_cl"))
+    )
+    margins = cells.select(
+        "cluster_id",
+        "label",
+        "n_cl",
+        F.sum("n_cl").over(W.partitionBy("cluster_id")).alias("n_c"),
+        F.sum("n_cl").over(W.partitionBy("label")).alias("n_l"),
+        F.sum("n_cl").over(W.partitionBy()).alias("n"),
+    )
+    mi_term = F.round(
+        (F.col("n_cl").cast("double") / F.col("n"))
+        * F.log(
+            F.col("n_cl").cast("double")
+            * F.col("n")
+            / (F.col("n_c").cast("double") * F.col("n_l"))
+        ),
+        9,
+    )
+    mi = margins.agg(F.sum(mi_term).alias("mi_nats"))
+    hc = (
+        margins.select("cluster_id", "n_c", "n")
+        .distinct()
+        .agg(
+            (-F.sum(
+                F.round(
+                    (F.col("n_c").cast("double") / F.col("n"))
+                    * F.log(F.col("n_c").cast("double") / F.col("n")),
+                    9,
+                )
+            )).alias("h_c")
+        )
+    )
+    hl = (
+        margins.select("label", "n_l", "n")
+        .distinct()
+        .agg(
+            (-F.sum(
+                F.round(
+                    (F.col("n_l").cast("double") / F.col("n"))
+                    * F.log(F.col("n_l").cast("double") / F.col("n")),
+                    9,
+                )
+            )).alias("h_l")
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("n_cl").desc(), "label")
+    )
+    best = (
+        margins.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n_cl").alias("n_major"),
+            "n_c",
+            "n",
+        )
+    )
+    tot = best.agg(
+        F.sum("n_major").alias("sum_major"), F.max("n").alias("n_tot")
+    )
+    return (
+        best.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            "cluster_id",
+            F.col("n_c").cast("long").alias("cluster_n"),
+            "majority_label",
+            F.round(F.col("n_major").cast("double") / F.col("n_c"), 6).alias(
+                "cluster_purity"
+            ),
+            F.round(
+                F.col("sum_major").cast("double") / F.col("n_tot"), 6
+            ).alias("overall_purity"),
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("h_c") * F.col("h_l")), 6
+            ).alias("nmi"),
+        )
+    )

@@ -611,3 +611,98 @@ def test_snapshot_diff_recovers_fixture_changes(spark):
     assert rows["unchanged"]["n_docs"] == len(unchanged)
     assert rows["added"]["min_doc_id"] == min(added)
     assert rows["deleted"]["max_doc_id"] == max(deleted)
+
+
+def test_cluster_purity_matches_python(spark):
+    """Purity and NMI must match definitional recomputation over the
+    engine's own assignment."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        ann_kmeans_assign,
+        q_cluster_purity,
+    )
+
+    labels = {e["vec_id"]: e["label"] for e in _read("embeddings")}
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ann_kmeans_assign(spark, SF_SMOKE).collect()
+    }
+    cells = Counter((c, labels[v]) for v, c in assign.items())
+    nc, nl = Counter(), Counter()
+    for (c, l), n in cells.items():
+        nc[c] += n
+        nl[l] += n
+    n = sum(cells.values())
+    mi = sum(
+        (x / n) * round(math.log(x * n / (nc[c] * nl[l])), 9)
+        for (c, l), x in cells.items()
+    )
+    hc = -sum((x / n) * round(math.log(x / n), 9) for x in nc.values())
+    hl = -sum((x / n) * round(math.log(x / n), 9) for x in nl.values())
+    nmi = mi / math.sqrt(hc * hl)
+    purity = sum(
+        max(x for (c2, _), x in cells.items() if c2 == c) for c in nc
+    ) / n
+
+    rows = q_cluster_purity(spark, SF_SMOKE).collect()
+    assert len(rows) == len(nc)
+    assert abs(rows[0]["nmi"] - nmi) < 1e-4
+    assert abs(rows[0]["overall_purity"] - purity) < 1e-6
+    for r in rows:
+        assert 0.0 < r["cluster_purity"] <= 1.0
+        assert r["cluster_n"] == nc[r["cluster_id"]]
+
+
+def test_t_closeness_is_max_cdf_gap(spark):
+    """t_distance must equal the max |CDF gap| computed in Python over
+    the dense band grid, and classes equal to the global mix score 0."""
+    from debezium_cdc_kafka_spark.operators.audit import q_t_closeness
+
+    cells = Counter()
+    for c in _read("customer"):
+        band = math.floor(c["c_acctbal"] / 2000)
+        cells[(c["c_nationkey"], c["c_mktsegment"], band)] += 1
+    bands = sorted({b for (_, _, b) in cells})
+    gband = Counter()
+    for (_, _, b), x in cells.items():
+        gband[b] += x
+    n = sum(cells.values())
+
+    rows = q_t_closeness(spark, SF_SMOKE).collect()
+    classes = {(r["c_nationkey"], r["c_mktsegment"]) for r in rows}
+    for r in rows:
+        key = (r["c_nationkey"], r["c_mktsegment"])
+        n_c = r["group_n"]
+        gap, worst = 0.0, 0.0
+        for b in bands:
+            gap += cells.get((*key, b), 0) / n_c - gband[b] / n
+            worst = max(worst, abs(gap))
+        assert abs(r["t_distance"] - worst) < 1e-5
+        assert r["t_close"] == int(worst <= 0.2)
+    assert len(classes) == len(rows)
+
+
+def test_ams_estimate_is_in_band(spark):
+    """The derandomized AMS median estimate must match a Python replay
+    exactly and sit within the coarse accuracy band of exact F2."""
+    import hashlib
+
+    from debezium_cdc_kafka_spark.operators.approx import _AMS_R, q_ams_f2_sketch
+
+    freq = Counter(r["l_partkey"] for r in _read("lineitem"))
+    f2 = sum(f * f for f in freq.values())
+
+    def sign(k, i):
+        h = hashlib.md5(f"{k}:{i}".encode()).hexdigest()
+        return 1 - 2 * (int(h[:15], 16) % 2)
+
+    xs = sorted(
+        sum(f * sign(k, i) for k, f in freq.items()) ** 2
+        for i in range(_AMS_R)
+    )
+    med = (xs[_AMS_R // 2 - 1] + xs[_AMS_R // 2]) / 2.0
+
+    row = q_ams_f2_sketch(spark, SF_SMOKE).collect()[0]
+    assert row["f2_exact"] == f2
+    assert abs(row["f2_estimate"] - med) < 1.0
+    # median-of-16 is coarse; just require the right order of magnitude
+    assert 0.2 * f2 <= row["f2_estimate"] <= 5 * f2
