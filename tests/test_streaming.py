@@ -177,3 +177,35 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     rows = {(str(r.w.start), r.n) for r in spark.sql("SELECT * FROM late_out").collect()}
     # the 00:00 window closed with only event 0; the late event 2 was dropped
     assert ("2024-01-01 00:00:00", 1) in rows
+
+
+def test_streaming_windowed_topk_equals_batch(spark, event_stream_dir):
+    """q_windowed_topk_types' streaming form: the watermarked windowed
+    histogram runs as a real stream, the per-window rank is applied at
+    emit time over the drained aggregate — result must equal the batch
+    operator exactly."""
+    agg = (
+        _stream(spark, event_stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_complete(agg, "topk_hist")
+    from pyspark.sql.window import Window as W
+
+    drained = spark.table("topk_hist")
+    rk = F.row_number().over(
+        W.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+    )
+    got = (
+        drained.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+    want = wops.q_windowed_topk_types(spark, SF_SMOKE)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
