@@ -1041,3 +1041,60 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("common") / least_n, 4).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall eval: does the banded index find the exhaustive pairs?
+# ---------------------------------------------------------------------------
+
+LSH_RECALL_ORACLE = f"""
+WITH exact_pairs AS (
+  SELECT d1, d2 FROM ({NGRAM_ORACLE})
+), lsh_pairs AS (
+  SELECT d1, d2 FROM ({MINHASH_ORACLE})
+), hit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hit
+  FROM exact_pairs e JOIN lsh_pairs l ON e.d1 = l.d1 AND e.d2 = l.d2
+), sizes AS (
+  SELECT CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+         CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_lsh
+)
+SELECT n_exact, n_lsh, n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+FROM sizes CROSS JOIN hit
+"""
+
+
+@query("dedup_lsh_recall_eval", LSH_RECALL_ORACLE)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality gate for text dedup: recall of the MinHash-LSH pair
+    view ([[dedup_minhash_lsh]]) against the exhaustive 3-gram Jaccard
+    ≥ 0.8 ground truth ([[dedup_ngram_jaccard]]) — the number that says
+    whether the banding parameters (4×4 here; knee ≈ 0.7) actually catch
+    the near-dups the pipeline claims to remove. The retrieval twin is
+    [[ann_recall_eval]]; this is the dedup-side version, run on every
+    reparametrization of the index.
+
+    Scale: both pair views are the already-bounded operators (capped
+    inverted index / band-bucket join); the comparison is an equi-join
+    on pair keys over pair-sized tables. The exhaustive side exists at
+    eval scale only — production samples a verification stratum instead,
+    same plan."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("d1").alias("l1"), F.col("d2").alias("l2")
+    )
+    hit = exact.join(
+        lsh, (exact.d1 == F.col("l1")) & (exact.d2 == F.col("l2"))
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    sizes = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    )
+    return sizes.crossJoin(F.broadcast(hit)).select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6).alias(
+            "recall"
+        ),
+    )

@@ -778,3 +778,112 @@ def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (trailing window distinct).
+# ---------------------------------------------------------------------------
+
+_WAU_DAYS = 7
+
+WAU_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+), contrib AS (
+  -- each active (user, day) covers the next {_WAU_DAYS} report days
+  SELECT du.user_id, days.d AS report_day
+  FROM du JOIN days
+    ON days.d >= du.d AND days.d < du.d + {_WAU_DAYS}
+)
+SELECT report_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM contrib GROUP BY report_day
+"""
+
+
+@query("q_rolling_wau", WAU_ORACLE)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_WAU_DAYS}-day active users per day — the trailing-window
+    DISTINCT that windowed SUM cannot express (distinct doesn't
+    decompose over sliding frames): each (user, active-day) pair is
+    exploded onto the ≤ {_WAU_DAYS} report days it covers, then one
+    distinct count per report day. The engagement denominator beside
+    [[q_dau_mau_stickiness]]'s calendar-month form.
+
+    Scale: the corpus collapses to the (user, day) distinct table first
+    (map-side combinable); the coverage join fans each row out at most
+    {_WAU_DAYS}× against the CALENDAR-bounded day list (broadcast), and
+    the count-distinct shuffles (report_day, user) pairs — at extreme
+    scale swap the exact distinct for per-day HLL sketches merged over
+    the trailing {_WAU_DAYS} days, the standard mergeable-sketch form;
+    plan shape unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("report_day"))
+    contrib = du.join(
+        F.broadcast(days),
+        (F.col("report_day") >= F.col("d"))
+        & (F.col("report_day") < F.date_add(F.col("d"), _WAU_DAYS)),
+    )
+    return contrib.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth of order revenue.
+# ---------------------------------------------------------------------------
+
+MOM_ORACLE = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY month
+)
+SELECT strftime(month, '%Y-%m') AS month,
+       n_orders,
+       round(rev_cents / 100.0, 2) AS revenue,
+       round((rev_cents - lag(rev_cents) OVER (ORDER BY month))
+             * 100.0 / lag(rev_cents) OVER (ORDER BY month), 2)
+         AS mom_growth_pct
+FROM m
+"""
+
+
+@query("q_mom_growth", MOM_ORACLE)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting staple: monthly
+    order counts, cents-exact revenue, and percent change vs the prior
+    month (NULL for the first month; months with no orders are absent
+    from the fact table, so the lag is over OBSERVED months — document,
+    don't silently densify).
+
+    Scale: one map-side-combinable groupBy collapses the fact table to
+    the CALENDAR-bounded month series; the lag window runs over that
+    bounded frame only (same discipline as [[q_acf_lags]]). Growth is a
+    ratio of exact cent integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        ),
+    )
+    prev = F.lag("rev_cents").over(W.orderBy("month"))
+    return m.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "n_orders",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            (F.col("rev_cents") - prev) * 100.0 / prev, 2
+        ).alias("mom_growth_pct"),
+    )

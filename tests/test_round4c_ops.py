@@ -706,3 +706,59 @@ def test_ams_estimate_is_in_band(spark):
     assert abs(row["f2_estimate"] - med) < 1.0
     # median-of-16 is coarse; just require the right order of magnitude
     assert 0.2 * f2 <= row["f2_estimate"] <= 5 * f2
+
+
+def test_rolling_wau_matches_python(spark):
+    """WAU per report day must equal the brute-force trailing-7-day
+    distinct over (user, day) pairs."""
+    from datetime import timedelta
+
+    from debezium_cdc_kafka_spark.operators.timeseries import q_rolling_wau
+
+    du = {(e["ts"].date(), e["user_id"]) for e in _read("events")}
+    days = sorted({d for d, _ in du})
+    rows = {r["report_day"]: r["wau"] for r in q_rolling_wau(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(days)
+    for d in days:
+        want = len({u for (dd, u) in du if d - timedelta(days=6) <= dd <= d})
+        assert rows[d] == want
+
+
+def test_mom_growth_matches_python(spark):
+    """Monthly revenue and percent change vs prior observed month."""
+    from debezium_cdc_kafka_spark.operators.timeseries import q_mom_growth
+
+    months = defaultdict(lambda: [0, 0])
+    for o in _read("orders"):
+        m = o["o_orderdate"].strftime("%Y-%m")
+        months[m][0] += 1
+        months[m][1] += round(o["o_totalprice"] * 100)
+    ordered = sorted(months)
+    rows = {r["month"]: r for r in q_mom_growth(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(ordered)
+    assert rows[ordered[0]]["mom_growth_pct"] is None
+    for prev, cur in zip(ordered, ordered[1:]):
+        r = rows[cur]
+        assert r["n_orders"] == months[cur][0]
+        assert abs(r["revenue"] - months[cur][1] / 100) < 1e-6
+        want = (months[cur][1] - months[prev][1]) * 100.0 / months[prev][1]
+        assert abs(r["mom_growth_pct"] - round(want, 2)) < 1e-9
+
+
+def test_lsh_recall_eval_consistent(spark):
+    """Recall must equal |exact ∩ lsh| / |exact| over the two pair views,
+    and be high at these banding parameters."""
+    from debezium_cdc_kafka_spark.operators.dedup import (
+        dedup_lsh_recall_eval,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    exact = {(r["d1"], r["d2"]) for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    row = dedup_lsh_recall_eval(spark, SF_SMOKE).collect()[0]
+    assert row["n_exact"] == len(exact)
+    assert row["n_lsh"] == len(lsh)
+    assert row["n_hit"] == len(exact & lsh)
+    assert abs(row["recall"] - len(exact & lsh) / len(exact)) < 1e-6
+    assert row["recall"] >= 0.8  # knee is ~0.7; 0.8-Jaccard pairs are caught
