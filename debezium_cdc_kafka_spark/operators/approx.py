@@ -738,3 +738,117 @@ def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6
         ).alias("rel_error"),
     )
+
+
+# --- AMS join-size (dot-product) sketch -------------------------------------
+
+
+def _joinsize_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    key = "k || ':' || i"
+    sign = f"(1 - 2 * (({md5_long_sql(key)}) % 2))"
+    return f"""
+WITH fa AS (
+  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS f
+  FROM orders GROUP BY k
+), fb AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY k
+), exact_ AS (
+  SELECT CAST(sum(CAST(fa.f AS HUGEINT) * fb.f) AS BIGINT) AS join_size
+  FROM fa JOIN fb USING (k)
+), za AS (
+  SELECT i, CAST(sum(f * {sign}) AS BIGINT) AS z
+  FROM fa CROSS JOIN (SELECT unnest(range(0, {_AMS_R})) AS i) GROUP BY i
+), zb AS (
+  SELECT i, CAST(sum(f * {sign}) AS BIGINT) AS z
+  FROM fb CROSS JOIN (SELECT unnest(range(0, {_AMS_R})) AS i) GROUP BY i
+), x AS (
+  SELECT za.i, CAST(za.z AS HUGEINT) * zb.z AS x,
+         row_number() OVER (ORDER BY CAST(za.z AS HUGEINT) * zb.z, za.i) AS rn
+  FROM za JOIN zb USING (i)
+), med AS (
+  SELECT CAST(avg(CAST(x AS DOUBLE)) AS DOUBLE) AS est
+  FROM x WHERE rn IN ({_AMS_R // 2}, {_AMS_R // 2 + 1})
+)
+SELECT {_AMS_R} AS r, e.join_size AS exact_join_size,
+       round(m.est, 1) AS sketch_estimate,
+       round(abs(m.est - e.join_size) / e.join_size, 6) AS rel_error
+FROM exact_ e CROSS JOIN med m
+"""
+
+
+JOINSIZE_ORACLE = _joinsize_oracle()
+
+
+@query("q_join_size_sketch", JOINSIZE_ORACLE)
+def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two independent AMS sketches: |A ⋈ B| on
+    a key is the dot product Σ fA(k)·fB(k) of the two frequency vectors,
+    and the product of two tug-of-war counters sharing the same ±1 hash
+    is an unbiased estimate of exactly that — so each table keeps r={_AMS_R}
+    counters, never sees the other, and a planner multiplies them to
+    cost a join BEFORE running it ([[q_ams_f2_sketch]] is the self-join
+    special case; the exact branch here is the audit). This is the
+    sketch form of what Spark's CBO reads from column statistics.
+
+    Scale: per table, r counters built in one map-side-combinable pass —
+    the two tables never co-shuffle for the estimate; the median runs
+    over the r-row frame. Derandomized md5 signs hash-gate the estimate
+    itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fa = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    fb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    exact = (
+        fa.join(fb.withColumnRenamed("f", "fb"), "k")
+        .agg(
+            F.sum((F.col("f") * F.col("fb")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+
+    def sketch(ft: DataFrame) -> DataFrame:
+        drawn = ft.select(
+            "k",
+            "f",
+            F.explode(F.sequence(F.lit(0), F.lit(_AMS_R - 1))).alias("i"),
+        )
+        s = 1 - 2 * (
+            md5_long(
+                F.concat(F.col("k").cast("string"), F.lit(":"), F.col("i"))
+            )
+            % 2
+        )
+        return drawn.select("i", (F.col("f") * s).alias("fs")).groupBy("i").agg(
+            F.sum("fs").alias("z")
+        )
+
+    from pyspark.sql.window import Window as W
+
+    za = sketch(fa).withColumnRenamed("z", "za")
+    zb = sketch(fb).withColumnRenamed("z", "zb")
+    x = (
+        za.join(zb, "i")
+        .select("i", (F.col("za").cast("decimal(38,0)") * F.col("zb")).alias("x"))
+        .withColumn("rn", F.row_number().over(W.orderBy("x", "i")))
+    )
+    med = x.filter(F.col("rn").isin(_AMS_R // 2, _AMS_R // 2 + 1)).agg(
+        F.avg(F.col("x").cast("double")).alias("est")
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        F.lit(_AMS_R).cast("int").alias("r"),
+        "exact_join_size",
+        F.round(F.col("est"), 1).alias("sketch_estimate"),
+        F.round(
+            F.abs(F.col("est") - F.col("exact_join_size"))
+            / F.col("exact_join_size"),
+            6,
+        ).alias("rel_error"),
+    )

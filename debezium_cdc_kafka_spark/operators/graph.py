@@ -520,3 +520,83 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("in_core_flag"), F.lit(0)).cast("int").alias("in_core"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+ASSORT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY src
+), e AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM pairs p JOIN deg du ON du.node = p.src JOIN deg dv ON dv.node = p.dst
+), sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM e
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS assortativity
+FROM sums
+"""
+
+
+@query("graph_assortativity", ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph: the
+    Pearson correlation of endpoint degrees over every directed edge —
+    positive means hubs buy with hubs (a core-periphery market,
+    [[graph_kcore]]'s core will be dense), negative means hubs bridge
+    niches (star topology; sampling by edge oversamples hubs). One
+    scalar that tells you which graph-sampling curriculum is safe.
+
+    Exactness: degrees are integers; the moment sums widen to
+    decimal/HUGEINT before products and convert to double once
+    (the [[q_spearman_corr]] discipline).
+
+    Scale: degree table = one groupBy over edges; the edge⋈degree⋈degree
+    expansion is two hash joins on node keys; the correlation collapses
+    in ONE map-side-combinable aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("y"))
+    e = pairs.join(du, pairs.src == F.col("u")).join(dv, pairs.dst == F.col("v"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -762,3 +762,64 @@ def test_lsh_recall_eval_consistent(spark):
     assert row["n_hit"] == len(exact & lsh)
     assert abs(row["recall"] - len(exact & lsh) / len(exact)) < 1e-6
     assert row["recall"] >= 0.8  # knee is ~0.7; 0.8-Jaccard pairs are caught
+
+
+def test_assortativity_matches_python(spark):
+    """Assortativity must equal the definitional Pearson over directed
+    edge endpoint degrees, and lie in [-1, 1]."""
+    from debezium_cdc_kafka_spark.operators.graph import graph_assortativity
+
+    order_parts = defaultdict(set)
+    for r in _read("lineitem"):
+        order_parts[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in order_parts.values():
+        for p in parts:
+            for q in parts:
+                if p != q:
+                    adj[p].add(q)
+    xs, ys = [], []
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            xs.append(len(adj[u]))
+            ys.append(len(adj[v]))
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in xs) * sum((b - my) ** 2 for b in ys)
+    )
+    row = graph_assortativity(spark, SF_SMOKE).collect()[0]
+    assert row["n_directed_edges"] == n
+    assert abs(row["assortativity"] - num / den) < 1e-4
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_join_size_sketch_matches_python(spark):
+    """The sketch dot-product estimate must match a Python replay of the
+    derandomized counters, and the exact join size the true Σ fA·fB."""
+    import hashlib
+
+    from debezium_cdc_kafka_spark.operators.approx import (
+        _AMS_R,
+        q_join_size_sketch,
+    )
+
+    fa = Counter(o["o_orderkey"] for o in _read("orders"))
+    fb = Counter(r["l_orderkey"] for r in _read("lineitem"))
+    exact = sum(fa[k] * fb.get(k, 0) for k in fa)
+
+    def sign(k, i):
+        h = hashlib.md5(f"{k}:{i}".encode()).hexdigest()
+        return 1 - 2 * (int(h[:15], 16) % 2)
+
+    xs = sorted(
+        sum(f * sign(k, i) for k, f in fa.items())
+        * sum(f * sign(k, i) for k, f in fb.items())
+        for i in range(_AMS_R)
+    )
+    med = (xs[_AMS_R // 2 - 1] + xs[_AMS_R // 2]) / 2.0
+
+    row = q_join_size_sketch(spark, SF_SMOKE).collect()[0]
+    assert row["exact_join_size"] == exact
+    assert abs(row["sketch_estimate"] - med) < 1.0
