@@ -852,3 +852,76 @@ def q_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# User concentration: Lorenz deciles of event activity.
+# ---------------------------------------------------------------------------
+
+_CONC_TILES = 10
+
+CONC_ORACLE = f"""
+WITH ue AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), tiled AS (
+  SELECT user_id, n_events,
+         ntile({_CONC_TILES}) OVER (ORDER BY n_events, user_id) AS decile
+  FROM ue
+), tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM ue
+), d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_events) AS BIGINT) AS events
+  FROM tiled GROUP BY decile
+)
+SELECT CAST(d.decile AS INT) AS decile, d.n_users, d.events,
+       round(CAST(d.events AS DOUBLE) / t.total, 6) AS event_share,
+       round(CAST(sum(d.events) OVER (ORDER BY d.decile) AS BIGINT)
+             / CAST(t.total AS DOUBLE), 6) AS cum_share
+FROM d CROSS JOIN tot t
+"""
+
+
+@query("q_user_concentration", CONC_ORACLE)
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: users ranked into activity deciles with
+    each decile's share and cumulative share of all events — the Lorenz
+    table behind "the top 10% of users generate X% of traffic"
+    ([[q_gini_source_tokens]] compresses the same curve to one number
+    for sources; the table form shows WHERE the curve bends, which is
+    what a sampling or rate-limit policy actually reads).
+
+    Scale: the corpus collapses to per-user counts (map-side
+    combinable); the decile assignment is the exact two-pass distributed
+    ntile over that user-bounded table, and the cumulative-share window
+    runs over {_CONC_TILES} rows. Ratios are integer-over-integer."""
+    from ..functions.distributed import global_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tiled = global_ntile(
+        ue, [F.col("n_events"), F.col("user_id")], _CONC_TILES, out="decile"
+    )
+    tot = ue.agg(F.sum("n_events").alias("total"))
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("events"),
+    )
+    cum = F.sum("events").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "events",
+            F.round(F.col("events").cast("double") / F.col("total"), 6).alias(
+                "event_share"
+            ),
+            F.round(cum.cast("double") / F.col("total"), 6).alias("cum_share"),
+        )
+    )

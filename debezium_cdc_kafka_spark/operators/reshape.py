@@ -341,3 +341,52 @@ def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in _SEGMENTS
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (the planner's histogram, vs the equi-width bins).
+# ---------------------------------------------------------------------------
+
+_ED_BUCKETS = 10
+
+EQUIDEPTH_ORACLE = f"""
+WITH t AS (
+  SELECT o_totalprice AS v, o_orderkey,
+         ntile({_ED_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+           AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(v), 2) AS lo,
+       round(max(v), 2) AS hi
+FROM t GROUP BY bucket
+"""
+
+
+@query("q_equidepth_histogram", EQUIDEPTH_ORACLE)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order totals: {_ED_BUCKETS}
+    buckets of equal ROW count with their value boundaries — the
+    histogram query optimizers actually keep (selectivity is rank
+    arithmetic; [[q_histogram_price_bins]] is the equi-WIDTH display
+    flavor whose counts skew with the distribution). Bucket membership
+    is the exact ntile over the unique ordering (value, key).
+
+    Scale: ntile is functions/distributed.py's two-pass construction —
+    range-partition, local rank, broadcast offsets — never a
+    single-partition window; the boundary collapse is one
+    map-side-combinable groupBy to {_ED_BUCKETS} rows."""
+    from ..functions.distributed import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    tiled = global_ntile(
+        orders, [F.col("v"), F.col("o_orderkey")], _ED_BUCKETS, out="bucket"
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+    )

@@ -823,3 +823,51 @@ def test_join_size_sketch_matches_python(spark):
     row = q_join_size_sketch(spark, SF_SMOKE).collect()[0]
     assert row["exact_join_size"] == exact
     assert abs(row["sketch_estimate"] - med) < 1.0
+
+
+def test_equidepth_histogram_properties(spark):
+    """Buckets are contiguous, ordered, sized within one row of each
+    other, and boundaries match a Python sort."""
+    from debezium_cdc_kafka_spark.operators.reshape import q_equidepth_histogram
+
+    vals = sorted(
+        (round(o["o_totalprice"], 2), o["o_orderkey"]) for o in _read("orders")
+    )
+    n = len(vals)
+    rows = sorted(q_equidepth_histogram(spark, SF_SMOKE).collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    sizes = [r["n"] for r in rows]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    # Spark ntile: first n%k tiles get the extra row
+    k, base, rem = 10, n // 10, n % 10
+    start = 0
+    for i, r in enumerate(rows):
+        size = base + (1 if i < rem else 0)
+        assert r["n"] == size
+        chunk = vals[start : start + size]
+        assert abs(r["lo"] - chunk[0][0]) < 1e-9
+        assert abs(r["hi"] - chunk[-1][0]) < 1e-9
+        start += size
+
+
+def test_user_concentration_lorenz(spark):
+    """Shares sum to 1, cumulative share is monotone and ends at 1, and
+    the top decile holds at least its proportional share."""
+    from debezium_cdc_kafka_spark.operators.behavior import q_user_concentration
+
+    rows = sorted(q_user_concentration(spark, SF_SMOKE).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    users = Counter(e["user_id"] for e in _read("events"))
+    assert sum(r["n_users"] for r in rows) == len(users)
+    assert sum(r["events"] for r in rows) == sum(users.values())
+    cums = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-6
+    # deciles order users by activity, so PER-USER average activity is
+    # monotone (total share need not be: ragged tile sizes put the extra
+    # users in the LOW deciles on near-uniform data)
+    assert (
+        rows[-1]["events"] / rows[-1]["n_users"]
+        >= rows[0]["events"] / rows[0]["n_users"] - 1e-9
+    )
