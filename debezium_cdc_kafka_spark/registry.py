@@ -82,6 +82,18 @@ def _modules():
 # layout(1), windows(6), dedup_incremental_minhash, q_pca_top2_project
 # (rows-only; its invariants companion is hash-gated in this window), and
 # relational stragglers already green in r1/r2.
+# r5 rotation plan (do NOT apply before the r4 driver gate has run):
+# lead with the never-gated pre-r4 families — stats(10: moments,
+# pandas_udf, outliers_mad, profile, regression, referential, qnorm,
+# chi2, corr-matrix, ks) + asof(2) + reshape(7) + partsupp(4) +
+# layout(3) + windows(6) + incremental(3: pca_invariants already gated →
+# dedup_incremental_minhash, q_incremental_topk, q_incremental_distinct)
+# + q_hll_sketch_union + q_kmv_sketch_ops — then fill the remaining
+# ~13 slots from this round's additions, preferring one per new family:
+# q_welch_ttest, q_bootstrap_ci, q_spearman_corr, q_acf_lags,
+# q_ohlc_candles, q_soft_dedup_weights, q_epoch_shuffle_plan,
+# multimodal_phash_dedup, graph_kcore, q_t_closeness, q_snapshot_diff,
+# dedup_lsh_recall_eval, q_vocab_coverage. r6 sweeps the remainder.
 GATE_ORDER: list[str] = [
     # red-row fixes from CORRECTNESS_r03
     "q_embedding_quantize",
