@@ -868,3 +868,97 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: statistically-bound adjacent word pairs.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN = 5
+_PMI_TOPK = 20
+
+PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT {tokens_sql("text")} AS ts FROM documents
+), bg AS (
+  SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+  FROM toks, UNNEST(range(1, greatest(len(ts) - 1, 0) + 1)) AS u(i)
+), pairs AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY w1, w2
+), marg AS (
+  SELECT w1, w2, n_ab,
+         sum(n_ab) OVER (PARTITION BY w1) AS n_a,
+         sum(n_ab) OVER (PARTITION BY w2) AS n_b,
+         sum(n_ab) OVER () AS n
+  FROM pairs
+), scored AS (
+  SELECT w1, w2, n_ab,
+         round(ln(CAST(n_ab AS DOUBLE) * n
+                  / (CAST(n_a AS DOUBLE) * n_b)), 6) AS pmi
+  FROM marg WHERE n_ab >= {_PMI_MIN}
+)
+SELECT w1, w2, n_ab, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rk
+FROM scored
+QUALIFY rk <= {_PMI_TOPK}
+"""
+
+
+@query("q_pmi_collocations", PMI_ORACLE)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the top-{_PMI_TOPK} adjacent word pairs by
+    pointwise mutual information, PMI = ln(p(ab)/(p(a·)p(·b))) over
+    bigram-slot counts with both margins read off the SAME pair table —
+    the phrases that behave as units ("new york"-style), which a
+    tokenizer protects ([[text_bpe_train]] merges them), a dedup
+    normalizer must not split, and an index can promote to phrase terms.
+    Pairs below {_PMI_MIN} occurrences are dropped (PMI's rare-pair
+    pathology).
+
+    Exactness: counts are integers, one rounded ln per surviving pair,
+    rank tiebreak on the words.
+
+    Scale: the bigram explode stays in each doc's partition; one groupBy
+    collapses to the observed-bigram table (vocabulary-bounded), margin
+    windows partition by word (key-partitioned), and the final top-k is
+    a TakeOrdered over the min-count-filtered survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    n1 = F.greatest(F.size(ts) - 1, F.lit(1))
+    bg = docs.select(
+        F.explode(
+            F.when(
+                F.size(ts) >= 2,
+                F.zip_with(
+                    F.slice(ts, 1, n1),
+                    F.slice(ts, 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    marg = pairs.select(
+        "w1",
+        "w2",
+        "n_ab",
+        F.sum("n_ab").over(W.partitionBy("w1")).alias("n_a"),
+        F.sum("n_ab").over(W.partitionBy("w2")).alias("n_b"),
+        F.sum("n_ab").over(W.partitionBy()).alias("n"),
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n")
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ),
+        6,
+    )
+    scored = marg.filter(F.col("n_ab") >= _PMI_MIN).select(
+        "w1", "w2", "n_ab", pmi.alias("pmi")
+    )
+    rk = F.row_number().over(W.orderBy(F.col("pmi").desc(), "w1", "w2"))
+    return (
+        scored.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= _PMI_TOPK)
+    )

@@ -1153,3 +1153,63 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: evaluating the classifier in-engine.
+# ---------------------------------------------------------------------------
+
+LANGID_CONF_ORACLE = f"""
+WITH preds AS ({LANGID_ORACLE}),
+cm AS (
+  SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM preds GROUP BY labeled_lang, pred_lang
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN labeled_lang = pred_lang THEN n ELSE 0 END)
+              AS BIGINT) AS correct
+  FROM cm
+)
+SELECT cm.labeled_lang, cm.pred_lang, cm.n,
+       round(CAST(cm.n AS DOUBLE)
+             / sum(cm.n) OVER (PARTITION BY cm.labeled_lang), 6) AS row_share,
+       round(CAST(t.correct AS DOUBLE) / t.total, 6) AS overall_accuracy
+FROM cm CROSS JOIN tot t
+"""
+
+
+@query("q_langid_confusion", LANGID_CONF_ORACLE)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for [[text_langid]] against the labeled lang
+    column: per (true, predicted) cell counts, per-true-language recall
+    shares, and overall accuracy — the eval that belongs NEXT TO any
+    heuristic classifier in the pipeline (same role [[q_classifier_auc]]
+    and [[q_calibration_curve]] play for the quality probe; confusion
+    cells are where you see WHICH languages bleed into which).
+
+    Scale: the prediction pass is the scan-speed langid map; the matrix
+    is one groupBy bounded by |langs|²; shares and accuracy are windows
+    over that bounded frame."""
+    preds = text_langid(spark, sf_dir).select("labeled_lang", "pred_lang")
+    cm = preds.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.agg(
+        F.sum("n").alias("total"),
+        F.sum(
+            F.when(F.col("labeled_lang") == F.col("pred_lang"), F.col("n")).otherwise(0)
+        ).alias("correct"),
+    )
+    return cm.crossJoin(F.broadcast(tot)).select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("labeled_lang")),
+            6,
+        ).alias("row_share"),
+        F.round(F.col("correct").cast("double") / F.col("total"), 6).alias(
+            "overall_accuracy"
+        ),
+    )

@@ -871,3 +871,61 @@ def test_user_concentration_lorenz(spark):
         rows[-1]["events"] / rows[-1]["n_users"]
         >= rows[0]["events"] / rows[0]["n_users"] - 1e-9
     )
+
+
+def test_langid_confusion_matches_predictions(spark):
+    """Cells must recount the langid operator's own predictions and the
+    accuracy be the diagonal mass."""
+    from debezium_cdc_kafka_spark.operators.text import (
+        q_langid_confusion,
+        text_langid,
+    )
+
+    preds = Counter(
+        (r["labeled_lang"], r["pred_lang"])
+        for r in text_langid(spark, SF_SMOKE).collect()
+    )
+    total = sum(preds.values())
+    correct = sum(n for (a, b), n in preds.items() if a == b)
+    rows = q_langid_confusion(spark, SF_SMOKE).collect()
+    assert {(r["labeled_lang"], r["pred_lang"]): r["n"] for r in rows} == dict(preds)
+    for r in rows:
+        row_total = sum(n for (a, _), n in preds.items() if a == r["labeled_lang"])
+        assert abs(r["row_share"] - r["n"] / row_total) < 1e-6
+        assert abs(r["overall_accuracy"] - correct / total) < 1e-6
+
+
+def test_pmi_collocations_match_python(spark):
+    """Top-PMI pairs must match a Python replay of bigram counting and
+    margin-based PMI with the same rounding and tiebreaks."""
+    import re as _re
+
+    from debezium_cdc_kafka_spark.operators.corpus import (
+        _PMI_MIN,
+        _PMI_TOPK,
+        q_pmi_collocations,
+    )
+
+    pairs = Counter()
+    for d in _read("documents"):
+        ws = [w for w in _re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] += 1
+    n = sum(pairs.values())
+    na, nb = Counter(), Counter()
+    for (a, b), c in pairs.items():
+        na[a] += c
+        nb[b] += c
+    scored = sorted(
+        (
+            (-round(math.log(c * n / (na[a] * nb[b])), 6), a, b, c)
+            for (a, b), c in pairs.items()
+            if c >= _PMI_MIN
+        ),
+    )[:_PMI_TOPK]
+
+    rows = sorted(q_pmi_collocations(spark, SF_SMOKE).collect(), key=lambda r: r["rk"])
+    assert len(rows) == min(_PMI_TOPK, len(scored))
+    for r, (negpmi, a, b, c) in zip(rows, scored):
+        assert (r["w1"], r["w2"], r["n_ab"]) == (a, b, c)
+        assert abs(r["pmi"] + negpmi) < 1e-9
