@@ -590,3 +590,81 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_raw") <= _T_CLOSE).cast("int").alias("t_close"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch (SRM) check for a hash-based experiment split.
+# ---------------------------------------------------------------------------
+
+_SRM_ARMS = 2
+_SRM_CRIT = 3.841  # chi-square 95% critical value, 1 dof
+
+
+def _srm_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    arm = f"({md5_long_sql('CAST(user_id AS VARCHAR)')}) % {_SRM_ARMS}"
+    return f"""
+WITH assign AS (
+  SELECT DISTINCT user_id FROM events
+), armed AS (
+  SELECT CAST({arm} AS INT) AS arm FROM assign
+), counts AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n FROM armed GROUP BY arm
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+)
+SELECT arm, n,
+       round(CAST(t.total AS DOUBLE) / {_SRM_ARMS}, 1) AS expected,
+       round((n - CAST(t.total AS DOUBLE) / {_SRM_ARMS})
+             * (n - CAST(t.total AS DOUBLE) / {_SRM_ARMS})
+             / (CAST(t.total AS DOUBLE) / {_SRM_ARMS}), 6) AS chi2_term,
+       round(sum((n - CAST(t.total AS DOUBLE) / {_SRM_ARMS})
+                 * (n - CAST(t.total AS DOUBLE) / {_SRM_ARMS})
+                 / (CAST(t.total AS DOUBLE) / {_SRM_ARMS})) OVER (), 6)
+         AS chi2_stat,
+       CAST(sum((n - CAST(t.total AS DOUBLE) / {_SRM_ARMS})
+                * (n - CAST(t.total AS DOUBLE) / {_SRM_ARMS})
+                / (CAST(t.total AS DOUBLE) / {_SRM_ARMS})) OVER ()
+            > {_SRM_CRIT} AS INTEGER) AS srm_detected
+FROM counts CROSS JOIN tot t
+"""
+
+
+SRM_ORACLE = _srm_oracle()
+
+
+@query("q_srm_check", SRM_ORACLE)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check: hash-split the user population into
+    {_SRM_ARMS} experiment arms (md5 parity — the same deterministic
+    assignment family as [[q_dataset_split]]) and chi-square the arm
+    counts against the designed equal split. SRM is THE standard
+    experiment-health gate: a significant χ² means the assignment or
+    logging pipeline is biased and every downstream metric comparison
+    ([[q_welch_ttest]]) is invalid — you check THIS first.
+
+    Scale: distinct users (one partial-combinable distinct), a 2-row
+    count table, scalar χ² over it. The flag uses the 95% critical value
+    for 1 dof; the statistic is a ratio of exact integers to an exact
+    total, rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct()
+    arm = (md5_long(F.col("user_id").cast("string")) % _SRM_ARMS).cast("int")
+    counts = assign.select(arm.alias("arm")).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp = F.col("total").cast("double") / _SRM_ARMS
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    from pyspark.sql.window import Window as W
+
+    stat = F.sum(term).over(W.partitionBy())
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.round(exp, 1).alias("expected"),
+        F.round(term, 6).alias("chi2_term"),
+        F.round(stat, 6).alias("chi2_stat"),
+        (stat > _SRM_CRIT).cast("int").alias("srm_detected"),
+    )

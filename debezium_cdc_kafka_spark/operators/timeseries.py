@@ -887,3 +887,89 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_cents") - prev) * 100.0 / prev, 2
         ).alias("mom_growth_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over the daily event-count series.
+# ---------------------------------------------------------------------------
+
+THEILSEN_ORACLE = """
+WITH day AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY d
+), idx AS (
+  SELECT d, x,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+  FROM day
+), slopes AS (
+  -- exact rational slope per pair kept as (num, den); compare via
+  -- cross-multiplication-free double (den > 0 so sign is num's)
+  SELECT (b.x - a.x) AS num, (b.t - a.t) AS den,
+         CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS s,
+         a.t AS t1, b.t AS t2
+  FROM idx a JOIN idx b ON b.t > a.t
+), ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s, t1, t2) AS rn,
+         count(*) OVER () AS m
+  FROM slopes
+)
+SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+       round(avg(CASE WHEN m % 2 = 1 AND rn = (m + 1) / 2 THEN s
+                      WHEN m % 2 = 0 AND rn IN (m / 2, m / 2 + 1) THEN s
+                 END), 6) AS theil_sen_slope
+FROM ranked
+"""
+
+
+@query("q_theil_sen_trend", THEILSEN_ORACLE)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume: the MEDIAN of all
+    pairwise slopes (x_j−x_i)/(j−i) over the day series — the slope
+    estimator that shrugs off up to ~29% outlier days, where the OLS
+    trend ([[q_regression_trend]]) chases every traffic spike. The
+    robust answer to "is volume actually growing?".
+
+    Scale: the corpus collapses to the CALENDAR-bounded day table first;
+    the pairwise-slope explode is |days|²/2 over that bounded table only
+    (never over rows — 3 years is ~600k pairs, a constant), and the
+    median is an exact rank over those pairs. Slopes are ratios of
+    integers, so the rounded median is engine-exact.
+
+    The engine and oracle rank by (slope, t1, t2) — a total order — and
+    average the middle one/two."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    idx = day.select(
+        "x", F.row_number().over(W.orderBy("d")).cast("long").alias("t")
+    )
+    a = idx.select(F.col("t").alias("t1"), F.col("x").alias("x1"))
+    b = idx.select(F.col("t").alias("t2"), F.col("x").alias("x2"))
+    slopes = (
+        F.broadcast(a)
+        .join(b, F.col("t2") > F.col("t1"))
+        .select(
+            ((F.col("x2") - F.col("x1")).cast("double") / (F.col("t2") - F.col("t1"))).alias("s"),
+            "t1",
+            "t2",
+        )
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(W.orderBy("s", "t1", "t2")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    # the same middle-element CASE the oracle uses
+    odd_mid = (F.col("m") % 2 == 1) & (F.col("rn") == (F.col("m") + 1) / 2)
+    even_mid = (F.col("m") % 2 == 0) & (
+        (F.col("rn") == F.col("m") / 2) | (F.col("rn") == F.col("m") / 2 + 1)
+    )
+    pick = F.when(odd_mid | even_mid, F.col("s"))
+    return ranked.agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.round(F.avg(pick), 6).alias("theil_sen_slope"),
+    )

@@ -929,3 +929,48 @@ def test_pmi_collocations_match_python(spark):
     for r, (negpmi, a, b, c) in zip(rows, scored):
         assert (r["w1"], r["w2"], r["n_ab"]) == (a, b, c)
         assert abs(r["pmi"] + negpmi) < 1e-9
+
+
+def test_theil_sen_matches_python(spark):
+    """The slope must be the exact median of all pairwise slopes over the
+    day-count series."""
+    from debezium_cdc_kafka_spark.operators.timeseries import q_theil_sen_trend
+
+    days = Counter()
+    for e in _read("events"):
+        days[e["ts"].date()] += 1
+    xs = [days[d] for d in sorted(days)]
+    slopes = sorted(
+        (xs[j] - xs[i]) / (j - i)
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    m = len(slopes)
+    med = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+
+    row = q_theil_sen_trend(spark, SF_SMOKE).collect()[0]
+    assert row["n_pairs"] == m
+    assert abs(row["theil_sen_slope"] - med) < 1e-6
+
+
+def test_srm_check_matches_python(spark):
+    """Arm counts, chi-square, and the detection flag must match a
+    Python replay of the md5 parity split."""
+    import hashlib
+
+    from debezium_cdc_kafka_spark.operators.audit import _SRM_CRIT, q_srm_check
+
+    users = {e["user_id"] for e in _read("events")}
+    arms = Counter(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2 for u in users
+    )
+    total = len(users)
+    exp = total / 2
+    chi2 = sum((n - exp) ** 2 / exp for n in arms.values())
+
+    rows = {r["arm"]: r for r in q_srm_check(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(arms)
+    for a, r in rows.items():
+        assert r["n"] == arms[a]
+        assert abs(r["chi2_stat"] - chi2) < 1e-4
+        assert r["srm_detected"] == int(chi2 > _SRM_CRIT)
