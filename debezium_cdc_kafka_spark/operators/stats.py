@@ -1492,3 +1492,72 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / den, 6).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate Pandas UDF: exact weighted median per group.
+# ---------------------------------------------------------------------------
+
+WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+), walk AS (
+  SELECT grp, v, wt,
+         sum(wt) OVER (PARTITION BY grp ORDER BY v, wt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(wt) OVER (PARTITION BY grp) AS total
+  FROM w
+)
+SELECT grp AS l_returnflag,
+       CAST(max(total) AS BIGINT) AS total_weight,
+       round(min(CASE WHEN 2 * cum >= total THEN v END), 2)
+         AS weighted_median
+FROM walk GROUP BY grp
+"""
+
+
+@query("q_weighted_median_udaf", WMEDIAN_ORACLE)
+def q_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag, computed by
+    a GROUPED_AGG Pandas UDF — the custom-aggregate flavor of the UDF
+    surface (SURVEY §2.6) the scalar/map/cogroup/UDTF/stateful queries
+    don't cover: the group's columns arrive as Arrow-backed Series, one
+    scalar returns. The semantics (lower weighted median: smallest v
+    with 2·cum(w) ≥ Σw) are replicated in pure SQL by the oracle, so the
+    Python aggregation path itself is hash-gated — same contract as
+    [[q_pandas_udf_score]] for the scalar path.
+
+    Scale: grouped-agg pandas UDAFs receive WHOLE groups (no partial
+    aggregation) — fine for bounded groups like these 3 flags; an
+    unbounded-group weighted median swaps to the sort-based SQL walk the
+    oracle uses, or a weighted quantile sketch. That trade IS the lesson
+    this operator documents."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def wmedian(v: pd.Series, w: pd.Series) -> float:
+        order = np.lexsort((w.to_numpy(), v.to_numpy()))
+        vv, ww = v.to_numpy()[order], w.to_numpy()[order]
+        cum = np.cumsum(ww)
+        total = cum[-1]
+        idx = int(np.searchsorted(2 * cum, total, side="left"))
+        return float(vv[idx])
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # grouped-agg pandas UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — two aggs over the same key, joined
+    med = li.groupBy("l_returnflag").agg(
+        F.round(
+            wmedian(F.col("l_extendedprice"), F.col("l_quantity").cast("long")),
+            2,
+        ).alias("weighted_median")
+    )
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("total_weight")
+    )
+    return tot.join(med, "l_returnflag").select(
+        "l_returnflag", "total_weight", "weighted_median"
+    )

@@ -974,3 +974,26 @@ def test_srm_check_matches_python(spark):
         assert r["n"] == arms[a]
         assert abs(r["chi2_stat"] - chi2) < 1e-4
         assert r["srm_detected"] == int(chi2 > _SRM_CRIT)
+
+
+def test_weighted_median_udaf_matches_python(spark):
+    """The grouped-agg pandas UDAF must produce the lower weighted
+    median exactly as the Python definition computes it."""
+    from debezium_cdc_kafka_spark.operators.stats import q_weighted_median_udaf
+
+    groups = defaultdict(list)
+    for r in _read("lineitem"):
+        groups[r["l_returnflag"]].append((r["l_extendedprice"], int(r["l_quantity"])))
+    rows = {r["l_returnflag"]: r for r in q_weighted_median_udaf(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(groups)
+    for g, pairs in groups.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                want = v
+                break
+        assert rows[g]["total_weight"] == total
+        assert abs(rows[g]["weighted_median"] - round(want, 2)) < 1e-9
