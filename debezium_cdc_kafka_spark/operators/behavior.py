@@ -925,3 +925,56 @@ def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cum.cast("double") / F.col("total"), 6).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new vs returning users per day.
+# ---------------------------------------------------------------------------
+
+NEWRET_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events
+), first_seen AS (
+  SELECT user_id, min(d) AS f FROM du GROUP BY user_id
+)
+SELECT du.d AS day,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(CASE WHEN du.d = fs.f THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN du.d > fs.f THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users,
+       round(sum(CASE WHEN du.d > fs.f THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS returning_share
+FROM du JOIN first_seen fs ON fs.user_id = du.user_id
+GROUP BY du.d
+"""
+
+
+@query("q_new_vs_returning", NEWRET_ORACLE)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each day's active users split into NEW (first
+    ever seen today) and RETURNING — the decomposition behind every
+    growth dashboard, and the denominator sanity for
+    [[q_cohort_retention_weekly]] (retention reads the returning side;
+    this shows whether growth is acquisition or retention).
+
+    Scale: the corpus collapses to the (user, day) distinct table; first
+    touch is one groupBy(user) min; the split is a user-keyed join back
+    and a per-day aggregate — every step map-side combinable or keyed on
+    user/day, never a global window."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    ).distinct()
+    first_seen = du.groupBy("user_id").agg(F.min("d").alias("f"))
+    j = du.join(first_seen, "user_id")
+    is_new = (F.col("d") == F.col("f")).cast("int")
+    return j.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(is_new).cast("long").alias("new_users"),
+        F.sum(1 - is_new).cast("long").alias("returning_users"),
+        F.round(
+            F.sum(1 - is_new) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("returning_share"),
+    )

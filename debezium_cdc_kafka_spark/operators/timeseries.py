@@ -973,3 +973,77 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").cast("long").alias("n_pairs"),
         F.round(F.avg(pick), 6).alias("theil_sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest: in-engine forecast evaluation.
+# ---------------------------------------------------------------------------
+
+_SN_LAG = 7  # seasonal period: forecast = value one week earlier
+
+SN_BACKTEST_ORACLE = f"""
+WITH day AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY d
+), j AS (
+  SELECT a.d, a.x AS actual, b.x AS seasonal_pred, c.x AS naive_pred
+  FROM day a
+  JOIN day b ON b.d = a.d - {_SN_LAG}
+  JOIN day c ON c.d = a.d - 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(abs(actual - seasonal_pred)) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS mae_seasonal,
+       round(CAST(sum(abs(actual - naive_pred)) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS mae_naive,
+       round(CAST(sum(CAST(abs(actual - seasonal_pred) * 1000000 AS BIGINT)
+                      // actual) AS BIGINT) / count(*) / 10000.0, 6)
+         AS mape_seasonal_pct,
+       CAST(sum(abs(actual - seasonal_pred)) < sum(abs(actual - naive_pred))
+            AS INTEGER) AS seasonal_beats_naive
+FROM j
+"""
+
+
+@query("q_seasonal_naive_backtest", SN_BACKTEST_ORACLE)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting in-engine: score the seasonal-naive forecast
+    (predict each day by the value {_SN_LAG} days earlier — the baseline
+    every real forecaster must beat) against actuals, beside the naive-1
+    (yesterday) baseline — MAE for both, MAPE for the seasonal, and the
+    verdict bit. Leakage-free by construction: every prediction uses only
+    strictly-earlier days. [[q_seasonal_hourly_baseline]] builds the
+    cyclic profile; this measures whether seasonality actually predicts.
+
+    Exactness: errors are integer counts; MAPE folds per-day integer
+    ppm quotients (truncating division agrees across engines).
+
+    Scale: one collapse to the calendar-bounded day table, two
+    broadcast self-joins for the lagged predictions, one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = day.select("d", F.col("x").alias("actual"))
+    b = day.select(F.col("d").alias("db"), F.col("x").alias("seasonal_pred"))
+    c = day.select(F.col("d").alias("dc"), F.col("x").alias("naive_pred"))
+    j = (
+        a.join(F.broadcast(b), F.date_sub(F.col("d"), _SN_LAG) == F.col("db"))
+        .join(F.broadcast(c), F.date_sub(F.col("d"), 1) == F.col("dc"))
+    )
+    err_s = F.abs(F.col("actual") - F.col("seasonal_pred"))
+    err_n = F.abs(F.col("actual") - F.col("naive_pred"))
+    n = F.count(F.lit(1))
+    return j.agg(
+        n.alias("n_days"),
+        F.round(F.sum(err_s) / n.cast("double"), 6).alias("mae_seasonal"),
+        F.round(F.sum(err_n) / n.cast("double"), 6).alias("mae_naive"),
+        F.round(
+            F.sum(F.expr(f"abs(actual - seasonal_pred) * 1000000 DIV actual"))
+            / n
+            / 10000.0,
+            6,
+        ).alias("mape_seasonal_pct"),
+        (F.sum(err_s) < F.sum(err_n)).cast("int").alias("seasonal_beats_naive"),
+    )

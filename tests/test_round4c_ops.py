@@ -997,3 +997,56 @@ def test_weighted_median_udaf_matches_python(spark):
                 break
         assert rows[g]["total_weight"] == total
         assert abs(rows[g]["weighted_median"] - round(want, 2)) < 1e-9
+
+
+def test_seasonal_naive_backtest_matches_python(spark):
+    """MAEs and the verdict bit must match a leakage-free Python replay."""
+    from datetime import timedelta
+
+    from debezium_cdc_kafka_spark.operators.timeseries import (
+        q_seasonal_naive_backtest,
+    )
+
+    days = Counter()
+    for e in _read("events"):
+        days[e["ts"].date()] += 1
+    scored = [
+        (days[d], days[d - timedelta(days=7)], days[d - timedelta(days=1)])
+        for d in days
+        if d - timedelta(days=7) in days and d - timedelta(days=1) in days
+    ]
+    n = len(scored)
+    mae_s = sum(abs(a - s) for a, s, _ in scored) / n
+    mae_n = sum(abs(a - v) for a, _, v in scored) / n
+
+    row = q_seasonal_naive_backtest(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["mae_seasonal"] - mae_s) < 1e-6
+    assert abs(row["mae_naive"] - mae_n) < 1e-6
+    assert row["seasonal_beats_naive"] == int(
+        sum(abs(a - s) for a, s, _ in scored) < sum(abs(a - v) for a, _, v in scored)
+    )
+    assert row["mape_seasonal_pct"] >= 0
+
+
+def test_new_vs_returning_matches_python(spark):
+    """Daily new/returning split must reconcile with first-touch dates,
+    and total new users across all days equals the distinct user count."""
+    du = {(e["ts"].date(), e["user_id"]) for e in _read("events")}
+    first = {}
+    for d, u in sorted(du):
+        first.setdefault(u, d)
+    rows = {r["day"]: r for r in q_new_vs_returning_collect(spark)}
+    for d, r in rows.items():
+        active = {u for (dd, u) in du if dd == d}
+        new = {u for u in active if first[u] == d}
+        assert r["active_users"] == len(active)
+        assert r["new_users"] == len(new)
+        assert r["returning_users"] == len(active) - len(new)
+    assert sum(r["new_users"] for r in rows.values()) == len(first)
+
+
+def q_new_vs_returning_collect(spark):
+    from debezium_cdc_kafka_spark.operators.behavior import q_new_vs_returning
+
+    return q_new_vs_returning(spark, SF_SMOKE).collect()
