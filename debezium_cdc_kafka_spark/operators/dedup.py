@@ -1098,3 +1098,59 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster size histogram: the dedup savings report.
+# ---------------------------------------------------------------------------
+
+DUP_HIST_ORACLE = f"""
+WITH clustered AS ({CLUSTERS_ORACLE}),
+per_cluster AS (
+  SELECT cluster_id, CAST(max(cluster_size) AS BIGINT) AS sz
+  FROM clustered GROUP BY cluster_id
+), banded AS (
+  SELECT CASE WHEN sz = 2 THEN '2'
+              WHEN sz <= 5 THEN '3-5'
+              ELSE '6+' END AS size_band,
+         sz
+  FROM per_cluster
+)
+SELECT size_band,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS removable_docs
+FROM banded GROUP BY size_band
+"""
+
+
+@query("dedup_cluster_histogram", DUP_HIST_ORACLE)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup savings report: duplicate clusters ([[dedup_clusters]])
+    bucketed by size, with docs touched and docs REMOVABLE (size−1 per
+    cluster, keeping one canonical doc each) per band — the number a
+    storage/training-budget decision actually consumes, and the shape
+    that distinguishes pairwise near-dups (band '2') from boilerplate
+    families (band '6+', which [[dedup_ngram_jaccard_capped]]'s
+    stop-shingle cap exists to keep join-safe).
+
+    Scale: everything after the clusters view is a groupBy over
+    cluster-count-sized tables; output is 3 rows."""
+    clustered = dedup_clusters(spark, sf_dir)
+    per_cluster = clustered.groupBy("cluster_id").agg(
+        F.max("cluster_size").cast("long").alias("sz")
+    )
+    band = (
+        F.when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return (
+        per_cluster.select(band.alias("size_band"), "sz")
+        .groupBy("size_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum(F.col("sz") - 1).alias("removable_docs"),
+        )
+    )

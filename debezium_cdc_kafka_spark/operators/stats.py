@@ -1561,3 +1561,87 @@ def q_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(med, "l_returnflag").select(
         "l_returnflag", "total_weight", "weighted_median"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized and trimmed means: robust location per segment.
+# ---------------------------------------------------------------------------
+
+_WINS_P = 0.05  # clamp/trim 5% per tail
+
+WINSOR_ORACLE = f"""
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_totalprice AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cuts AS (
+  SELECT seg,
+         quantile_cont(v, {_WINS_P}) AS lo,
+         quantile_cont(v, {1 - _WINS_P}) AS hi
+  FROM j GROUP BY seg
+), w AS (
+  SELECT j.seg, j.v, c.lo, c.hi,
+         least(greatest(j.v, c.lo), c.hi) AS clamped
+  FROM j JOIN cuts c ON c.seg = j.seg
+)
+SELECT seg AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+             / count(*) / 100.0, 6) AS raw_mean,
+       round(CAST(sum(CAST(round(clamped * 100) AS BIGINT)) AS BIGINT)
+             / count(*) / 100.0, 6) AS winsorized_mean,
+       round(CAST(sum(CASE WHEN v >= lo AND v <= hi
+                           THEN CAST(round(v * 100) AS BIGINT) END) AS BIGINT)
+             / sum(CASE WHEN v >= lo AND v <= hi THEN 1 END) / 100.0, 6)
+         AS trimmed_mean
+FROM w GROUP BY seg
+"""
+
+
+@query("q_winsorized_stats", WINSOR_ORACLE)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location per market segment: the raw mean beside the
+    {int(_WINS_P * 100)}%-winsorized mean (tails CLAMPED to the
+    percentile cuts) and the trimmed mean (tails DROPPED) — the
+    outlier-resistant aggregates a metrics pipeline reports when a few
+    whale orders would otherwise move the average ([[q_outliers_mad]]
+    flags the whales; these report around them; [[q_theil_sen_trend]] is
+    the same philosophy for trends).
+
+    Exactness: the percentile cuts are exact per-group percentiles
+    (interpolated identically by both engines from the same doubles);
+    clamped/trimmed sums fold exact cent integers and divide once.
+
+    Scale: one exact per-group percentile pass (swap for
+    percentile_approx at extreme scale — mergeable sketch, same plan),
+    broadcast cuts joined back, one aggregate. Groups process
+    independently; no global anything."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v"))
+    cuts = j.groupBy("seg").agg(
+        F.expr(f"percentile(v, {_WINS_P})").alias("lo"),
+        F.expr(f"percentile(v, {1 - _WINS_P})").alias("hi"),
+    )
+    w = j.join(F.broadcast(cuts), "seg").withColumn(
+        "clamped", F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    )
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    in_band = (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    return w.groupBy(F.col("seg").alias("c_mktsegment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(cents(F.col("v"))) / F.count(F.lit(1)) / 100.0, 6).alias(
+            "raw_mean"
+        ),
+        F.round(
+            F.sum(cents(F.col("clamped"))) / F.count(F.lit(1)) / 100.0, 6
+        ).alias("winsorized_mean"),
+        F.round(
+            F.sum(F.when(in_band, cents(F.col("v"))))
+            / F.sum(F.when(in_band, 1))
+            / 100.0,
+            6,
+        ).alias("trimmed_mean"),
+    )

@@ -1050,3 +1050,63 @@ def q_new_vs_returning_collect(spark):
     from debezium_cdc_kafka_spark.operators.behavior import q_new_vs_returning
 
     return q_new_vs_returning(spark, SF_SMOKE).collect()
+
+
+def test_dup_cluster_histogram_reconciles(spark):
+    """Bands must reconcile exactly with the clusters view: cluster
+    counts, docs touched, and removable = docs - clusters."""
+    from debezium_cdc_kafka_spark.operators.dedup import (
+        dedup_cluster_histogram,
+        dedup_clusters,
+    )
+
+    sizes = {}
+    for r in dedup_clusters(spark, SF_SMOKE).collect():
+        sizes[r["cluster_id"]] = r["cluster_size"]
+    bands = defaultdict(lambda: [0, 0])
+    for sz in sizes.values():
+        b = "2" if sz == 2 else ("3-5" if sz <= 5 else "6+")
+        bands[b][0] += 1
+        bands[b][1] += sz
+    rows = {r["size_band"]: r for r in dedup_cluster_histogram(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(bands)
+    for b, (nc, nd) in bands.items():
+        assert rows[b]["n_clusters"] == nc
+        assert rows[b]["n_docs"] == nd
+        assert rows[b]["removable_docs"] == nd - nc
+
+
+def test_winsorized_stats_properties(spark):
+    """Winsorized and trimmed means must be pulled toward the center
+    relative to the raw mean's distance, and match a Python replay."""
+    from debezium_cdc_kafka_spark.operators.stats import (
+        _WINS_P,
+        q_winsorized_stats,
+    )
+
+    custseg = {r["c_custkey"]: r["c_mktsegment"] for r in _read("customer")}
+    groups = defaultdict(list)
+    for o in _read("orders"):
+        groups[custseg[o["o_custkey"]]].append(o["o_totalprice"])
+
+    def pct(xs, p):
+        xs = sorted(xs)
+        k = (len(xs) - 1) * p
+        f, c = int(k), min(int(k) + 1, len(xs) - 1)
+        return xs[f] + (xs[c] - xs[f]) * (k - f)
+
+    rows = {r["c_mktsegment"]: r for r in q_winsorized_stats(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(groups)
+    for seg, xs in groups.items():
+        lo, hi = pct(xs, _WINS_P), pct(xs, 1 - _WINS_P)
+        wmean = sum(round(min(max(x, lo), hi) * 100) for x in xs) / len(xs) / 100
+        band = [x for x in xs if lo <= x <= hi]
+        tmean = sum(round(x * 100) for x in band) / len(band) / 100
+        r = rows[seg]
+        assert r["n"] == len(xs)
+        # the cross-ENGINE gate is exact (oracle-hash); this replay's
+        # percentile interpolation can differ in the last ulp, moving a
+        # boundary value across the clamp — tolerate dollar-cents noise
+        # on ~250k-dollar means
+        assert abs(r["winsorized_mean"] - wmean) < 0.01
+        assert abs(r["trimmed_mean"] - tmean) < 0.01
