@@ -684,3 +684,123 @@ def cdc_tx_consistent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied = decoded.join(committed, "tx_id", "left_semi")
     final = final_state_upsert(applied)
     return final.select("id", F.round("value", 2).alias("value"), "ts")
+
+
+# ---------------------------------------------------------------------------
+# CDC op-mix drift: is the change-stream composition shifting?
+# ---------------------------------------------------------------------------
+
+_OPMIX_BUCKETS = 10
+_OPMIX_PSI_T = 0.1
+
+
+def _opmix_oracle() -> str:
+    # half-count smoothing over the 3 op classes so log terms are finite
+    # in sparse buckets (same discipline as q_psi_drift)
+    def share(n, tot):
+        return f"(({n}) + 0.5) / (({tot}) + 1.5)"
+
+    return f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+rng AS (
+  SELECT min(event_id) AS lo, max(event_id) AS hi FROM well_formed
+), bucketed AS (
+  SELECT CAST((event_id - r.lo) * {_OPMIX_BUCKETS} // (r.hi - r.lo + 1)
+              AS INT) AS bucket,
+         op
+  FROM well_formed CROSS JOIN rng r
+), b AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+         CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+  FROM bucketed GROUP BY bucket
+), g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(n_c) AS BIGINT) AS n_c,
+         CAST(sum(n_u) AS BIGINT) AS n_u,
+         CAST(sum(n_d) AS BIGINT) AS n_d
+  FROM b
+), psi AS (
+  SELECT b.bucket, b.n, b.n_c, b.n_u, b.n_d,
+         round(
+           ({share('b.n_c', 'b.n')} - {share('g.n_c', 'g.n')})
+             * round(ln(({share('b.n_c', 'b.n')}) / ({share('g.n_c', 'g.n')})), 9)
+         + ({share('b.n_u', 'b.n')} - {share('g.n_u', 'g.n')})
+             * round(ln(({share('b.n_u', 'b.n')}) / ({share('g.n_u', 'g.n')})), 9)
+         + ({share('b.n_d', 'b.n')} - {share('g.n_d', 'g.n')})
+             * round(ln(({share('b.n_d', 'b.n')}) / ({share('g.n_d', 'g.n')})), 9)
+         , 9) AS psi
+  FROM b CROSS JOIN g
+)
+SELECT bucket, n, n_c, n_u, n_d, psi,
+       CAST(psi > {_OPMIX_PSI_T} AS INTEGER) AS drift_flag
+FROM psi
+"""
+
+
+CDC_OPMIX_ORACLE = _opmix_oracle()
+
+
+@query("cdc_op_mix_drift", CDC_OPMIX_ORACLE)
+def cdc_op_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-stream health monitoring: split the well-formed CDC stream
+    into {_OPMIX_BUCKETS} offset-range windows and PSI-score each
+    window's insert/update/delete mix against the stream-wide mix — a
+    delete spike (bad upstream migration), an insert flood (backfill), or
+    an update storm (loop) shows up as a drifting bucket BEFORE the
+    target table shape does. [[cdc_op_counts]] is the total; this is the
+    trend. Half-count smoothing keeps sparse buckets finite (the
+    [[q_psi_drift]] discipline), ln terms round at 1e-9.
+
+    Scale: bucket assignment is integer arithmetic on the offset against
+    two broadcast scalars; the mix collapses to {_OPMIX_BUCKETS}×4
+    integers map-side; PSI is scalar math over that bounded frame. The
+    streaming form scores each micro-batch against the running mix with
+    the same formula."""
+    raw = derive_change_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    decoded = decode_envelope(raw).filter(~F.col("is_malformed"))
+    # kafka offset = 2*event_id (tombstones at odd offsets, filtered above)
+    ops = decoded.select(
+        F.expr("offset DIV 2").alias("event_id"), "op"
+    )
+    rng = ops.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+    bucketed = ops.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST((event_id - lo) * {_OPMIX_BUCKETS} DIV (hi - lo + 1) AS INT)"
+        ).alias("bucket"),
+        "op",
+    )
+    b = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("op") == "c").cast("int")).cast("long").alias("n_c"),
+        F.sum((F.col("op") == "u").cast("int")).cast("long").alias("n_u"),
+        F.sum((F.col("op") == "d").cast("int")).cast("long").alias("n_d"),
+    )
+    g = b.agg(
+        F.sum("n").alias("gn"),
+        F.sum("n_c").alias("gc"),
+        F.sum("n_u").alias("gu"),
+        F.sum("n_d").alias("gd"),
+    )
+
+    def share(n, tot):
+        return (n + 0.5) / (tot + 1.5)
+
+    j = b.crossJoin(F.broadcast(g))
+    terms = []
+    for bc, gc in (("n_c", "gc"), ("n_u", "gu"), ("n_d", "gd")):
+        pb = share(F.col(bc), F.col("n"))
+        pg = share(F.col(gc), F.col("gn"))
+        terms.append((pb - pg) * F.round(F.log(pb / pg), 9))
+    psi = F.round(terms[0] + terms[1] + terms[2], 9)
+    return j.select(
+        "bucket",
+        "n",
+        "n_c",
+        "n_u",
+        "n_d",
+        psi.alias("psi"),
+        (psi > _OPMIX_PSI_T).cast("int").alias("drift_flag"),
+    )

@@ -1047,3 +1047,92 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mape_seasonal_pct"),
         (F.sum(err_s) < F.sum(err_n)).cast("int").alias("seasonal_beats_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday effect: one-way ANOVA of daily volume across days-of-week.
+# ---------------------------------------------------------------------------
+
+WEEKDAY_ORACLE = """
+WITH day AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY d
+), g AS (
+  SELECT CAST(isodow(d) AS INT) AS dow,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2
+  FROM day GROUP BY dow
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum(n) AS n_tot, sum(s1) AS s1_tot, sum(s2) AS s2_tot,
+         sum(s1 * s1 / n) AS sq_grp
+  FROM g
+)
+SELECT g.dow,
+       CAST(g.n AS BIGINT) AS n_days,
+       round(g.s1 / g.n, 6) AS mean_events,
+       round(((t.sq_grp - t.s1_tot * t.s1_tot / t.n_tot) / (t.k - 1))
+             / ((t.s2_tot - t.sq_grp) / (t.n_tot - t.k)), 6) AS f_stat,
+       CAST(((t.sq_grp - t.s1_tot * t.s1_tot / t.n_tot) / (t.k - 1))
+            / ((t.s2_tot - t.sq_grp) / (t.n_tot - t.k)) > 2.1 AS INTEGER)
+         AS weekly_cycle_detected
+FROM g CROSS JOIN t
+"""
+
+
+@query("q_weekday_effect", WEEKDAY_ORACLE)
+def q_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formal weekly-cycle test: one-way ANOVA of daily event volume
+    across the 7 days of the week (the [[q_anova_oneway]] machinery
+    applied to the calendar) — per-weekday mean volume rows plus the
+    global F statistic and a cycle flag (F > 2.1 ≈ the 95% critical
+    value at (6, large) dof). [[q_acf_lags]] sees the cycle as a lag-7
+    spike; [[q_seasonal_naive_backtest]] measures its predictive value;
+    this says whether it is statistically real at all.
+
+    Exactness: the moment sums over the day table are exact
+    (decimal/HUGEINT); ISO day-of-week numbering matches across engines.
+
+    Scale: the only corpus-sized work is the per-day collapse;
+    everything after runs on ≤ 7 moment rows."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    g = day.groupBy(
+        F.dayofweek("d").alias("_dow_sun1")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    ).select(
+        # Spark dayofweek: Sunday=1 .. Saturday=7 → ISO Monday=1 .. Sunday=7
+        F.expr("CAST((((_dow_sun1 + 5) % 7) + 1) AS INT)").alias("dow"),
+        "n",
+        "s1",
+        "s2",
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s1").alias("s1_tot"),
+        F.sum("s2").alias("s2_tot"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("sq_grp"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    ssb = F.col("sq_grp") - F.col("s1_tot") * F.col("s1_tot") / F.col("n_tot")
+    ssw = F.col("s2_tot") - F.col("sq_grp")
+    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))
+    return j.select(
+        "dow",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean_events"),
+        F.round(f, 6).alias("f_stat"),
+        (f > 2.1).cast("int").alias("weekly_cycle_detected"),
+    )

@@ -1110,3 +1110,74 @@ def test_winsorized_stats_properties(spark):
         # on ~250k-dollar means
         assert abs(r["winsorized_mean"] - wmean) < 0.01
         assert abs(r["trimmed_mean"] - tmean) < 0.01
+
+
+def test_cdc_op_mix_drift_reconciles(spark):
+    """Bucket op counts must reconcile with the well-formed stream, PSI
+    must match a Python replay with the same smoothing, and totals must
+    cover every well-formed message exactly once."""
+    rows = []
+    ops_by_bucket = defaultdict(Counter)
+    evs = [
+        e
+        for e in _read("events")
+        if e["event_id"] % 97 != 13
+    ]
+    ids = [e["event_id"] for e in evs]
+    lo, hi = min(ids), max(ids)
+    opof = lambda t: "c" if t == "signup" else ("d" if t == "error" else "u")
+    for e in evs:
+        b = (e["event_id"] - lo) * 10 // (hi - lo + 1)
+        ops_by_bucket[b][opof(e["event_type"])] += 1
+
+    from debezium_cdc_kafka_spark.operators.cdc import cdc_op_mix_drift
+
+    got = {r["bucket"]: r for r in cdc_op_mix_drift(spark, SF_SMOKE).collect()}
+    assert set(got) == set(ops_by_bucket)
+    g = Counter()
+    for c in ops_by_bucket.values():
+        g.update(c)
+    gn = sum(g.values())
+    for b, c in ops_by_bucket.items():
+        r = got[b]
+        n = sum(c.values())
+        assert (r["n"], r["n_c"], r["n_u"], r["n_d"]) == (
+            n, c["c"], c["u"], c["d"],
+        )
+        psi = sum(
+            ((c[o] + 0.5) / (n + 1.5) - (g[o] + 0.5) / (gn + 1.5))
+            * round(
+                math.log(((c[o] + 0.5) / (n + 1.5)) / ((g[o] + 0.5) / (gn + 1.5))),
+                9,
+            )
+            for o in "cud"
+        )
+        assert abs(r["psi"] - psi) < 1e-6
+        assert psi >= -1e-12  # PSI is nonnegative
+
+
+def test_weekday_effect_matches_python(spark):
+    """Per-weekday means and the global F must match a definitional
+    Python ANOVA over the day-count table."""
+    from debezium_cdc_kafka_spark.operators.timeseries import q_weekday_effect
+
+    days = Counter()
+    for e in _read("events"):
+        days[e["ts"].date()] += 1
+    groups = defaultdict(list)
+    for d, x in days.items():
+        groups[d.isoweekday()].append(x)
+    k = len(groups)
+    allx = [x for xs in groups.values() for x in xs]
+    n = len(allx)
+    grand = sum(allx) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - grand) ** 2 for xs in groups.values())
+    ssw = sum(sum((x - sum(xs) / len(xs)) ** 2 for x in xs) for xs in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+
+    rows = {r["dow"]: r for r in q_weekday_effect(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(groups)
+    for dow, xs in groups.items():
+        assert rows[dow]["n_days"] == len(xs)
+        assert abs(rows[dow]["mean_events"] - sum(xs) / len(xs)) < 1e-5
+        assert abs(rows[dow]["f_stat"] - f) < 1e-4
