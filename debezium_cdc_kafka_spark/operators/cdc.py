@@ -804,3 +804,73 @@ def cdc_op_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi.alias("psi"),
         (psi > _OPMIX_PSI_T).cast("int").alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key concentration in the change stream.
+# ---------------------------------------------------------------------------
+
+_HOTKEY_TOPK = 10
+_HOTKEY_SHARE_T = 0.01  # a single key above 1% of all changes is "hot"
+
+CDC_HOTKEYS_ORACLE = f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+  FROM well_formed GROUP BY user_id
+), tot AS (
+  SELECT CAST(sum(n_changes) AS BIGINT) AS total FROM per_key
+), ranked AS (
+  SELECT user_id, n_changes,
+         row_number() OVER (ORDER BY n_changes DESC, user_id) AS rk
+  FROM per_key
+)
+SELECT r.user_id, r.n_changes, CAST(r.rk AS INT) AS rk,
+       round(CAST(r.n_changes AS DOUBLE) / t.total, 6) AS change_share,
+       CAST(CAST(r.n_changes AS DOUBLE) / t.total > {_HOTKEY_SHARE_T}
+            AS INTEGER) AS is_hot
+FROM ranked r CROSS JOIN tot t
+WHERE r.rk <= {_HOTKEY_TOPK}
+"""
+
+
+@query("cdc_hot_keys", CDC_HOTKEYS_ORACLE)
+def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report for the change stream: the top-{_HOTKEY_TOPK} most
+    frequently changed keys with their share of all changes and a
+    >{_HOTKEY_SHARE_T:.0%} flag — the CDC-side skew detector. A hot key
+    concentrates a merge's shuffle partition ([[q_salted_skew_join]] is
+    the mitigation), serializes its per-key apply, and usually means an
+    upstream update loop; you want this BEFORE the merge slows, not
+    after. Completes the stream-health set with [[cdc_op_mix_drift]]
+    (composition) and [[cdc_op_counts]] (totals).
+
+    Scale: per-key counts are one map-side-combinable groupBy; the
+    top-k is TakeOrdered over the key-count table (never a global sort
+    of raw changes); share is a ratio to one broadcast total."""
+    raw = derive_change_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    decoded = decode_envelope(raw).filter(~F.col("is_malformed"))
+    key = F.coalesce(F.col("after.id"), F.col("before.id")).alias("user_id")
+    per_key = decoded.select(key).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_changes")
+    )
+    tot = per_key.agg(F.sum("n_changes").alias("total"))
+    from pyspark.sql.window import Window as W
+
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition heap
+    # + driver merge of k rows) — never a global sort or a full-table
+    # single-partition window; the rank window then sees only k rows.
+    topk = per_key.orderBy(F.col("n_changes").desc(), "user_id").limit(_HOTKEY_TOPK)
+    rk = F.row_number().over(W.orderBy(F.col("n_changes").desc(), "user_id"))
+    share = F.col("n_changes").cast("double") / F.col("total")
+    return (
+        topk.withColumn("rk", rk.cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_changes",
+            "rk",
+            F.round(share, 6).alias("change_share"),
+            (share > _HOTKEY_SHARE_T).cast("int").alias("is_hot"),
+        )
+    )

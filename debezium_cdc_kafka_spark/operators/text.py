@@ -1213,3 +1213,72 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall_accuracy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: TTR family per document.
+# ---------------------------------------------------------------------------
+
+TTR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         CAST(len(list_filter(list_distinct(toks),
+               w -> len(list_filter(toks, x -> x = w)) = 1)) AS BIGINT)
+           AS n_hapax
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       round(CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+         AS root_ttr,
+       round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share
+FROM c
+"""
+
+
+@query("text_lexical_diversity", TTR_ORACLE)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio, Guiraud's root
+    TTR (length-robust — raw TTR mechanically falls with length), and
+    hapax share (fraction of types used exactly once) — the vocabulary-
+    richness features that separate template spam (low diversity, no
+    hapax) from natural prose, feeding the quality-filter feature set
+    beside [[text_repetition_filter]] (which looks for the OPPOSITE
+    signal, heavy repetition).
+
+    Scale: a stateless per-document map over the token array — scan
+    speed, zero shuffle; the hapax count is an in-array fold, never a
+    corpus-level join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    distinct = F.array_distinct(F.col("toks"))
+    hapax = F.size(
+        F.filter(
+            distinct,
+            lambda w: F.size(F.filter(F.col("toks"), lambda x: x == w)) == 1,
+        )
+    )
+    c = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(distinct).cast("long").alias("n_types"),
+        hapax.cast("long").alias("n_hapax"),
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(
+            F.col("n_types").cast("double") / F.sqrt(F.col("n_tokens").cast("double")),
+            6,
+        ).alias("root_ttr"),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias(
+            "hapax_share"
+        ),
+    )

@@ -1181,3 +1181,42 @@ def test_weekday_effect_matches_python(spark):
         assert rows[dow]["n_days"] == len(xs)
         assert abs(rows[dow]["mean_events"] - sum(xs) / len(xs)) < 1e-5
         assert abs(rows[dow]["f_stat"] - f) < 1e-4
+
+
+def test_lexical_diversity_matches_python(spark):
+    """TTR family must match a Python recompute per doc."""
+    import re as _re
+
+    from debezium_cdc_kafka_spark.operators.text import text_lexical_diversity
+
+    rows = {r["doc_id"]: r for r in text_lexical_diversity(spark, SF_SMOKE).collect()}
+    for d in _read("documents")[:200]:
+        ws = [w for w in _re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        if not ws:
+            assert d["doc_id"] not in rows
+            continue
+        types = Counter(ws)
+        r = rows[d["doc_id"]]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_types"] == len(types)
+        hapax = sum(1 for c in types.values() if c == 1)
+        assert abs(r["ttr"] - len(types) / len(ws)) < 1e-6
+        assert abs(r["root_ttr"] - len(types) / math.sqrt(len(ws))) < 1e-6
+        assert abs(r["hapax_share"] - hapax / len(types)) < 1e-6
+
+
+def test_cdc_hot_keys_match_python(spark):
+    """Top changed keys must match a replay of the well-formed stream."""
+    from debezium_cdc_kafka_spark.operators.cdc import cdc_hot_keys
+
+    per_key = Counter(
+        e["user_id"] for e in _read("events") if e["event_id"] % 97 != 13
+    )
+    total = sum(per_key.values())
+    want = sorted(per_key.items(), key=lambda t: (-t[1], t[0]))[:10]
+    rows = sorted(cdc_hot_keys(spark, SF_SMOKE).collect(), key=lambda r: r["rk"])
+    assert len(rows) == 10
+    for r, (u, n) in zip(rows, want):
+        assert (r["user_id"], r["n_changes"]) == (u, n)
+        assert abs(r["change_share"] - n / total) < 1e-6
+        assert r["is_hot"] == int(n / total > 0.01)
