@@ -213,3 +213,143 @@ def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("next_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("next_orderdate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of with tolerance (the pandas merge_asof direction='nearest'
+# shape, distributed).
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_DAYS = 30
+
+ASOF_NEAREST_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id AS k, ts AS t, 1 AS is_left, NULL::BIGINT AS tb,
+         event_id, NULL::BIGINT AS o_orderkey, NULL::TIMESTAMP AS o_orderdate
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS k, o_orderdate AS t, 0 AS is_left, o_orderkey AS tb,
+         NULL::BIGINT AS event_id, o_orderkey, o_orderdate
+  FROM orders
+),
+bwd AS (
+  SELECT event_id, k,
+    last_value(o_orderkey IGNORE NULLS) OVER w  AS b_key,
+    last_value(o_orderdate IGNORE NULLS) OVER w AS b_date
+  FROM tagged
+  WINDOW w AS (PARTITION BY k ORDER BY t, is_left, tb ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  QUALIFY is_left = 1
+),
+fwd AS (
+  SELECT event_id,
+    last_value(o_orderkey IGNORE NULLS) OVER w  AS f_key,
+    last_value(o_orderdate IGNORE NULLS) OVER w AS f_date
+  FROM tagged
+  WINDOW w AS (PARTITION BY k ORDER BY t DESC, is_left, tb ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  QUALIFY is_left = 1
+),
+ev AS (
+  SELECT b.event_id, b.k AS user_id,
+         b.b_key, b.b_date, f.f_key, f.f_date,
+         CASE WHEN b.b_key IS NULL THEN NULL
+              ELSE date_diff('day', CAST(b.b_date AS DATE), CAST(e.ts AS DATE))
+         END AS db,
+         CASE WHEN f.f_key IS NULL THEN NULL
+              ELSE date_diff('day', CAST(e.ts AS DATE), CAST(f.f_date AS DATE))
+         END AS df
+  FROM bwd b JOIN fwd f USING (event_id)
+  JOIN events e USING (event_id)
+),
+pick AS (
+  SELECT event_id, user_id,
+    CASE
+      WHEN db IS NOT NULL AND db <= {_NEAREST_TOL_DAYS}
+           AND (df IS NULL OR df > {_NEAREST_TOL_DAYS} OR db <= df) THEN 'b'
+      WHEN df IS NOT NULL AND df <= {_NEAREST_TOL_DAYS} THEN 'f'
+      ELSE 'none'
+    END AS side, b_key, b_date, f_key, f_date, db, df
+  FROM ev
+)
+SELECT event_id, user_id, side,
+  CASE side WHEN 'b' THEN b_key WHEN 'f' THEN f_key END AS nearest_orderkey,
+  CASE side WHEN 'b' THEN strftime(b_date, '%Y-%m-%d')
+            WHEN 'f' THEN strftime(f_date, '%Y-%m-%d') END AS nearest_orderdate,
+  CAST(CASE side WHEN 'b' THEN db WHEN 'f' THEN df END AS INT) AS delta_days
+FROM pick WHERE event_id % 10 = 0
+"""
+
+
+@query("q_asof_nearest_tolerance", ASOF_NEAREST_ORACLE)
+def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join with a tolerance window — pandas
+    ``merge_asof(direction='nearest', tolerance=...)`` semantics,
+    distributed: each (10th) event attaches whichever of the user's
+    latest-at-or-before / earliest-after orders is closer in days, ties
+    to the backward side, and matches farther than 30 days on BOTH
+    sides report side='none'. This is the sensor-alignment shape
+    (align a reading to the closest calibration within tolerance) that
+    neither Spark nor most engines ship natively.
+
+    Scale: two keyed union+window passes (one backward, one forward —
+    each the [[q_asof_last_order]] plan, a single shuffle on the key)
+    and an event_id-keyed join of their 3-column outputs; no pair
+    blowup, no per-group pandas, tolerance applied as a post-map."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    common = dict(
+        key_left="user_id",
+        key_right="o_custkey",
+        time_left="ts",
+        time_right="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    bwd = asof_join(ev, orders, direction="backward", **common).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+    )
+    fwd = asof_join(ev, orders, direction="forward", **common).select(
+        "event_id",
+        F.col("o_orderkey").alias("f_key"),
+        F.col("o_orderdate").alias("f_date"),
+    )
+    j = bwd.join(fwd, "event_id")
+    db = F.when(
+        F.col("b_key").isNotNull(), F.datediff(F.to_date("ts"), F.to_date("b_date"))
+    )
+    df_ = F.when(
+        F.col("f_key").isNotNull(), F.datediff(F.to_date("f_date"), F.to_date("ts"))
+    )
+    tol = _NEAREST_TOL_DAYS
+    side = (
+        F.when(
+            db.isNotNull()
+            & (db <= tol)
+            & (df_.isNull() | (df_ > tol) | (db <= df_)),
+            F.lit("b"),
+        )
+        .when(df_.isNotNull() & (df_ <= tol), F.lit("f"))
+        .otherwise(F.lit("none"))
+    )
+    j = j.select(
+        "event_id", "user_id", side.alias("side"), "b_key", "b_date", "f_key", "f_date",
+        db.alias("db"), df_.alias("df")
+    )
+    pick = lambda b, f: F.when(F.col("side") == "b", F.col(b)).when(  # noqa: E731
+        F.col("side") == "f", F.col(f)
+    )
+    return j.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        "side",
+        pick("b_key", "f_key").alias("nearest_orderkey"),
+        F.date_format(pick("b_date", "f_date"), "yyyy-MM-dd").alias("nearest_orderdate"),
+        pick("db", "df").cast("int").alias("delta_days"),
+    )

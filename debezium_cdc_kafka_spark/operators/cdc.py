@@ -874,3 +874,98 @@ def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share > _HOTKEY_SHARE_T).cast("int").alias("is_hot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key lifecycle census of the change stream.
+# ---------------------------------------------------------------------------
+
+CDC_LIFECYCLE_ORACLE = f"""
+WITH well_formed AS ({_WELL_FORMED_SQL}),
+per_key AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS eday,
+         count(*) AS n_ops,
+         sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS n_c,
+         sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS n_u,
+         arg_max(op, event_id) AS last_op,
+         min(CASE WHEN op = 'd' THEN event_id END) AS first_d_off,
+         max(CASE WHEN op = 'c' THEN event_id END) AS last_c_off,
+         epoch_ms(max(ts)) - epoch_ms(min(ts)) AS lifespan_ms
+  FROM well_formed GROUP BY user_id, eday
+),
+classed AS (
+  SELECT *,
+    CASE
+      WHEN n_c > 0 AND first_d_off IS NOT NULL AND last_c_off > first_d_off
+        THEN 'resurrected'
+      WHEN last_op = 'd' THEN 'deleted'
+      WHEN n_c = 0 THEN 'orphan_updates'
+      WHEN n_u > 0 THEN 'active_updated'
+      ELSE 'create_only'
+    END AS lifecycle
+  FROM per_key
+)
+SELECT lifecycle,
+       CAST(count(*) AS BIGINT) AS n_key_days,
+       CAST(sum(n_ops) AS BIGINT) AS n_ops,
+       round(CAST(sum(n_u) AS DOUBLE) / count(*), 6) AS avg_updates,
+       round(CAST(sum(lifespan_ms) AS DOUBLE) / count(*), 6) AS avg_lifespan_ms
+FROM classed GROUP BY lifecycle
+"""
+
+
+@query("cdc_key_lifecycle", CDC_LIFECYCLE_ORACLE)
+def cdc_key_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily lifecycle census of the change stream: each (key, day) is
+    classified from that day's op history — `resurrected` (created again after
+    a delete: the anomaly class [[cdc_strict_replay_state]] must apply
+    correctly), `deleted` (last op is a delete), `orphan_updates`
+    (updates/deletes but never a create — upstream snapshot gap, a real
+    data-quality smell), `active_updated`, `create_only` — with per-class
+    key-day counts, op volume, update intensity, and mean within-day
+    lifespan. Day buckets are tz-free epoch-day integers (ts_ms //
+    86400000) so both engines bucket identically. The
+    complement of [[cdc_hot_keys]]: that finds individual outliers, this
+    describes the population shape (e.g. a sudden growth of
+    `orphan_updates` means the snapshot phase missed rows).
+
+    Scale: one map-side-combinable groupBy(key, day) computing counts,
+    arg_max, conditional min/max offsets and the ts span — all partial-
+    aggregable — then a second tiny aggregate over the ≤5 lifecycle
+    classes. Exact integer sums (ms lifespans, op counts); doubles
+    appear only in the final per-class division."""
+    raw = derive_change_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    decoded = decode_envelope(raw).filter(~F.col("is_malformed"))
+    key = F.coalesce(F.col("after.id"), F.col("before.id")).alias("user_id")
+    ev = decoded.select(
+        key, "op", "offset", "ts_ms", (F.col("ts_ms") / 86400000).cast("long").alias("eday")
+    )
+    per_key = ev.groupBy("user_id", "eday").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum((F.col("op") == "c").cast("long")).alias("n_c"),
+        F.sum((F.col("op") == "u").cast("long")).alias("n_u"),
+        F.max_by("op", "offset").alias("last_op"),
+        F.min(F.when(F.col("op") == "d", F.col("offset"))).alias("first_d_off"),
+        F.max(F.when(F.col("op") == "c", F.col("offset"))).alias("last_c_off"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("lifespan_ms"),
+    )
+    lifecycle = (
+        F.when(
+            (F.col("n_c") > 0)
+            & F.col("first_d_off").isNotNull()
+            & (F.col("last_c_off") > F.col("first_d_off")),
+            F.lit("resurrected"),
+        )
+        .when(F.col("last_op") == "d", F.lit("deleted"))
+        .when(F.col("n_c") == 0, F.lit("orphan_updates"))
+        .when(F.col("n_u") > 0, F.lit("active_updated"))
+        .otherwise(F.lit("create_only"))
+    )
+    return per_key.groupBy(lifecycle.alias("lifecycle")).agg(
+        F.count(F.lit(1)).alias("n_key_days"),
+        F.sum("n_ops").alias("n_ops"),
+        F.round(F.sum("n_u").cast("double") / F.count(F.lit(1)), 6).alias("avg_updates"),
+        F.round(F.sum("lifespan_ms").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_lifespan_ms"
+        ),
+    )

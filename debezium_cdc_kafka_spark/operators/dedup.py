@@ -1154,3 +1154,107 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sz") - 1).alias("removable_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix: which sources mirror which.
+# ---------------------------------------------------------------------------
+
+_OVL_MAX_SRC = 10  # spans present in more sources than this are boilerplate
+_OVL_MIN_SHARED = 5
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), spans AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS h
+  FROM (SELECT doc_id, source, tk,
+               unnest(range(1, greatest(len(tk) - 6, 1))) AS i
+        FROM toks)
+), kept AS (
+  SELECT source, h FROM (
+    SELECT source, h, count(*) OVER (PARTITION BY h) AS ns FROM spans
+  ) WHERE ns <= {_OVL_MAX_SRC}
+), per_source AS (
+  SELECT source, count(*) AS n_spans FROM kept GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_spans
+  FROM kept a JOIN kept b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.shared_spans,
+       round(CAST(p.shared_spans AS DOUBLE) / least(pa.n_spans, pb.n_spans), 6)
+         AS containment
+FROM pairs p
+JOIN per_source pa ON pa.source = p.source_a
+JOIN per_source pb ON pb.source = p.source_b
+WHERE p.shared_spans >= {_OVL_MIN_SHARED}
+"""
+
+
+@query("dedup_source_overlap", SOURCE_OVERLAP_ORACLE)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct 8-token spans they share and the containment ratio
+    (shared / smaller side) — the crawl-provenance audit that answers
+    "which sources mirror which" BEFORE you pick dedup keep-priorities
+    ([[q_dedup_canonical]]) or mix weights ([[q_temperature_mix]]): a
+    0.9-containment pair means one feed is a re-host and its tokens are
+    double-counted. Span machinery shared with [[dedup_span_shingles]].
+
+    Scale: the span table collapses to DISTINCT (span-hash, source) —
+    bounded by |vocabulary of spans|·|sources|, one shuffle; spans in
+    > {_OVL_MAX_SRC} sources are dropped as boilerplate BEFORE the
+    self-join (the same hot-key cap as [[dedup_ngram_jaccard_capped]]),
+    so per-span fanout is ≤ cap²; output is bounded by |sources|²."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    with_tk = docs.select("source", tk.alias("tk"))
+    idx = F.explode(
+        F.when(F.size("tk") >= 8, F.sequence(F.lit(1), F.size("tk") - 7)).otherwise(
+            F.array().cast("array<int>")
+        )
+    ).alias("i")
+    spans = (
+        with_tk.select("source", "tk", idx)
+        .select(
+            "source",
+            F.md5(F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(8)))).alias("h"),
+        )
+        .distinct()
+    )
+    ns = spans.groupBy("h").agg(F.count(F.lit(1)).alias("ns"))
+    kept = (
+        spans.join(ns.filter(F.col("ns") <= _OVL_MAX_SRC), "h", "left_semi")
+    )
+    per_source = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
+    a = kept.select(F.col("h"), F.col("source").alias("source_a"))
+    b = kept.select(F.col("h"), F.col("source").alias("source_b"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_spans").alias("na")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_spans").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .filter(F.col("shared_spans") >= _OVL_MIN_SHARED)
+        .select(
+            "source_a",
+            "source_b",
+            "shared_spans",
+            F.round(
+                F.col("shared_spans").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+    )

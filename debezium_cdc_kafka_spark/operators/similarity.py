@@ -2719,3 +2719,91 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette — internal clustering validity at O(n·k).
+# ---------------------------------------------------------------------------
+
+SILHOUETTE_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cluster_id, embedding AS ce
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
+  FROM embeddings e CROSS JOIN seeds s
+), ranked AS (
+  SELECT vec_id, cluster_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk,
+         lead(d2) OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS d2_next
+  FROM scored
+), sil AS (
+  SELECT vec_id, cluster_id,
+         CASE WHEN greatest(sqrt(d2), sqrt(d2_next)) = 0 THEN 0.0
+              ELSE (sqrt(d2_next) - sqrt(d2)) / greatest(sqrt(d2), sqrt(d2_next))
+         END AS s
+  FROM ranked WHERE rk = 1
+), micro AS (
+  SELECT cluster_id, CAST(round(s * 1e6, 0) AS BIGINT) AS s_micro FROM sil
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(CAST(sum(s_micro) AS DOUBLE) / (count(*) * 1e6), 6) AS mean_silhouette
+FROM micro GROUP BY cluster_id
+"""
+
+
+@query("q_simplified_silhouette", SILHOUETTE_ORACLE)
+def q_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the k-means layout that
+    [[ann_kmeans_assign]] produces: per point, a = distance to its own
+    centroid, b = distance to the nearest OTHER centroid, s = (b−a)/
+    max(a,b); reported as per-cluster mean + size. The classic
+    silhouette is O(n²) pairwise; the simplified form replaces
+    neighbor-cluster mean distance with centroid distance, giving the
+    same diagnostic (which cells are tight vs smeared, which should be
+    split before they bloat an IVF probe) at O(n·k) — the only form
+    that survives 100 TB. Complements [[q_cluster_purity]], which needs
+    labels; silhouette is label-free.
+
+    Scale: broadcast k seeds, one narrow distance scan (k·dim flops per
+    row), per-vector rank window bounded by k, then a map-side-
+    combinable groupBy(cluster). Per-point scores are rounded to
+    integer micro-units before summation so the per-cluster mean is
+    partition-order independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
+    )
+    diffs = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(F.col("ce"), lambda x: x.cast("double")),
+        lambda x, y: (x - y) * (x - y),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    ranked = scored.select(
+        "vec_id",
+        "cluster_id",
+        "d2",
+        F.row_number().over(w).alias("rk"),
+        F.lead("d2").over(w).alias("d2_next"),
+    ).filter(F.col("rk") == 1)
+    a, b = F.sqrt("d2"), F.sqrt("d2_next")
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    micro = ranked.select(
+        "cluster_id", F.round(s * 1e6, 0).cast("long").alias("s_micro")
+    )
+    return micro.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum("s_micro").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("mean_silhouette"),
+    )

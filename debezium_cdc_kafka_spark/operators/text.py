@@ -1282,3 +1282,88 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability: Flesch reading ease + Flesch-Kincaid grade.
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT_RE = "[.!?]+"
+_VOWEL_RE = "[aeiouy]+"
+
+READABILITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {tokens_sql("text")} AS toks,
+         list_filter(regexp_split_to_array(text, '{_SENT_SPLIT_RE}'),
+                     s -> trim(s) <> '') AS sents
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(len(sents), 1) AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform(toks,
+              w -> greatest(len(regexp_extract_all(w, '{_VOWEL_RE}')), 1)))
+           AS BIGINT) AS n_syllables
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+         AS flesch_ease,
+       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+         AS fk_grade
+FROM c
+"""
+
+
+@query("text_readability", READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease and Flesch-Kincaid grade per document, from
+    word / sentence / syllable counts with a deterministic vowel-group
+    syllable heuristic (runs of [aeiouy], min 1 per word — the standard
+    dictionary-free approximation). Readability is a staple quality
+    feature in pretraining curation (too-easy = boilerplate/listicles,
+    unreadably-dense = OCR garbage), complementing the surface ratios of
+    [[text_quality_stats]] and the richness signals of
+    [[text_lexical_diversity]].
+
+    Scale: a stateless per-document map — tokenize, sentence-split, one
+    in-array integer fold for syllables; scan speed, zero shuffle. All
+    counts are exact integers; the two formula divisions are the only
+    doubles, written in the same operation order in both engines so the
+    4dp rounding is bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sents = F.filter(
+        F.split(F.col("text"), _SENT_SPLIT_RE), lambda s: F.trim(s) != ""
+    )
+    syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit(_VOWEL_RE), F.lit(0))), F.lit(1)
+        ).cast("long"),
+    )
+    c = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(F.size(sents), F.lit(1)).cast("long").alias("n_sentences"),
+        syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch_ease"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    )

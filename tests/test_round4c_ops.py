@@ -1220,3 +1220,179 @@ def test_cdc_hot_keys_match_python(spark):
         assert (r["user_id"], r["n_changes"]) == (u, n)
         assert abs(r["change_share"] - n / total) < 1e-6
         assert r["is_hot"] == int(n / total > 0.01)
+
+
+def test_readability_matches_python(spark):
+    """Flesch metrics must match a Python recompute per doc."""
+    import re as _re
+
+    from debezium_cdc_kafka_spark.operators.text import text_readability
+
+    rows = {r["doc_id"]: r for r in text_readability(spark, SF_SMOKE).collect()}
+    for d in _read("documents")[:200]:
+        ws = [w for w in _re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        if not ws:
+            assert d["doc_id"] not in rows
+            continue
+        sents = [s for s in _re.split(r"[.!?]+", d["text"]) if s.strip()]
+        ns = max(len(sents), 1)
+        syll = sum(max(len(_re.findall(r"[aeiouy]+", w)), 1) for w in ws)
+        r = rows[d["doc_id"]]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            len(ws),
+            ns,
+            syll,
+        )
+        fre = 206.835 - 1.015 * (len(ws) / ns) - 84.6 * (syll / len(ws))
+        fk = 0.39 * (len(ws) / ns) + 11.8 * (syll / len(ws)) - 15.59
+        assert abs(r["flesch_ease"] - fre) < 1e-3
+        assert abs(r["fk_grade"] - fk) < 1e-3
+
+
+def test_key_lifecycle_matches_python(spark):
+    """Daily lifecycle census must match a replay of the well-formed stream."""
+    from debezium_cdc_kafka_spark.operators.cdc import cdc_key_lifecycle
+
+    per = defaultdict(list)
+    for e in _read("events"):
+        if e["event_id"] % 97 == 13:
+            continue
+        op = {"signup": "c", "error": "d"}.get(e["event_type"], "u")
+        ms = int(e["ts"].timestamp() * 1000)
+        per[(e["user_id"], ms // 86400000)].append((e["event_id"], op, ms))
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n_key_days, n_ops, sum_u, sum_span
+    for evs in per.values():
+        evs.sort()
+        ops = [o for _, o, _ in evs]
+        n_c, n_u = ops.count("c"), ops.count("u")
+        first_d = next((i for i, (eid, o, _) in enumerate(evs) if o == "d"), None)
+        last_c = max(
+            (i for i, (eid, o, _) in enumerate(evs) if o == "c"), default=None
+        )
+        if n_c > 0 and first_d is not None and last_c > first_d:
+            cls = "resurrected"
+        elif ops[-1] == "d":
+            cls = "deleted"
+        elif n_c == 0:
+            cls = "orphan_updates"
+        elif n_u > 0:
+            cls = "active_updated"
+        else:
+            cls = "create_only"
+        a = agg[cls]
+        a[0] += 1
+        a[1] += len(evs)
+        a[2] += n_u
+        a[3] += max(m for _, _, m in evs) - min(m for _, _, m in evs)
+    rows = {r["lifecycle"]: r for r in cdc_key_lifecycle(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for cls, (nk, no, su, span) in agg.items():
+        r = rows[cls]
+        assert (r["n_key_days"], r["n_ops"]) == (nk, no)
+        assert abs(r["avg_updates"] - su / nk) < 1e-5
+        assert abs(r["avg_lifespan_ms"] - span / nk) < 1e-3
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """Nearest-asof must agree with a brute-force nearest-order scan."""
+    from debezium_cdc_kafka_spark.operators.asof import (
+        _NEAREST_TOL_DAYS,
+        q_asof_nearest_tolerance,
+    )
+
+    orders = defaultdict(list)
+    for o in _read("orders"):
+        od = o["o_orderdate"]
+        orders[o["o_custkey"]].append(
+            (od.date() if hasattr(od, "date") else od, o["o_orderkey"])
+        )
+    rows = q_asof_nearest_tolerance(spark, SF_SMOKE).collect()
+    assert rows
+    n_checked = 0
+    for r in rows[:300]:
+        cands = orders.get(r["user_id"], [])
+        ev = next(e for e in _read("events") if e["event_id"] == r["event_id"])
+        evd = ev["ts"].date()
+        # brute force: per side the nearest (ties: backward wins; within a
+        # side the engine's tiebreak is highest orderkey at equal dates)
+        bwd = [(evd - d, k) for d, k in cands if d <= evd]
+        fwd = [(d - evd, k) for d, k in cands if d > evd]
+        db = min(bwd)[0].days if bwd else None
+        df = min(fwd)[0].days if fwd else None
+        tol = _NEAREST_TOL_DAYS
+        if db is not None and db <= tol and (df is None or df > tol or db <= df):
+            assert r["side"] == "b"
+            assert r["delta_days"] == db
+        elif df is not None and df <= tol:
+            assert r["side"] == "f"
+            assert r["delta_days"] == df
+        else:
+            assert r["side"] == "none"
+            assert r["nearest_orderkey"] is None
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_silhouette_matches_python(spark):
+    """Per-cluster mean simplified silhouette vs a NumPy recompute."""
+    import numpy as np
+
+    from debezium_cdc_kafka_spark.operators.similarity import q_simplified_silhouette
+
+    import hashlib
+
+    emb = _read("embeddings")
+    seeds = sorted(
+        emb, key=lambda e: (hashlib.md5(str(e["vec_id"]).encode()).hexdigest(), e["vec_id"])
+    )[:8]
+    C = np.array([s["embedding"] for s in seeds], dtype=np.float64)
+    cid = [s["vec_id"] for s in seeds]
+    per = defaultdict(list)
+    for e in emb:
+        v = np.array(e["embedding"], dtype=np.float64)
+        d2 = np.round(((C - v) ** 2).sum(axis=1), 6)
+        order = sorted(range(8), key=lambda i: (d2[i], cid[i]))
+        a, b = math.sqrt(d2[order[0]]), math.sqrt(d2[order[1]])
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        per[cid[order[0]]].append(int(round(s * 1e6)))
+    rows = {r["cluster_id"]: r for r in q_simplified_silhouette(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per)
+    for c, micros in per.items():
+        assert rows[c]["n_points"] == len(micros)
+        assert abs(rows[c]["mean_silhouette"] - sum(micros) / (len(micros) * 1e6)) < 2e-6
+        assert -1.0 <= rows[c]["mean_silhouette"] <= 1.0
+
+
+def test_source_overlap_matches_python(spark):
+    """Source-pair shared-span counts vs a Python set recompute, and the
+    hot-span boilerplate cap must actually drop spans."""
+    from debezium_cdc_kafka_spark.operators.dedup import (
+        _OVL_MAX_SRC,
+        _OVL_MIN_SHARED,
+        dedup_source_overlap,
+    )
+
+    src_spans = defaultdict(set)
+    for d in _read("documents"):
+        tk = [t for t in d["text"].split(" ") if t]
+        for i in range(len(tk) - 7):
+            src_spans[d["source"]].add(" ".join(tk[i : i + 8]))
+    # apply the hot-span cap
+    count = Counter(h for s in src_spans.values() for h in s)
+    dropped = sum(1 for h, c in count.items() if c > _OVL_MAX_SRC)
+    kept = {s: {h for h in hs if count[h] <= _OVL_MAX_SRC} for s, hs in src_spans.items()}
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup_source_overlap(spark, SF_SMOKE).collect()
+    }
+    expect = {}
+    for a in kept:
+        for b in kept:
+            if a < b:
+                sh = len(kept[a] & kept[b])
+                if sh >= _OVL_MIN_SHARED:
+                    expect[(a, b)] = (sh, sh / min(len(kept[a]), len(kept[b])))
+    assert set(rows) == set(expect)
+    for k, (sh, cont) in expect.items():
+        assert rows[k]["shared_spans"] == sh
+        assert abs(rows[k]["containment"] - cont) < 1e-6
