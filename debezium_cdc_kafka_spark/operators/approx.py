@@ -852,3 +852,113 @@ def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / space-saving heavy hitters (mergeable deterministic summary).
+# ---------------------------------------------------------------------------
+
+_MG_K = 512  # counter capacity per partition summary
+_MG_TOPN = 10
+# Tokens come from split(text, ' ') so no real token can contain a space:
+# this sentinel key carries each partition's accumulated decrement offset.
+_MG_ERR_KEY = " mg decrements "
+
+
+def _mg_partition(batches):
+    """Per-partition Misra-Gries: fold each Arrow batch's exact
+    value_counts into a ≤_MG_K-counter summary by subtracting the
+    (k+1)-th largest merged count and dropping non-positives (the
+    mergeable-summaries merge rule, Agarwal et al. 2012). Each
+    subtraction of `cut` removes ≥ (k+1)*cut total mass, so the summed
+    offsets — emitted under _MG_ERR_KEY — are ≤ n_partition/(k+1), and
+    every counter is an UNDERestimate by at most that sum."""
+    import pandas as pd
+
+    counts = pd.Series(dtype="int64")
+    err = 0
+    for pdf in batches:
+        bc = pdf["term"].value_counts()
+        counts = counts.add(bc, fill_value=0).astype("int64")
+        if len(counts) > _MG_K:
+            cut = int(counts.nlargest(_MG_K + 1).iloc[-1])
+            counts = counts - cut
+            counts = counts[counts > 0]
+            err += cut
+    out = counts.rename_axis("term").reset_index(name="cnt")
+    out["term"] = out["term"].astype(str)
+    err_row = pd.DataFrame({"term": [_MG_ERR_KEY], "cnt": [err]})
+    yield pd.concat([out, err_row], ignore_index=True)
+
+
+MG_ORACLE = f"""
+WITH toks AS (
+  SELECT t.term
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY term
+), tot AS (SELECT CAST(sum(exact_count) AS BIGINT) AS n FROM exact)
+SELECT term, exact_count,
+       CAST(exact_count * {_MG_K + 1} > (SELECT n FROM tot) AS INT)
+         AS guaranteed_heavy,
+       1 AS present_ok,
+       1 AS bound_ok
+FROM exact
+ORDER BY exact_count DESC, term ASC
+LIMIT {_MG_TOPN}
+"""
+
+
+@query("q_spacesaving_heavy_hitters", MG_ORACLE)
+def q_spacesaving_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heavy hitters via per-partition Misra-Gries
+    summaries (capacity k={_MG_K}) merged by counter addition — the
+    sketch you run when the KEY CARDINALITY (not just the row count)
+    exceeds memory, where [[q_countmin_sketch]] needs the query keys up
+    front and an exact groupBy would shuffle the whole vocabulary. The
+    summary is built inside the scan with `mapInPandas` (Arrow-batched,
+    one pass, NO shuffle of raw tokens — each task emits ≤ k+1 rows) and
+    merged with a ≤ p·(k+1)-row aggregate.
+
+    The driver gate hashes the sketch's GUARANTEES, not its counters
+    (which legitimately vary with partition boundaries): for the exact
+    top-{_MG_TOPN} tokens it emits (a) `present_ok` — every token whose
+    true count exceeds n/(k+1) (`guaranteed_heavy`, exact integer
+    arithmetic both engines) appears in the merged summary, and (b)
+    `bound_ok` — 0 ≤ exact − estimate ≤ Σ decrement offsets. Both hold
+    for ANY arrival order / partitioning by the MG merge theorem; the
+    Zipfian token distribution keeps the top-{_MG_TOPN} well above the
+    n/(k+1) line at every scale factor (shares are scale-invariant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+    summary = toks.mapInPandas(_mg_partition, schema="term string, cnt long")
+    merged = summary.groupBy("term").agg(F.sum("cnt").alias("est"))
+    err_total = (
+        merged.filter(F.col("term") == _MG_ERR_KEY)
+        .select(F.sum("est").alias("err_total"))
+    )
+    sketch = merged.filter(F.col("term") != _MG_ERR_KEY)
+
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    n_total = exact.select(F.sum("exact_count").alias("n_total"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(_MG_TOPN)
+
+    res = (
+        top.join(sketch, "term", "left")
+        .crossJoin(F.broadcast(err_total))
+        .crossJoin(F.broadcast(n_total))
+    )
+    in_sketch = F.col("est").isNotNull() & (F.col("est") > 0)
+    heavy = (F.col("exact_count") * (_MG_K + 1) > F.col("n_total")).cast("int")
+    under = F.col("exact_count") - F.coalesce(F.col("est"), F.lit(0))
+    return res.select(
+        "term",
+        "exact_count",
+        heavy.alias("guaranteed_heavy"),
+        (in_sketch | (heavy == 0)).cast("int").alias("present_ok"),
+        ((under >= 0) & (under <= F.col("err_total"))).cast("int").alias("bound_ok"),
+    )

@@ -978,3 +978,95 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - is_new) / F.count(F.lit(1)).cast("double"), 6
         ).alias("returning_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time profile + burstiness (Goh-Barabási B = (σ−µ)/(σ+µ)).
+# ---------------------------------------------------------------------------
+
+BURST_ORACLE = """
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), gaps AS (
+  SELECT event_type, (t_us - prev_us) // 1000000 AS gap_s
+  FROM seq WHERE prev_us IS NOT NULL
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_s) AS HUGEINT) AS s1,
+         sum(CAST(gap_s AS HUGEINT) * gap_s) AS s2,
+         quantile_cont(gap_s, 0.5) AS med
+  FROM gaps GROUP BY event_type
+), mom AS (
+  SELECT event_type, n_gaps, med,
+         CAST(s1 AS DOUBLE) / n_gaps AS mu,
+         sqrt(greatest(
+           CAST(s2 AS DOUBLE) / n_gaps
+             - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps),
+           0.0)) AS sd
+  FROM agg
+)
+SELECT event_type, n_gaps,
+       round(mu, 6) AS mean_gap_s,
+       round(sd, 6) AS std_gap_s,
+       round((sd - mu) / (sd + mu), 6) AS burstiness,
+       round(med, 1) AS median_gap_s
+FROM mom
+"""
+
+
+@query("q_interarrival_burstiness", BURST_ORACLE)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival profile: each user's consecutive-event
+    gaps (seconds, attributed to the LATER event's type) aggregated to
+    count / mean / std / exact median and the Goh-Barabási burstiness
+    coefficient B = (σ−µ)/(σ+µ) — B→−1 is a metronome, B≈0 Poisson,
+    B→+1 bursty. The traffic-shape diagnostic behind session-gap tuning
+    ([[q_sessionize_30m]]'s 30-minute threshold) and bot screening.
+
+    Exactness: gaps are integer seconds (`unix_micros` floor-div 10^6,
+    both engines truncate non-negatives identically); Σgap stays in
+    int64 while Σgap² is summed in decimal(38,0) ↔ HUGEINT and converted
+    to double ONCE per group, so µ/σ/B are the same IEEE doubles in both
+    engines. σ² is clamped at 0 before sqrt in both.
+
+    Scale: one user-keyed window pass for the lag (the sessionize
+    shuffle, reusable across all per-user sequence features), then a
+    map-side-combinable 4-moment aggregate per type; only the exact
+    median needs the per-group value multiset — at 100 TB swap it for
+    percentile_approx like [[q_approx_quantiles]]."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                / F.lit(1_000_000)
+            ).cast("long").alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("gap_s").cast("decimal(19,0)") * F.col("gap_s")).alias("s2"),
+        F.percentile("gap_s", F.lit(0.5)).alias("med"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n_gaps") - mu * mu, F.lit(0.0)
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("std_gap_s"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+        F.round("med", 1).alias("median_gap_s"),
+    )

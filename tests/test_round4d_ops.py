@@ -1,0 +1,155 @@
+"""Property tests for the round-4d additions: Misra-Gries heavy hitters
+and inter-arrival burstiness. The DuckDB oracles pin cross-engine
+equality; these pin SEMANTICS against independent Python
+reimplementations and the sketch's worst-case guarantees.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from debezium_cdc_kafka_spark.operators.approx import (
+    _MG_ERR_KEY,
+    _MG_K,
+    _MG_TOPN,
+    _mg_partition,
+    q_spacesaving_heavy_hitters,
+)
+from debezium_cdc_kafka_spark.operators.behavior import q_interarrival_burstiness
+from tests.conftest import SF_SMOKE
+
+
+def _read(table: str) -> list[dict]:
+    return pq.read_table(f"{SF_SMOKE}/{table}.parquet").to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries partition kernel: worst-case guarantees on an adversarial
+# stream, independent of any engine.
+# ---------------------------------------------------------------------------
+
+
+def _run_mg(terms: list[str], batch: int) -> tuple[dict[str, int], int]:
+    batches = (
+        pd.DataFrame({"term": terms[i : i + batch]})
+        for i in range(0, len(terms), batch)
+    )
+    (out,) = list(_mg_partition(batches))
+    counters = dict(zip(out["term"], out["cnt"]))
+    err = counters.pop(_MG_ERR_KEY)
+    return counters, int(err)
+
+
+def test_mg_kernel_bounds_hold_on_adversarial_stream():
+    """1 heavy key + a long tail of singletons, heavy key mostly at the
+    FRONT (worst case for decay): every counter underestimates by at
+    most the emitted offset, the offset respects n/(k+1), and any key
+    with true count > err survives."""
+    heavy = ["hh"] * 2000
+    tail = [f"t{i}" for i in range(5000)]
+    # interleave so prunes happen repeatedly across batch boundaries
+    stream = []
+    for i, t in enumerate(tail):
+        stream.append(t)
+        if i % 3 == 0 and heavy:
+            stream.append(heavy.pop())
+    stream = heavy + stream  # rest of the heavy mass up front
+    truth = Counter(stream)
+    n = len(stream)
+
+    for batch in (97, 1000, len(stream)):
+        counters, err = _run_mg(stream, batch)
+        assert len(counters) <= _MG_K
+        assert err <= n // (_MG_K + 1) + 1
+        for term, cnt in counters.items():
+            assert 0 < cnt <= truth[term]
+            assert truth[term] - cnt <= err
+        for term, true_cnt in truth.items():
+            if true_cnt > err:
+                assert term in counters, (term, true_cnt, err)
+
+
+def test_mg_kernel_exact_when_under_capacity():
+    """Fewer distinct keys than k: the summary IS the exact histogram
+    and the error offset is zero."""
+    stream = [f"k{i % 50}" for i in range(3000)]
+    counters, err = _run_mg(stream, 256)
+    assert err == 0
+    assert counters == dict(Counter(stream))
+
+
+def test_spacesaving_query_matches_python_exact_topn(spark):
+    """End-to-end: the query's top-N keys/counts equal a pure-Python
+    token count over the same parquet, and every emitted guarantee
+    boolean is 1 (they hold for any partitioning by the MG theorem)."""
+    counts = Counter(
+        t
+        for r in _read("documents")
+        for t in r["text"].split(" ")
+        if t != ""
+    )
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_MG_TOPN]
+    n = sum(counts.values())
+
+    rows = q_spacesaving_heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(rows) == _MG_TOPN
+    got = {r["term"]: r for r in rows}
+    assert [(r["term"], r["exact_count"]) for r in sorted(
+        rows, key=lambda r: (-r["exact_count"], r["term"])
+    )] == top
+    for term, r in got.items():
+        assert r["present_ok"] == 1
+        assert r["bound_ok"] == 1
+        assert r["guaranteed_heavy"] == int(counts[term] * (_MG_K + 1) > n)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness: definitional recompute with plain Python.
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_matches_python_recompute(spark):
+    events = _read("events")
+    by_user = defaultdict(list)
+    for r in events:
+        # pyarrow yields datetimes; microsecond-exact like unix_micros
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    gaps = defaultdict(list)
+    for seq in by_user.values():
+        seq.sort(key=lambda x: (x[0], x[1]))
+        for (t0, _, _), (t1, _, et1) in zip(seq, seq[1:]):
+            us = round((t1 - t0) / pd.Timedelta(microseconds=1))
+            gaps[et1].append(us // 1_000_000)
+
+    rows = {r["event_type"]: r for r in q_interarrival_burstiness(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(gaps)
+    for et, g in gaps.items():
+        r = rows[et]
+        n = len(g)
+        mu = sum(g) / n
+        var = max(sum(x * x for x in g) / n - mu * mu, 0.0)
+        sd = math.sqrt(var)
+        assert r["n_gaps"] == n
+        assert abs(r["mean_gap_s"] - mu) < 1e-5
+        assert abs(r["std_gap_s"] - sd) < 1e-5
+        assert abs(r["burstiness"] - (sd - mu) / (sd + mu)) < 1e-5
+        g.sort()
+        idx = (n - 1) * 0.5
+        lo, hi = g[math.floor(idx)], g[math.ceil(idx)]
+        med = lo + (idx - math.floor(idx)) * (hi - lo)
+        assert abs(r["median_gap_s"] - med) < 0.11
+
+
+def test_burstiness_is_in_range_and_bursty_data_positive(spark):
+    """B is always in (-1, 1); human-generated event streams (heavy-
+    tailed gaps: many quick follow-ups, few long silences) must come out
+    on the bursty side of a metronome."""
+    for r in q_interarrival_burstiness(spark, SF_SMOKE).collect():
+        assert -1.0 < r["burstiness"] < 1.0
+        assert r["std_gap_s"] >= 0.0
+        assert r["median_gap_s"] <= r["mean_gap_s"] * 1.5 + 1
