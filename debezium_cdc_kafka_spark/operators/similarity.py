@@ -2807,3 +2807,192 @@ def q_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_micro").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
         ).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@3: graded position-discounted retrieval eval of the LSH index.
+# ---------------------------------------------------------------------------
+
+# 1e9-scaled discount table 1/log2(rank+1) and its prefix sums, shared as
+# integer LITERALS by both engines so no libm log2 ever runs in-plan:
+# every DCG is an exact int64 sum and NDCG one audited double division.
+_NDCG_D9 = (1_000_000_000, 630_929_754, 500_000_000)
+_NDCG_I9 = (0, 1_000_000_000, 1_630_929_754, 2_130_929_754)
+
+NDCG_ORACLE = f"""
+WITH lsh AS ({LSH_ORACLE}),
+lab AS (
+  SELECT l.query_id, l.rk,
+         CAST(qe.label = ce.label AS INT) AS rel
+  FROM lsh l
+  JOIN embeddings qe ON qe.vec_id = l.query_id
+  JOIN embeddings ce ON ce.vec_id = l.cand_id
+),
+lc AS (SELECT label, count(*) AS n_lab FROM embeddings GROUP BY label),
+per AS (
+  SELECT query_id, CAST(sum(rel) AS INT) AS hits_at_3,
+         CAST(sum(rel * CASE rk WHEN 1 THEN {_NDCG_D9[0]}
+                                WHEN 2 THEN {_NDCG_D9[1]}
+                                ELSE {_NDCG_D9[2]} END) AS BIGINT) AS dcg9
+  FROM lab GROUP BY query_id
+),
+idl AS (
+  SELECT p.query_id, p.hits_at_3, p.dcg9,
+         CAST(lc.n_lab - 1 AS INT) AS n_rel_total,
+         CASE least(lc.n_lab - 1, 3)
+           WHEN 0 THEN {_NDCG_I9[0]} WHEN 1 THEN {_NDCG_I9[1]}
+           WHEN 2 THEN {_NDCG_I9[2]} ELSE {_NDCG_I9[3]} END AS idcg9
+  FROM per p
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN lc ON lc.label = qe.label
+),
+scored AS (
+  SELECT query_id, n_rel_total, hits_at_3,
+         CASE WHEN idcg9 > 0
+              THEN CAST(round(1000000.0 * dcg9 / idcg9) AS BIGINT)
+              ELSE 0 END AS ndcg6
+  FROM idl
+)
+SELECT query_id, n_rel_total, hits_at_3,
+       round(ndcg6 / 1000000.0, 6) AS ndcg_at_3,
+       round(sum(ndcg6) OVER () / 1000000.0 / count(*) OVER (), 6)
+         AS macro_ndcg
+FROM scored
+"""
+
+
+@query("q_ndcg_eval", NDCG_ORACLE)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@3 of the LSH index ([[ann_lsh_hyperplane]]) against label
+    relevance — the position-DISCOUNTED retrieval metric completing the
+    eval triad: [[ann_recall_eval]] counts hits anywhere in the top-k,
+    [[q_retrieval_mrr]] rewards only the FIRST relevant hit, NDCG grades
+    the whole ranking with a log2 position discount against the ideal
+    ordering (IDCG truncated at min(#relevant-in-corpus, 3)).
+
+    Exactness: the 1/log2(rank+1) discounts and their prefix sums are
+    shared 1e9-scaled integer literals (module constants), so each DCG
+    is an exact int64 sum — order-free — and NDCG is a single rounded
+    double division; the macro average sums the 1e6-scaled integer
+    NDCGs, never raw doubles.
+
+    Scale: everything downstream of the bounded bucket-probe retrieval
+    lives on k x queries rows plus a |labels|-row broadcast census."""
+    lsh = ann_lsh_hyperplane(spark, sf_dir).select("query_id", "cand_id", "rk")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ql = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
+    cl = emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("clab"))
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+
+    lab = lsh.join(ql, "query_id").join(cl, "cand_id").select(
+        "query_id",
+        "qlab",
+        "rk",
+        (F.col("qlab") == F.col("clab")).cast("int").alias("rel"),
+    )
+    d9 = (
+        F.when(F.col("rk") == 1, F.lit(_NDCG_D9[0]))
+        .when(F.col("rk") == 2, F.lit(_NDCG_D9[1]))
+        .otherwise(F.lit(_NDCG_D9[2]))
+    )
+    per = lab.groupBy("query_id", "qlab").agg(
+        F.sum("rel").cast("int").alias("hits_at_3"),
+        F.sum(F.col("rel") * d9).cast("bigint").alias("dcg9"),
+    )
+    idl = per.join(F.broadcast(lc), per.qlab == lc.label).select(
+        "query_id",
+        "hits_at_3",
+        "dcg9",
+        (F.col("n_lab") - 1).cast("int").alias("n_rel_total"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _NDCG_I9]),
+            F.least(F.col("n_lab") - 1, F.lit(3)).cast("int") + 1,
+        ).alias("idcg9"),
+    )
+    ndcg6 = F.when(
+        F.col("idcg9") > 0,
+        F.round(F.lit(1000000.0) * F.col("dcg9") / F.col("idcg9")).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    scored = idl.select("query_id", "n_rel_total", "hits_at_3", ndcg6.alias("ndcg6"))
+    wg = W.partitionBy()
+    return scored.select(
+        "query_id",
+        "n_rel_total",
+        "hits_at_3",
+        F.round(F.col("ndcg6") / 1000000.0, 6).alias("ndcg_at_3"),
+        F.round(
+            F.sum("ndcg6").over(wg) / 1000000.0 / F.count(F.lit(1)).over(wg), 6
+        ).alias("macro_ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-table ingest audit: norms, zero vectors, dimension/NaN defects.
+# ---------------------------------------------------------------------------
+
+EMB_AUDIT_ORACLE = """
+WITH per AS (
+  SELECT label,
+         len(embedding) AS dim,
+         length(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) AS n_nan,
+         list_sum(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+              * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS norm2u
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+       CAST(sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vecs,
+       CAST(sum(CASE WHEN norm2u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+       round(min(norm2u) / 1000000.0, 6) AS min_norm2,
+       round(max(norm2u) / 1000000.0, 6) AS max_norm2,
+       round(CAST(sum(norm2u) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_norm2
+FROM per
+GROUP BY label
+"""
+
+
+@query("q_embedding_norm_audit", EMB_AUDIT_ORACLE)
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table ingest gate: per label, the defect census a
+    100 TB vector pipeline runs before building ANY index — wrong
+    dimension, NaN components, all-zero vectors (cosine is undefined on
+    them: [[dedup_embedding_cosine]] and every ANN query here divides by
+    the norm) — plus the squared-norm spread, the drift signal that
+    catches an unnormalized-model deploy. The relational twin of
+    [[q_profile_columns]] for the vector column.
+
+    Exactness: norms are summed in milli-unit integers (round(x*1000)^2
+    per component, exact int64 both engines — floats never add in
+    floating point), so min/max/mean are audited integer folds with one
+    final double division.
+
+    Scale: a stateless per-row array fold at scan speed, then one
+    map-side-combinable aggregate over |labels| groups; no shuffle of
+    vector data, no window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = lambda x: F.round(x.cast("double") * 1000).cast("long")  # noqa: E731
+    per = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.size(
+            F.filter("embedding", lambda x: F.isnan(x.cast("double")))
+        ).alias("n_nan"),
+        F.aggregate(
+            F.transform("embedding", lambda x: m(x) * m(x)),
+            F.lit(0).cast("long"),
+            lambda acc, el: acc + el,
+        ).alias("norm2u"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("dim") != 64).cast("int")).alias("n_bad_dim"),
+        F.sum((F.col("n_nan") > 0).cast("int")).alias("n_nan_vecs"),
+        F.sum((F.col("norm2u") == 0).cast("int")).alias("n_zero_vecs"),
+        F.round(F.min("norm2u") / 1000000.0, 6).alias("min_norm2"),
+        F.round(F.max("norm2u") / 1000000.0, 6).alias("max_norm2"),
+        F.round(
+            F.sum("norm2u").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_norm2"),
+    )

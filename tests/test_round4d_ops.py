@@ -153,3 +153,87 @@ def test_burstiness_is_in_range_and_bursty_data_positive(spark):
         assert -1.0 < r["burstiness"] < 1.0
         assert r["std_gap_s"] >= 0.0
         assert r["median_gap_s"] <= r["mean_gap_s"] * 1.5 + 1
+
+
+# ---------------------------------------------------------------------------
+# NDCG@3: literal discount table + definitional recompute over the
+# engine's own retrieval output.
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_discount_literals_match_log2():
+    from debezium_cdc_kafka_spark.operators.similarity import _NDCG_D9, _NDCG_I9
+
+    want = [round(1e9 / math.log2(r + 1)) for r in (1, 2, 3)]
+    assert list(_NDCG_D9) == want
+    assert list(_NDCG_I9) == [0] + [sum(want[: i + 1]) for i in range(3)]
+
+
+def test_ndcg_matches_definitional_recompute(spark):
+    """Recompute NDCG@3 with plain math.log2 from (a) the engine's LSH
+    ranking and (b) a Python label census over parquet; the engine's
+    integer-literal pipeline must agree to ~1e-6 (the 1e9 scaling)."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        ann_lsh_hyperplane,
+        q_ndcg_eval,
+    )
+
+    labels = {r["vec_id"]: r["label"] for r in _read("embeddings")}
+    n_lab = Counter(labels.values())
+    retrieved = defaultdict(list)
+    for r in ann_lsh_hyperplane(spark, SF_SMOKE).collect():
+        retrieved[r["query_id"]].append((r["rk"], r["cand_id"]))
+
+    rows = {r["query_id"]: r for r in q_ndcg_eval(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(retrieved)
+    ndcgs = []
+    for qid, hits in retrieved.items():
+        qlab = labels[qid]
+        dcg = sum(
+            1 / math.log2(rk + 1)
+            for rk, cid in hits
+            if labels[cid] == qlab
+        )
+        n_rel = n_lab[qlab] - 1
+        idcg = sum(1 / math.log2(r + 1) for r in range(1, min(n_rel, 3) + 1))
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        ndcgs.append(ndcg)
+        r = rows[qid]
+        assert r["n_rel_total"] == n_rel
+        assert r["hits_at_3"] == sum(1 for rk, c in hits if labels[c] == qlab)
+        assert abs(r["ndcg_at_3"] - ndcg) < 2e-6
+    macro = sum(ndcgs) / len(ndcgs)
+    assert abs(next(iter(rows.values()))["macro_ndcg"] - macro) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm audit: milli-int recompute with away-from-zero rounding.
+# ---------------------------------------------------------------------------
+
+
+def _round_half_away(v: float) -> int:
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def test_embedding_audit_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.similarity import q_embedding_norm_audit
+
+    per_label = defaultdict(list)
+    for r in _read("embeddings"):
+        norm2u = sum(
+            _round_half_away(float(x) * 1000) ** 2 for x in r["embedding"]
+        )
+        per_label[r["label"]].append((len(r["embedding"]), norm2u))
+
+    rows = {r["label"]: r for r in q_embedding_norm_audit(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per_label)
+    for lab, recs in per_label.items():
+        r = rows[lab]
+        norms = [n for _, n in recs]
+        assert r["n_vecs"] == len(recs)
+        assert r["n_bad_dim"] == sum(1 for d, _ in recs if d != 64)
+        assert r["n_nan_vecs"] == 0
+        assert r["n_zero_vecs"] == sum(1 for n in norms if n == 0)
+        assert abs(r["min_norm2"] - min(norms) / 1e6) < 1e-9
+        assert abs(r["max_norm2"] - max(norms) / 1e6) < 1e-9
+        assert abs(r["mean_norm2"] - sum(norms) / len(norms) / 1e6) < 1e-5
