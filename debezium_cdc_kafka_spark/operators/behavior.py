@@ -1070,3 +1070,115 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
         F.round("med", 1).alias("median_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained window funnel (ClickHouse windowFunnel semantics).
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_US = 6 * 3600 * 1_000_000  # chain must fit in 6h of stage 1
+
+WINDOW_FUNNEL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+), nxt0 AS (
+  SELECT user_id, event_type, event_id, t,
+         first_value(CASE WHEN event_type = 'purchase' THEN t END IGNORE NULLS)
+           OVER w AS np
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), nxt AS (
+  SELECT user_id, event_type, t,
+         first_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+           OVER w AS nc_t,
+         first_value(CASE WHEN event_type = 'click' THEN np END IGNORE NULLS)
+           OVER w AS nc_np
+  FROM nxt0
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), lev AS (
+  SELECT user_id,
+         max(CASE
+           WHEN nc_t IS NOT NULL AND nc_t - t <= {_WF_WINDOW_US} THEN
+             CASE WHEN nc_np IS NOT NULL AND nc_np - t <= {_WF_WINDOW_US}
+                  THEN 3 ELSE 2 END
+           ELSE 1 END) AS funnel_level
+  FROM nxt WHERE event_type = 'signup'
+  GROUP BY user_id
+)
+SELECT CAST(funnel_level AS INT) AS funnel_level,
+       CAST(count(*) AS BIGINT) AS users,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM lev GROUP BY funnel_level
+"""
+
+
+@query("q_window_funnel", WINDOW_FUNNEL_ORACLE)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (ClickHouse ``windowFunnel``): deepest
+    signup→click→purchase chain per user where the WHOLE chain fits in
+    6h of its stage-1 anchor (strictly increasing (ts, event_id)), and
+    EVERY signup is tried as an anchor — unlike [[q_funnel_3step]],
+    whose stages are unbounded-horizon. Histogram of users by deepest
+    level reached.
+
+    Per anchor the earliest-next-stage greedy is exact (an earlier
+    click only widens the purchase choices), so the whole search is two
+    aligned IGNORE-NULLS forward first_value passes on ONE user-keyed
+    sort — next-click ts, and the next-click row's own next-purchase ts
+    (a nested first_value: the inner one evaluates per row, the outer
+    picks the click row's value) — then literal integer comparisons on
+    the anchor rows. No anchor×event explosion, no per-group pandas.
+
+    Scale: one user_id shuffle (shared with every sequence feature),
+    then a ≤3-row histogram; the windows are plain running scans, never
+    data-proportional single-partition."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("t"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    np_ = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("t")), ignorenulls=True
+    ).over(w)
+    nxt = ev.withColumn("np", np_).select(
+        "user_id",
+        "event_type",
+        "t",
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("t")), ignorenulls=True
+        ).over(w).alias("nc_t"),
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("np")), ignorenulls=True
+        ).over(w).alias("nc_np"),
+    )
+    tol = _WF_WINDOW_US
+    level = F.when(
+        F.col("nc_t").isNotNull() & (F.col("nc_t") - F.col("t") <= tol),
+        F.when(
+            F.col("nc_np").isNotNull() & (F.col("nc_np") - F.col("t") <= tol),
+            F.lit(3),
+        ).otherwise(F.lit(2)),
+    ).otherwise(F.lit(1))
+    lev = (
+        nxt.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max(level).alias("funnel_level"))
+    )
+    wg = W.partitionBy()
+    return lev.groupBy(F.col("funnel_level").cast("int").alias("funnel_level")).agg(
+        F.count(F.lit(1)).alias("users")
+    ).select(
+        "funnel_level",
+        "users",
+        F.round(F.col("users") / F.sum("users").over(wg).cast("double"), 6).alias(
+            "share"
+        ),
+    )

@@ -237,3 +237,55 @@ def test_embedding_audit_matches_python_recompute(spark):
         assert abs(r["min_norm2"] - min(norms) / 1e6) < 1e-9
         assert abs(r["max_norm2"] - max(norms) / 1e6) < 1e-9
         assert abs(r["mean_norm2"] - sum(norms) / len(norms) / 1e6) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Window funnel: brute-force chain search (no greedy) must agree.
+# ---------------------------------------------------------------------------
+
+
+def test_window_funnel_matches_bruteforce_chain_search(spark):
+    """Enumerate EVERY (signup, click, purchase) chain per user — not the
+    engine's earliest-next greedy — and take the deepest level that fits
+    the window; the histogram must match exactly."""
+    from debezium_cdc_kafka_spark.operators.behavior import (
+        _WF_WINDOW_US,
+        q_window_funnel,
+    )
+
+    per_user = defaultdict(list)
+    for r in _read("events"):
+        if r["event_type"] in ("signup", "click", "purchase"):
+            us = round(
+                (r["ts"] - pd.Timestamp("1970-01-01")) / pd.Timedelta(microseconds=1)
+            )
+            per_user[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+
+    hist = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        anchors = [(t, i) for t, i, ty in seq if ty == "signup"]
+        if not anchors:
+            continue
+        best = 1
+        for at, ai in anchors:
+            for ct, ci, cty in seq:
+                if cty != "click" or (ct, ci) <= (at, ai):
+                    continue
+                if ct - at <= _WF_WINDOW_US:
+                    best = max(best, 2)
+                    for pt, pi, pty in seq:
+                        if (
+                            pty == "purchase"
+                            and (pt, pi) > (ct, ci)
+                            and pt - at <= _WF_WINDOW_US
+                        ):
+                            best = max(best, 3)
+        hist[best] += 1
+
+    rows = q_window_funnel(spark, SF_SMOKE).collect()
+    got = {r["funnel_level"]: r["users"] for r in rows}
+    assert got == dict(hist)
+    total = sum(hist.values())
+    for r in rows:
+        assert abs(r["share"] - hist[r["funnel_level"]] / total) < 1e-6
