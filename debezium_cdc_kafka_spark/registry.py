@@ -93,7 +93,11 @@ def _modules():
 # q_welch_ttest, q_bootstrap_ci, q_spearman_corr, q_acf_lags,
 # q_ohlc_candles, q_soft_dedup_weights, q_epoch_shuffle_plan,
 # multimodal_phash_dedup, graph_kcore, q_t_closeness, q_snapshot_diff,
-# dedup_lsh_recall_eval, q_vocab_coverage. r6 sweeps the remainder.
+# dedup_lsh_recall_eval, q_vocab_coverage. Also never gated (added at
+# the end of r4): q_asof_nearest_tolerance, cdc_key_lifecycle,
+# dedup_source_overlap, q_simplified_silhouette, text_readability,
+# q_spacesaving_heavy_hitters, q_interarrival_burstiness, q_ndcg_eval,
+# q_embedding_norm_audit, q_window_funnel. r6 sweeps the remainder.
 GATE_ORDER: list[str] = [
     # red-row fixes from CORRECTNESS_r03
     "q_embedding_quantize",
