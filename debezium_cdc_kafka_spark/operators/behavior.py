@@ -1182,3 +1182,122 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (range-frame form, no pair materialization).
+# ---------------------------------------------------------------------------
+
+_ATTR_LIN_WINDOW_US = 24 * 3600 * 1_000_000  # lookback per purchase
+
+ATTR_LINEAR_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), fr AS (
+  SELECT event_type AS row_type,
+         count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view,
+         count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN {_ATTR_LIN_WINDOW_US} PRECEDING AND 1 PRECEDING)
+), credit AS (
+  SELECT n_view, n_click, n_view + n_click AS n,
+         CASE WHEN n_view + n_click > 0 THEN
+           CAST(round(1000000.0 * n_view / (n_view + n_click)) AS BIGINT)
+         ELSE 0 END AS c_view,
+         CASE WHEN n_view + n_click > 0 THEN
+           CAST(round(1000000.0 * n_click / (n_view + n_click)) AS BIGINT)
+         ELSE 0 END AS c_click
+  FROM fr WHERE row_type = 'purchase'
+)
+SELECT 'view' AS touch_type,
+       round(CAST(sum(c_view) AS DOUBLE) / 1000000.0, 6) AS credited_purchases,
+       CAST(count(CASE WHEN n_view > 0 THEN 1 END) AS BIGINT) AS purchases_touched
+FROM credit
+UNION ALL
+SELECT 'click', round(CAST(sum(c_click) AS DOUBLE) / 1000000.0, 6),
+       CAST(count(CASE WHEN n_click > 0 THEN 1 END) AS BIGINT)
+FROM credit
+UNION ALL
+SELECT '_unattributed', CAST(count(CASE WHEN n = 0 THEN 1 END) AS DOUBLE),
+       CAST(count(CASE WHEN n = 0 THEN 1 END) AS BIGINT)
+FROM credit
+"""
+
+
+@query("q_attribution_linear", ATTR_LINEAR_ORACLE)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit EQUALLY across all of the user's views and clicks in the 24h
+    before it (strictly earlier, value-based) — the fairness-motivated
+    counterpart of [[q_attribution_last_touch]], which hands the whole
+    unit to the newest touch. Per channel: fractional credited-purchase
+    mass plus how many purchases the channel touched at all; purchases
+    with an empty lookback surface on the '_unattributed' row, so the
+    three rows conserve total purchase mass (pinned in tests).
+
+    Exactness: per-purchase channel shares are 1e6-scaled rounded
+    integers (same double expression both engines), so the channel
+    totals are exact int64 sums with ONE final division.
+
+    Scale: no (touch x purchase) pair ever materializes — the lookback
+    is a value-based RANGE frame on the user-keyed sort (the sessionize
+    shuffle again), counting each channel's rows in [t-24h, t); the
+    per-purchase frame then collapses to a 3-row report in one global
+    aggregate. Compare [[q_view_purchase_interval_join]], which is the
+    pair-materializing form of the same time constraint."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-_ATTR_LIN_WINDOW_US, -1)
+    )
+    fr = ev.select(
+        "event_type",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("n_click"),
+    )
+    n = F.col("n_view") + F.col("n_click")
+    share = lambda c: F.when(  # noqa: E731
+        n > 0, F.round(F.lit(1000000.0) * F.col(c) / n).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    credit = fr.filter(F.col("event_type") == "purchase").select(
+        "n_view", "n_click", n.alias("n"),
+        share("n_view").alias("c_view"), share("n_click").alias("c_click"),
+    )
+    agg = credit.agg(
+        F.sum("c_view").alias("sv"),
+        F.sum("c_click").alias("sc"),
+        F.count(F.when(F.col("n_view") > 0, 1)).alias("tv"),
+        F.count(F.when(F.col("n_click") > 0, 1)).alias("tc"),
+        F.count(F.when(F.col("n") == 0, 1)).alias("un"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("view").alias("touch_type"),
+            F.round(F.col("sv").cast("double") / 1000000.0, 6).alias(
+                "credited_purchases"
+            ),
+            F.col("tv").alias("purchases_touched"),
+        ),
+        F.struct(
+            F.lit("click").alias("touch_type"),
+            F.round(F.col("sc").cast("double") / 1000000.0, 6).alias(
+                "credited_purchases"
+            ),
+            F.col("tc").alias("purchases_touched"),
+        ),
+        F.struct(
+            F.lit("_unattributed").alias("touch_type"),
+            F.col("un").cast("double").alias("credited_purchases"),
+            F.col("un").alias("purchases_touched"),
+        ),
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.touch_type", "r.credited_purchases", "r.purchases_touched"
+    )

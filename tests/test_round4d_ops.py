@@ -289,3 +289,62 @@ def test_window_funnel_matches_bruteforce_chain_search(spark):
     total = sum(hist.values())
     for r in rows:
         assert abs(r["share"] - hist[r["funnel_level"]] / total) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Linear attribution: pair-materializing Python recompute + conservation.
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_linear_matches_pairwise_recompute(spark):
+    """Recompute with the naive (touch x purchase) pair enumeration the
+    engine's range-frame form avoids; credit mass must match and the
+    three rows must conserve total purchase mass."""
+    from debezium_cdc_kafka_spark.operators.behavior import (
+        _ATTR_LIN_WINDOW_US,
+        q_attribution_linear,
+    )
+
+    per_user = defaultdict(list)
+    for r in _read("events"):
+        if r["event_type"] in ("view", "click", "purchase"):
+            us = round(
+                (r["ts"] - pd.Timestamp("1970-01-01")) / pd.Timedelta(microseconds=1)
+            )
+            per_user[r["user_id"]].append((us, r["event_type"]))
+
+    sv = sc = tv = tc = un = n_purch = 0
+    for seq in per_user.values():
+        for t, ty in seq:
+            if ty != "purchase":
+                continue
+            n_purch += 1
+            n_view = sum(
+                1 for t2, ty2 in seq
+                if ty2 == "view" and t - _ATTR_LIN_WINDOW_US <= t2 < t
+            )
+            n_click = sum(
+                1 for t2, ty2 in seq
+                if ty2 == "click" and t - _ATTR_LIN_WINDOW_US <= t2 < t
+            )
+            n = n_view + n_click
+            if n == 0:
+                un += 1
+                continue
+            sv += _round_half_away(1e6 * n_view / n)
+            sc += _round_half_away(1e6 * n_click / n)
+            tv += n_view > 0
+            tc += n_click > 0
+
+    rows = {r["touch_type"]: r for r in q_attribution_linear(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == {"view", "click", "_unattributed"}
+    assert abs(rows["view"]["credited_purchases"] - sv / 1e6) < 1e-6
+    assert abs(rows["click"]["credited_purchases"] - sc / 1e6) < 1e-6
+    assert rows["view"]["purchases_touched"] == tv
+    assert rows["click"]["purchases_touched"] == tc
+    assert rows["_unattributed"]["purchases_touched"] == un
+    total_mass = sum(r["credited_purchases"] for r in rows.values())
+    # conservation: attributed fractions + unattributed whole units ==
+    # total purchases (up to the 1e-6 per-purchase rounding grain)
+    assert abs(total_mass - n_purch) < n_purch * 1e-6 + 1e-6
