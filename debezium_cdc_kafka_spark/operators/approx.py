@@ -962,3 +962,55 @@ def q_spacesaving_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (in_sketch | (heavy == 0)).cast("int").alias("present_ok"),
         ((under >= 0) & (under <= F.col("err_total"))).cast("int").alias("bound_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL time-hierarchy rollup: hourly sketches re-aggregated to days.
+# ---------------------------------------------------------------------------
+
+HLL_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_daily,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+"""
+
+
+@query("q_hll_time_rollup", HLL_ROLLUP_ORACLE)
+def q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL rollup along the TIME hierarchy: hourly distinct-user sketches
+    union-merged into daily estimates without re-touching raw events —
+    the materialized-rollup pattern every streaming metrics store runs
+    at 100 TB (store a few-KB sketch per hour, answer any coarser grain
+    by merging; [[q_hll_sketch_union]] proves the same along the type
+    dimension, [[q_multires_rollup]] is the exact-count twin whose
+    distinct counts canNOT be re-aggregated, which is the whole point).
+    Gate: the merged daily estimate lands within the published tolerance
+    of the exact daily distinct (oracle emits literal TRUE).
+
+    Scale: map-side-combinable sketch aggregates only — hour keys then
+    day keys — and the shuffled payload is |hours|·(2^lgK bytes), not
+    user ids."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk"))
+    daily = hourly.groupBy("day").agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    exact = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.countDistinct("user_id").alias("exact_daily"))
+    est = F.round(F.hll_sketch_estimate("sk")).cast("long")
+    return daily.join(exact, "day").select(
+        "day",
+        "exact_daily",
+        "n_hours",
+        (
+            F.abs(est - F.col("exact_daily"))
+            <= F.lit(_HLL_TOL) * F.col("exact_daily")
+        ).alias("within_bound"),
+    )

@@ -348,3 +348,26 @@ def test_attribution_linear_matches_pairwise_recompute(spark):
     # conservation: attributed fractions + unattributed whole units ==
     # total purchases (up to the 1e-6 per-purchase rounding grain)
     assert abs(total_mass - n_purch) < n_purch * 1e-6 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# HLL time rollup: hour->day merge coherence + raw estimate bounds.
+# ---------------------------------------------------------------------------
+
+
+def test_hll_time_rollup_bounds_and_hour_census(spark):
+    from debezium_cdc_kafka_spark.operators.approx import q_hll_time_rollup
+
+    exact_daily = defaultdict(set)
+    hours = defaultdict(set)
+    for r in _read("events"):
+        d = r["ts"].date()
+        exact_daily[d].add(r["user_id"])
+        hours[d].add(r["ts"].replace(minute=0, second=0, microsecond=0))
+
+    rows = q_hll_time_rollup(spark, SF_SMOKE).collect()
+    assert {r["day"] for r in rows} == set(exact_daily)
+    for r in rows:
+        assert r["exact_daily"] == len(exact_daily[r["day"]])
+        assert r["n_hours"] == len(hours[r["day"]])
+        assert r["within_bound"] is True
