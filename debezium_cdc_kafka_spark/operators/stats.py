@@ -1645,3 +1645,131 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al. 2013): pre-period covariate
+# adjustment of the experiment metric.
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period: Jan 1-15; post: Jan 16-30
+
+
+def _cuped_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    arm = f"({md5_long_sql('CAST(user_id AS VARCHAR)')}) % 2"
+    return f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre_c,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post_c
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT count(*) AS n,
+         CAST(sum(pre_c) AS HUGEINT) AS sx, CAST(sum(post_c) AS HUGEINT) AS sy,
+         sum(CAST(pre_c AS HUGEINT) * pre_c) AS sxx,
+         sum(CAST(pre_c AS HUGEINT) * post_c) AS sxy,
+         sum(CAST(post_c AS HUGEINT) * post_c) AS syy
+  FROM per
+), scal AS (
+  SELECT CAST(sx AS DOUBLE) / n AS mx,
+         (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+           AS cov,
+         (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+           AS vx,
+         (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+           AS vy
+  FROM g
+), arms AS (
+  SELECT CAST({arm} AS INT) AS arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(pre_c) AS HUGEINT) AS ax, CAST(sum(post_c) AS HUGEINT) AS ay
+  FROM per GROUP BY 1
+)
+SELECT a.arm, a.n_users,
+       round(CAST(a.ay AS DOUBLE) / a.n_users / 100.0, 4) AS mean_post,
+       round((CAST(a.ay AS DOUBLE) / a.n_users
+              - (s.cov / s.vx) * (CAST(a.ax AS DOUBLE) / a.n_users - s.mx))
+             / 100.0, 4) AS mean_post_cuped,
+       round(s.cov / s.vx, 6) AS theta,
+       round(s.cov * s.cov / (s.vx * s.vy), 6) AS rho2
+FROM arms a CROSS JOIN scal s
+"""
+
+
+CUPED_ORACLE = _cuped_oracle()
+
+
+@query("q_cuped_adjustment", CUPED_ORACLE)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013): adjust each md5-parity arm's post-period spend-per-user
+    by the pooled regression on pre-period spend — the industry-standard
+    experiment variance-reduction that shrinks the metric's variance by
+    the squared pre/post correlation (rho2 emitted; the theta it uses
+    beside it). Splits the 30-day stream at {_CUPED_SPLIT}: days 1-15
+    are the covariate window, days 16-30 the experiment metric.
+
+    Exactness: per-user period totals are cents integers; all five
+    pooled moments are decimal/HUGEINT sums. The adjusted mean uses
+    CUPED's linearity — mean(y - theta*(x - mx)) = mean(y) -
+    theta*(mean(x) - mx) — so NO per-user double is ever summed: arm
+    means come from the same exact integer sums, and theta/rho2/means
+    are a handful of scalar double ops identical in both engines.
+
+    Scale: one user-keyed aggregate (the RFM shuffle), then a 5-number
+    global moment row and a 2-row arm aggregate — both map-side
+    combinable; the adjustment itself is arithmetic on 7 scalars."""
+    from ..functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pre_c"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("post_c"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_c").cast("decimal(38,0)").alias("sx"),
+        F.sum("post_c").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("pre_c").cast("decimal(19,0)") * F.col("pre_c")).alias("sxx"),
+        F.sum(F.col("pre_c").cast("decimal(19,0)") * F.col("post_c")).alias("sxy"),
+        F.sum(F.col("post_c").cast("decimal(19,0)") * F.col("post_c")).alias("syy"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    scal = g.select(
+        mx.alias("mx"),
+        (F.col("sxy").cast("double") / F.col("n") - mx * my).alias("cov"),
+        (F.col("sxx").cast("double") / F.col("n") - mx * mx).alias("vx"),
+        (F.col("syy").cast("double") / F.col("n") - my * my).alias("vy"),
+    )
+    arm = (md5_long(F.col("user_id").cast("string")) % 2).cast("int")
+    arms = per.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pre_c").cast("decimal(38,0)").alias("ax"),
+        F.sum("post_c").cast("decimal(38,0)").alias("ay"),
+    )
+    may = F.col("ay").cast("double") / F.col("n_users")
+    max_ = F.col("ax").cast("double") / F.col("n_users")
+    return arms.crossJoin(F.broadcast(scal)).select(
+        "arm",
+        "n_users",
+        F.round(may / 100.0, 4).alias("mean_post"),
+        F.round(
+            (may - (F.col("cov") / F.col("vx")) * (max_ - F.col("mx"))) / 100.0, 4
+        ).alias("mean_post_cuped"),
+        F.round(F.col("cov") / F.col("vx"), 6).alias("theta"),
+        F.round(
+            F.col("cov") * F.col("cov") / (F.col("vx") * F.col("vy")), 6
+        ).alias("rho2"),
+    )

@@ -371,3 +371,65 @@ def test_hll_time_rollup_bounds_and_hour_census(spark):
         assert r["exact_daily"] == len(exact_daily[r["day"]])
         assert r["n_hours"] == len(hours[r["day"]])
         assert r["within_bound"] is True
+
+
+# ---------------------------------------------------------------------------
+# CUPED: definitional per-user adjustment (no linearity shortcut) must
+# agree, and the adjustment must actually reduce variance by rho2.
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_definitional_recompute(spark):
+    import hashlib
+
+    from debezium_cdc_kafka_spark.operators.stats import (
+        _CUPED_SPLIT,
+        q_cuped_adjustment,
+    )
+
+    split = pd.Timestamp(_CUPED_SPLIT)
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    for r in _read("events"):
+        c = _round_half_away(r["value"] * 100)
+        if r["ts"] < split:
+            pre[r["user_id"]] += c
+        else:
+            post[r["user_id"]] += c
+        pre.setdefault(r["user_id"], 0)
+        post.setdefault(r["user_id"], 0)
+
+    users = sorted(pre)
+    x = [pre[u] for u in users]
+    y = [post[u] for u in users]
+    n = len(users)
+    mx, my = sum(x) / n, sum(y) / n
+    cov = sum(a * b for a, b in zip(x, y)) / n - mx * my
+    vx = sum(a * a for a in x) / n - mx * mx
+    vy = sum(b * b for b in y) / n - my * my
+    theta = cov / vx
+    rho2 = cov * cov / (vx * vy)
+
+    rows = {r["arm"]: r for r in q_cuped_adjustment(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1}
+    for a_id, r in rows.items():
+        arm_users = [
+            u for u in users
+            if int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2 == a_id
+        ]
+        assert r["n_users"] == len(arm_users)
+        raw = sum(post[u] for u in arm_users) / len(arm_users)
+        # definitional CUPED: adjust each user, then average
+        adj = sum(
+            post[u] - theta * (pre[u] - mx) for u in arm_users
+        ) / len(arm_users)
+        assert abs(r["mean_post"] - raw / 100.0) < 1e-3
+        assert abs(r["mean_post_cuped"] - adj / 100.0) < 1e-3
+        assert abs(r["theta"] - theta) < 1e-5
+        assert abs(r["rho2"] - rho2) < 1e-5
+        assert 0.0 <= r["rho2"] < 1.0
+    # adjusted per-user metric must have (1 - rho2) of the raw variance
+    adj_vals = [y[i] - theta * (x[i] - mx) for i in range(n)]
+    madj = sum(adj_vals) / n
+    vadj = sum((v - madj) ** 2 for v in adj_vals) / n
+    assert abs(vadj - vy * (1 - rho2)) < max(1e-6 * vy, 1e-6)
