@@ -1773,3 +1773,207 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cov") * F.col("cov") / (F.col("vx") * F.col("vy")), 6
         ).alias("rho2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences on the user panel (same split/arms as CUPED).
+# ---------------------------------------------------------------------------
+
+
+def _did_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    arm = f"({md5_long_sql('CAST(user_id AS VARCHAR)')}) % 2"
+    return f"""
+WITH per AS (
+  SELECT user_id, CAST({arm} AS INT) AS arm,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre_c,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post_c
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(pre_c) AS HUGEINT) AS sp, CAST(sum(post_c) AS HUGEINT) AS so
+  FROM per GROUP BY arm
+), d AS (
+  SELECT arm, n_users,
+         CAST(sp AS DOUBLE) / n_users / 100.0 AS mean_pre,
+         CAST(so AS DOUBLE) / n_users / 100.0 AS mean_post
+  FROM arms
+)
+SELECT arm, n_users,
+       round(mean_pre, 4) AS mean_pre,
+       round(mean_post, 4) AS mean_post,
+       round(mean_post - mean_pre, 4) AS delta,
+       round(sum(CASE WHEN arm = 1 THEN mean_post - mean_pre
+                      ELSE -(mean_post - mean_pre) END) OVER (), 4) AS did
+FROM d
+"""
+
+
+DID_ORACLE = _did_oracle()
+
+
+@query("q_diff_in_diff", DID_ORACLE)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the balanced user panel: arm 1's
+    pre→post spend change minus arm 0's — the causal-inference
+    workhorse when arms differ at baseline (it nets out both the common
+    time trend and the fixed arm gap; under random md5 assignment the
+    DiD should sit near zero, which makes it the A/A sanity companion
+    of [[q_srm_check]] and [[q_cuped_adjustment]], same split, same
+    arms). Per (arm) row: panel size, pre/post means, delta, and the
+    shared DiD estimate.
+
+    Exactness: per-user period totals are cents integers; arm moments
+    are HUGEINT/decimal sums; means/deltas/DiD are a fixed handful of
+    scalar double ops — the 2-row window that combines the two deltas
+    runs over a bounded frame.
+
+    Scale: identical shape to [[q_cuped_adjustment]] — one user-keyed
+    aggregate, then a 2-row arm rollup."""
+    from ..functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    arm = (md5_long(F.col("user_id").cast("string")) % 2).cast("int")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pre_c"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("post_c"),
+    ).select(arm.alias("arm"), "pre_c", "post_c")
+    arms = per.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pre_c").cast("decimal(38,0)").alias("sp"),
+        F.sum("post_c").cast("decimal(38,0)").alias("so"),
+    )
+    mean_pre = F.col("sp").cast("double") / F.col("n_users") / 100.0
+    mean_post = F.col("so").cast("double") / F.col("n_users") / 100.0
+    d = arms.select(
+        "arm", "n_users", mean_pre.alias("mean_pre"), mean_post.alias("mean_post")
+    )
+    wg = W.partitionBy()
+    delta = F.col("mean_post") - F.col("mean_pre")
+    return d.select(
+        "arm",
+        "n_users",
+        F.round("mean_pre", 4).alias("mean_pre"),
+        F.round("mean_post", 4).alias("mean_post"),
+        F.round(delta, 4).alias("delta"),
+        F.round(
+            F.sum(F.when(F.col("arm") == 1, delta).otherwise(-delta)).over(wg), 4
+        ).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects: distributional arm differences.
+# ---------------------------------------------------------------------------
+
+
+def _qte_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    arm = f"({md5_long_sql('CAST(user_id AS VARCHAR)')}) % 2"
+    return f"""
+WITH per AS (
+  SELECT user_id, CAST({arm} AS INT) AS arm,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post_c
+  FROM events GROUP BY user_id
+), q AS (
+  SELECT arm,
+         quantile_cont(post_c, 0.25) AS p25,
+         quantile_cont(post_c, 0.50) AS p50,
+         quantile_cont(post_c, 0.75) AS p75
+  FROM per GROUP BY arm
+), pivoted AS (
+  SELECT p.pct,
+         CASE p.pct WHEN 0.25 THEN t.p25 WHEN 0.50 THEN t.p50 ELSE t.p75 END
+           AS qt,
+         CASE p.pct WHEN 0.25 THEN c.p25 WHEN 0.50 THEN c.p50 ELSE c.p75 END
+           AS qc
+  FROM (SELECT unnest([0.25, 0.50, 0.75]) AS pct) p
+  CROSS JOIN (SELECT * FROM q WHERE arm = 1) t
+  CROSS JOIN (SELECT * FROM q WHERE arm = 0) c
+)
+SELECT CAST(pct AS DOUBLE) AS pct,
+       round(qt / 100.0, 4) AS q_treat,
+       round(qc / 100.0, 4) AS q_control,
+       round((qt - qc) / 100.0, 4) AS qte
+FROM pivoted
+"""
+
+
+QTE_ORACLE = _qte_oracle()
+
+
+@query("q_quantile_treatment_effect", QTE_ORACLE)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the arm difference at the 25th/50th/
+    75th percentile of post-period user spend — the distributional view
+    an average treatment effect ([[q_diff_in_diff]], [[q_welch_ttest]])
+    hides: a treatment can move the median while whales mask it in the
+    mean, or only move the tail. Same md5 arms and calendar split as
+    the rest of the experimentation family.
+
+    Exactness: percentiles interpolate over exact cents integers —
+    Spark `percentile` and DuckDB `quantile_cont` share the
+    (n-1)*p floor/ceil interpolation on doubles below 2^53
+    (the [[q_interarrival_burstiness]] parity).
+
+    Scale: one user-keyed aggregate; the exact per-arm percentile needs
+    the per-arm value multiset (2 bounded sort groups) — at 100 TB swap
+    in percentile_approx, whose sketches merge map-side."""
+    from ..functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    arm = (md5_long(F.col("user_id").cast("string")) % 2).cast("int")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("post_c"),
+    ).select(arm.alias("arm"), "post_c")
+    q = per.groupBy("arm").agg(
+        F.percentile("post_c", F.lit(0.25)).alias("p25"),
+        F.percentile("post_c", F.lit(0.50)).alias("p50"),
+        F.percentile("post_c", F.lit(0.75)).alias("p75"),
+    )
+    t = q.filter(F.col("arm") == 1).select(
+        F.col("p25").alias("t25"), F.col("p50").alias("t50"),
+        F.col("p75").alias("t75"),
+    )
+    c = q.filter(F.col("arm") == 0).select(
+        F.col("p25").alias("c25"), F.col("p50").alias("c50"),
+        F.col("p75").alias("c75"),
+    )
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(pct).alias("pct"),
+                F.col(f"t{tag}").alias("qt"),
+                F.col(f"c{tag}").alias("qc"),
+            )
+            for pct, tag in ((0.25, "25"), (0.50, "50"), (0.75, "75"))
+        ]
+    )
+    return (
+        t.crossJoin(F.broadcast(c))
+        .select(F.explode(grid).alias("g"))
+        .select(
+            "g.pct",
+            F.round(F.col("g.qt") / 100.0, 4).alias("q_treat"),
+            F.round(F.col("g.qc") / 100.0, 4).alias("q_control"),
+            F.round((F.col("g.qt") - F.col("g.qc")) / 100.0, 4).alias("qte"),
+        )
+    )

@@ -433,3 +433,71 @@ def test_cuped_matches_definitional_recompute(spark):
     madj = sum(adj_vals) / n
     vadj = sum((v - madj) ** 2 for v in adj_vals) / n
     assert abs(vadj - vy * (1 - rho2)) < max(1e-6 * vy, 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# DiD + QTE: definitional recomputes on the same panel as the CUPED test.
+# ---------------------------------------------------------------------------
+
+
+def _panel():
+    import hashlib
+
+    from debezium_cdc_kafka_spark.operators.stats import _CUPED_SPLIT
+
+    split = pd.Timestamp(_CUPED_SPLIT)
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    for r in _read("events"):
+        c = _round_half_away(r["value"] * 100)
+        (pre if r["ts"] < split else post)[r["user_id"]] += c
+        pre.setdefault(r["user_id"], 0)
+        post.setdefault(r["user_id"], 0)
+    arm = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+        for u in pre
+    }
+    return pre, post, arm
+
+
+def test_diff_in_diff_matches_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.stats import q_diff_in_diff
+
+    pre, post, arm = _panel()
+    deltas = {}
+    for a in (0, 1):
+        us = [u for u in pre if arm[u] == a]
+        mp = sum(pre[u] for u in us) / len(us) / 100.0
+        mo = sum(post[u] for u in us) / len(us) / 100.0
+        deltas[a] = (len(us), mp, mo)
+    did = (deltas[1][2] - deltas[1][1]) - (deltas[0][2] - deltas[0][1])
+
+    rows = {r["arm"]: r for r in q_diff_in_diff(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1}
+    for a, (n, mp, mo) in deltas.items():
+        r = rows[a]
+        assert r["n_users"] == n
+        assert abs(r["mean_pre"] - mp) < 1e-3
+        assert abs(r["mean_post"] - mo) < 1e-3
+        assert abs(r["delta"] - (mo - mp)) < 1e-3
+        assert abs(r["did"] - did) < 1e-3
+
+
+def test_qte_matches_numpy_percentiles(spark):
+    import numpy as np
+
+    from debezium_cdc_kafka_spark.operators.stats import (
+        q_quantile_treatment_effect,
+    )
+
+    _, post, arm = _panel()
+    vals = {a: np.array([post[u] for u in post if arm[u] == a]) for a in (0, 1)}
+    rows = {r["pct"]: r for r in q_quantile_treatment_effect(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == {0.25, 0.50, 0.75}
+    for pct, r in rows.items():
+        qt = float(np.percentile(vals[1], pct * 100)) / 100.0
+        qc = float(np.percentile(vals[0], pct * 100)) / 100.0
+        assert abs(r["q_treat"] - qt) < 1e-3
+        assert abs(r["q_control"] - qc) < 1e-3
+        assert abs(r["qte"] - (qt - qc)) < 2e-3
