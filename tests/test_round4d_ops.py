@@ -501,3 +501,36 @@ def test_qte_matches_numpy_percentiles(spark):
         assert abs(r["q_treat"] - qt) < 1e-3
         assert abs(r["q_control"] - qc) < 1e-3
         assert abs(r["qte"] - (qt - qc)) < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries kernel under hypothesis: the guarantees must hold for ANY
+# stream content, order, and batch slicing.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.integers(0, 2000).map(lambda i: f"k{i}"), min_size=0, max_size=4000
+    ),
+    st.integers(1, 700),
+)
+@settings(
+    max_examples=60, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_mg_kernel_guarantees_hypothesis(stream, batch):
+    truth = Counter(stream)
+    counters, err = _run_mg(stream, batch)
+    n = len(stream)
+    assert len(counters) <= _MG_K
+    assert 0 <= err <= n // (_MG_K + 1) + 1
+    assert sum(counters.values()) <= n
+    for term, cnt in counters.items():
+        assert 0 < cnt <= truth[term]
+        assert truth[term] - cnt <= err
+    for term, true_cnt in truth.items():
+        if true_cnt > err:
+            assert term in counters
