@@ -1014,3 +1014,56 @@ def q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_HLL_TOL) * F.col("exact_daily")
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index distinct: EXACT mergeable distinct counts (roaring pattern).
+# ---------------------------------------------------------------------------
+
+BITMAP_ORACLE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '_all_types', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+"""
+
+
+@query("q_bitmap_distinct_users", BITMAP_ORACLE)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark's bitmap aggregates
+    (`bitmap_bucket_number`/`bitmap_bit_position`/`bitmap_construct_agg`
+    — the roaring-bitmap metric-store pattern): each (type, 32k-bucket)
+    group folds its user ids into one bitmap, per-type distinct is
+    sum(bitmap_count), and the GLOBAL distinct is bitmap_or_agg over the
+    per-type bitmaps — set-union re-aggregation that plain
+    count(DISTINCT) cannot do (a rollup of distincts double-counts) and
+    [[q_hll_sketch_union]] / [[q_hll_time_rollup]] can only approximate.
+    Unlike those, the bitmap answer is exact, so the driver hash-gates
+    the COUNTS themselves, not an error bound.
+
+    Scale: the shuffle carries (key, bucket)-grouped bitmaps — ≤ 4 KB
+    per 32k-id bucket regardless of row count, map-side combinable, and
+    storable beside the rollup like any materialized sketch; the
+    per-type and global reductions run over |types| x |buckets| rows.
+    The trade vs HLL: bitmap size grows with the ID SPACE (dense ids —
+    fine for dictionary-encoded keys), HLL stays 2^lgK for arbitrary
+    domains."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    bm = base.groupBy("event_type", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    per_type = bm.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_users")
+    )
+    overall = (
+        bm.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users"))
+        .select(F.lit("_all_types").alias("event_type"), "distinct_users")
+    )
+    return per_type.unionByName(overall)

@@ -534,3 +534,24 @@ def test_mg_kernel_guarantees_hypothesis(stream, batch):
     for term, true_cnt in truth.items():
         if true_cnt > err:
             assert term in counters
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct: exact equality with Python sets, union coherence.
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_distinct_matches_python_sets(spark):
+    from debezium_cdc_kafka_spark.operators.approx import q_bitmap_distinct_users
+
+    per_type = defaultdict(set)
+    for r in _read("events"):
+        per_type[r["event_type"]].add(r["user_id"])
+    all_users = set().union(*per_type.values())
+
+    rows = {r["event_type"]: r["distinct_users"] for r in
+            q_bitmap_distinct_users(spark, SF_SMOKE).collect()}
+    assert rows.pop("_all_types") == len(all_users)
+    assert rows == {t: len(s) for t, s in per_type.items()}
+    # union semantics: global < sum of per-type (users overlap types)
+    assert len(all_users) < sum(len(s) for s in per_type.values())
