@@ -97,7 +97,10 @@ def _modules():
 # the end of r4): q_asof_nearest_tolerance, cdc_key_lifecycle,
 # dedup_source_overlap, q_simplified_silhouette, text_readability,
 # q_spacesaving_heavy_hitters, q_interarrival_burstiness, q_ndcg_eval,
-# q_embedding_norm_audit, q_window_funnel. r6 sweeps the remainder.
+# q_embedding_norm_audit, q_window_funnel, q_attribution_linear,
+# q_hll_time_rollup, q_cuped_adjustment, q_diff_in_diff,
+# q_quantile_treatment_effect, q_bitmap_distinct_users. r6 sweeps the
+# remainder.
 GATE_ORDER: list[str] = [
     # red-row fixes from CORRECTNESS_r03
     "q_embedding_quantize",
