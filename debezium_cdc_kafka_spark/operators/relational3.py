@@ -665,3 +665,58 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_acctbal > 9000
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured path queries (Spark 4 open variant type).
+# ---------------------------------------------------------------------------
+
+VARIANT_ORACLE = """
+WITH ex AS (
+  SELECT event_type,
+         CAST(json_extract(props::JSON, '$.k') AS BIGINT) AS k,
+         json_structure(props::JSON) IS NOT NULL AS parsed
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN parsed THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM ex GROUP BY event_type
+"""
+
+
+@query("q_variant_props", VARIANT_ORACLE)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path extraction through Spark 4's open VARIANT
+    type: `parse_json(props)` ingests each payload ONCE into the binary
+    variant encoding (no up-front schema, unlike the from_json route in
+    [[q_json_props]]), then `try_variant_get` pulls typed paths out at
+    query time — the schema-on-read contract a CDC props column needs
+    when producers add fields freely. Per event type: parse and
+    path-presence census plus exact integer stats of `$.k`.
+
+    Scale: a stateless per-row decode inside the scan (variant encode/
+    decode is JVM-native columnar, no Python), then one map-side
+    combinable aggregate over |types| groups — at 100 TB you'd persist
+    the variant column ONCE and every downstream path query skips
+    re-parsing the JSON text, which is the variant type's entire
+    reason to exist."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_type",
+        k.alias("k"),
+        v.isNotNull().alias("parsed"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("parsed").cast("int")).cast("long").alias("n_parsed"),
+        F.sum(F.col("k").isNull().cast("int")).cast("long").alias("n_missing_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )

@@ -555,3 +555,55 @@ def test_bitmap_distinct_matches_python_sets(spark):
     assert rows == {t: len(s) for t, s in per_type.items()}
     # union semantics: global < sum of per-type (users overlap types)
     assert len(all_users) < sum(len(s) for s in per_type.values())
+
+
+# ---------------------------------------------------------------------------
+# Variant path extraction: Python json recompute, malformed containment.
+# ---------------------------------------------------------------------------
+
+
+def test_variant_props_matches_json_recompute(spark):
+    import json
+
+    from debezium_cdc_kafka_spark.operators.relational3 import q_variant_props
+
+    agg = defaultdict(lambda: [0, 0, 0, []])  # n, parsed, missing, ks
+    for r in _read("events"):
+        a = agg[r["event_type"]]
+        a[0] += 1
+        try:
+            doc = json.loads(r["props"])
+            a[1] += 1
+            k = doc.get("k")
+        except (ValueError, TypeError):
+            k = None
+        if isinstance(k, int):
+            a[3].append(k)
+        else:
+            a[2] += 1
+
+    rows = {r["event_type"]: r for r in q_variant_props(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for et, (n, parsed, missing, ks) in agg.items():
+        r = rows[et]
+        assert r["n_events"] == n
+        assert r["n_parsed"] == parsed
+        assert r["n_missing_k"] == missing
+        assert r["min_k"] == min(ks)
+        assert r["max_k"] == max(ks)
+        assert r["sum_k"] == sum(ks)
+
+
+def test_variant_get_contains_malformed_payloads(spark):
+    """try_variant_get / parse_json error containment on adversarial
+    payloads: wrong-type paths come back NULL, never raise."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ('{"k": "str"}',), ('{"other": 2}',), ("[1,2]",)],
+        "props string",
+    )
+    got = df.select(
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k")
+    ).collect()
+    assert [r.k for r in got] == [1, None, None, None]
