@@ -1301,3 +1301,145 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(rows).alias("r")).select(
         "r.touch_type", "r.credited_purchases", "r.purchases_touched"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution (integer harmonic decay, pair form).
+# ---------------------------------------------------------------------------
+
+ATTR_DECAY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), pairs AS (
+  SELECT p.event_id AS pid, tch.event_type AS channel,
+         1000000 // (1 + (p.t - tch.t) // 60000000) AS w
+  FROM ev p
+  JOIN ev tch ON tch.user_id = p.user_id
+             AND tch.t < p.t AND p.t - tch.t <= {_ATTR_LIN_WINDOW_US}
+  WHERE p.event_type = 'purchase' AND tch.event_type IN ('view', 'click')
+), per AS (
+  SELECT pid,
+         CAST(sum(CASE WHEN channel = 'view' THEN w ELSE 0 END) AS BIGINT) AS wv,
+         CAST(sum(CASE WHEN channel = 'click' THEN w ELSE 0 END) AS BIGINT) AS wc
+  FROM pairs GROUP BY pid
+), credit AS (
+  SELECT p.event_id,
+         CASE WHEN per.pid IS NULL OR per.wv + per.wc = 0 THEN NULL
+              ELSE CAST(round(1000000.0 * per.wv / (per.wv + per.wc)) AS BIGINT)
+         END AS c_view,
+         CASE WHEN per.pid IS NULL OR per.wv + per.wc = 0 THEN NULL
+              ELSE CAST(round(1000000.0 * per.wc / (per.wv + per.wc)) AS BIGINT)
+         END AS c_click,
+         per.wv, per.wc
+  FROM (SELECT event_id FROM ev WHERE event_type = 'purchase') p
+  LEFT JOIN per ON per.pid = p.event_id
+)
+SELECT 'view' AS touch_type,
+       round(CAST(sum(c_view) AS DOUBLE) / 1000000.0, 6) AS credited_purchases,
+       CAST(count(CASE WHEN wv > 0 THEN 1 END) AS BIGINT) AS purchases_touched
+FROM credit
+UNION ALL
+SELECT 'click', round(CAST(sum(c_click) AS DOUBLE) / 1000000.0, 6),
+       CAST(count(CASE WHEN wc > 0 THEN 1 END) AS BIGINT)
+FROM credit
+UNION ALL
+SELECT '_unattributed', CAST(count(CASE WHEN c_view IS NULL THEN 1 END) AS DOUBLE),
+       CAST(count(CASE WHEN c_view IS NULL THEN 1 END) AS BIGINT)
+FROM credit
+"""
+
+
+@query("q_attribution_time_decay", ATTR_DECAY_ORACLE)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: like [[q_attribution_linear]]
+    but a touch's share of the purchase credit decays harmonically with
+    its age — weight = 1e6 // (1 + age_minutes) — so the touch minutes
+    before the purchase dominates one from yesterday (the recency prior
+    last-touch takes to the limit). Decay weights are INTEGER arithmetic
+    (floor-div of positives truncates identically in both engines), so
+    per-purchase channel masses are exact int64 sums and only the final
+    per-purchase share is one rounded double division — the exponential
+    decay everyone writes first needs libm pow in-plan, which this
+    engine bans for hash-gateability ([[q_ndcg_eval]] discussion).
+
+    Scale: the weight couples each (touch, purchase) pair, so unlike
+    the linear model's RANGE frame this is the pair-materializing form
+    — the same user-keyed 24h interval join as
+    [[q_view_purchase_interval_join]], bounded by per-user activity
+    density (the stream-stream join-state bound), never a free cross
+    join; everything after is a 3-row report."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("t"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("t").alias("pt"),
+    )
+    tch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"), F.col("event_type").alias("channel"),
+        F.col("t").alias("tt"),
+    )
+    # integer floor-div both steps: expr() keeps DIV semantics in Spark
+    w = F.expr("1000000 DIV (1 + (pt - tt) DIV 60000000)")
+    pairs = p.join(
+        tch,
+        (F.col("tu") == F.col("pu"))
+        & (F.col("tt") < F.col("pt"))
+        & (F.col("pt") - F.col("tt") <= _ATTR_LIN_WINDOW_US),
+    ).select("pid", "channel", w.alias("w"))
+    per = pairs.groupBy("pid").agg(
+        F.sum(F.when(F.col("channel") == "view", F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("wv"),
+        F.sum(F.when(F.col("channel") == "click", F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("wc"),
+    )
+    tot = F.col("wv") + F.col("wc")
+    share = lambda c: F.when(  # noqa: E731
+        tot > 0, F.round(F.lit(1000000.0) * F.col(c) / tot).cast("bigint")
+    )
+    credit = (
+        p.select("pid")
+        .join(per, "pid", "left")
+        .select(
+            share("wv").alias("c_view"),
+            share("wc").alias("c_click"),
+            "wv",
+            "wc",
+        )
+    )
+    agg = credit.agg(
+        F.sum("c_view").alias("sv"),
+        F.sum("c_click").alias("sc"),
+        F.count(F.when(F.col("wv") > 0, 1)).alias("tv"),
+        F.count(F.when(F.col("wc") > 0, 1)).alias("tc"),
+        F.count(F.when(F.col("c_view").isNull(), 1)).alias("un"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("view").alias("touch_type"),
+            F.round(F.col("sv").cast("double") / 1000000.0, 6).alias(
+                "credited_purchases"
+            ),
+            F.col("tv").alias("purchases_touched"),
+        ),
+        F.struct(
+            F.lit("click").alias("touch_type"),
+            F.round(F.col("sc").cast("double") / 1000000.0, 6).alias(
+                "credited_purchases"
+            ),
+            F.col("tc").alias("purchases_touched"),
+        ),
+        F.struct(
+            F.lit("_unattributed").alias("touch_type"),
+            F.col("un").cast("double").alias("credited_purchases"),
+            F.col("un").alias("purchases_touched"),
+        ),
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.touch_type", "r.credited_purchases", "r.purchases_touched"
+    )

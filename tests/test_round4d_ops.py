@@ -607,3 +607,55 @@ def test_variant_get_contains_malformed_payloads(spark):
         F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k")
     ).collect()
     assert [r.k for r in got] == [1, None, None, None]
+
+
+def test_attribution_time_decay_matches_pairwise_recompute(spark):
+    """Independent pair enumeration with Python integer harmonic decay;
+    recency must actually bite: a channel's decayed share differs from
+    its linear share somewhere."""
+    from debezium_cdc_kafka_spark.operators.behavior import (
+        _ATTR_LIN_WINDOW_US,
+        q_attribution_time_decay,
+    )
+
+    per_user = defaultdict(list)
+    for r in _read("events"):
+        if r["event_type"] in ("view", "click", "purchase"):
+            us = round(
+                (r["ts"] - pd.Timestamp("1970-01-01")) / pd.Timedelta(microseconds=1)
+            )
+            per_user[r["user_id"]].append((us, r["event_type"]))
+
+    sv = sc = tv = tc = un = 0
+    lin_sv = 0
+    for seq in per_user.values():
+        for t, ty in seq:
+            if ty != "purchase":
+                continue
+            wv = wc = nv = nc = 0
+            for t2, ty2 in seq:
+                if ty2 in ("view", "click") and t - _ATTR_LIN_WINDOW_US <= t2 < t:
+                    w = 1_000_000 // (1 + (t - t2) // 60_000_000)
+                    if ty2 == "view":
+                        wv += w
+                        nv += 1
+                    else:
+                        wc += w
+                        nc += 1
+            if wv + wc == 0:
+                un += 1
+                continue
+            sv += _round_half_away(1e6 * wv / (wv + wc))
+            sc += _round_half_away(1e6 * wc / (wv + wc))
+            tv += wv > 0
+            tc += wc > 0
+            lin_sv += _round_half_away(1e6 * nv / (nv + nc))
+
+    rows = {r["touch_type"]: r for r in q_attribution_time_decay(
+        spark, SF_SMOKE).collect()}
+    assert abs(rows["view"]["credited_purchases"] - sv / 1e6) < 1e-6
+    assert abs(rows["click"]["credited_purchases"] - sc / 1e6) < 1e-6
+    assert rows["view"]["purchases_touched"] == tv
+    assert rows["click"]["purchases_touched"] == tc
+    assert rows["_unattributed"]["purchases_touched"] == un
+    assert sv != lin_sv  # decay weighting changed the answer vs linear
