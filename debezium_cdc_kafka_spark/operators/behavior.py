@@ -1443,3 +1443,107 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(rows).alias("r")).select(
         "r.touch_type", "r.credited_purchases", "r.purchases_touched"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative spend per user by cohort age.
+# ---------------------------------------------------------------------------
+
+_LTV_MAX_OFFSET = 4  # 30-day stream → cohort ages 0..4 weeks
+
+LTV_ORACLE = f"""
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cw
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), spend AS (
+  SELECT c.cw,
+         CAST(date_diff('day', c.cw,
+              CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7 AS INT) AS k,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN cohort c USING (user_id)
+  WHERE e.ts >= c.cw
+), size_ AS (
+  SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY cw
+), grid AS (
+  SELECT s.cw, g.k
+  FROM size_ s, unnest(range(0, {_LTV_MAX_OFFSET + 1})) AS g(k)
+), weekly AS (
+  SELECT g.cw, CAST(g.k AS INT) AS week_offset,
+         coalesce(sum(sp.cents), 0) AS wk_cents
+  FROM grid g LEFT JOIN spend sp ON sp.cw = g.cw AND sp.k = g.k
+  GROUP BY g.cw, g.k
+)
+SELECT w.cw AS cohort_week, w.week_offset, s.cohort_size,
+       round(CAST(sum(w.wk_cents) OVER (
+               PARTITION BY w.cw ORDER BY w.week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / s.cohort_size / 100.0, 4) AS avg_cum_ltv
+FROM weekly w JOIN size_ s USING (cw)
+"""
+
+
+@query("q_ltv_cohort_curve", LTV_ORACLE)
+def q_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: for each signup-week cohort, the average
+    CUMULATIVE spend per cohort member at age 0..{_LTV_MAX_OFFSET} weeks
+    — the revenue view of [[q_cohort_retention_weekly]] (retention says
+    who comes back, this says what coming back is worth, the payback
+    curve a CAC target is set against). Dense grid: cohort-weeks with no
+    spend still emit their row, so curves are comparable.
+
+    Exactness: weekly cents are exact integer sums; the cumulative runs
+    over the bounded cohort×{_LTV_MAX_OFFSET + 1} grid (never
+    data-proportional) and divides by the cohort census once.
+
+    Scale: one user-keyed aggregate for cohorts, one (cohort, offset)
+    keyed aggregate for weekly spend (both map-side combinable), a
+    literal sequence explode for the grid, windows only on the bounded
+    grid."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    spend = (
+        ev.join(cohort, "user_id")
+        .filter(F.col("ts") >= F.col("cw"))
+        .select(
+            "cw",
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), cw) DIV 7 AS INT)"
+            ).alias("k"),
+            cents.alias("cents"),
+        )
+        .groupBy("cw", "k")
+        .agg(F.sum("cents").alias("wk_cents"))
+    )
+    size = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    grid = size.select(
+        "cw",
+        "cohort_size",
+        F.explode(F.sequence(F.lit(0), F.lit(_LTV_MAX_OFFSET))).alias("k"),
+    )
+    weekly = grid.join(spend, ["cw", "k"], "left").select(
+        "cw",
+        F.col("k").cast("int").alias("week_offset"),
+        "cohort_size",
+        F.coalesce(F.col("wk_cents"), F.lit(0)).alias("wk_cents"),
+    )
+    wcum = (
+        W.partitionBy("cw")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return weekly.select(
+        F.col("cw").alias("cohort_week"),
+        "week_offset",
+        "cohort_size",
+        F.round(
+            F.sum("wk_cents").over(wcum).cast("double")
+            / F.col("cohort_size")
+            / 100.0,
+            4,
+        ).alias("avg_cum_ltv"),
+    )

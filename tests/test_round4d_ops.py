@@ -659,3 +659,51 @@ def test_attribution_time_decay_matches_pairwise_recompute(spark):
     assert rows["click"]["purchases_touched"] == tc
     assert rows["_unattributed"]["purchases_touched"] == un
     assert sv != lin_sv  # decay weighting changed the answer vs linear
+
+
+# ---------------------------------------------------------------------------
+# LTV cohort curve: Python recompute + monotonicity.
+# ---------------------------------------------------------------------------
+
+
+def test_ltv_cohort_curve_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.behavior import (
+        _LTV_MAX_OFFSET,
+        q_ltv_cohort_curve,
+    )
+
+    def week_start(ts):
+        d = ts.date()
+        from datetime import datetime, timedelta
+
+        monday = d - timedelta(days=d.weekday())
+        return datetime(monday.year, monday.month, monday.day)
+
+    events = _read("events")
+    first_signup = {}
+    for r in sorted(events, key=lambda r: r["ts"]):
+        if r["event_type"] == "signup" and r["user_id"] not in first_signup:
+            first_signup[r["user_id"]] = week_start(r["ts"])
+    sizes = Counter(first_signup.values())
+    weekly = defaultdict(int)
+    for r in events:
+        cw = first_signup.get(r["user_id"])
+        if cw is None or r["ts"] < cw:
+            continue
+        k = (week_start(r["ts"]) - cw).days // 7
+        weekly[(cw, k)] += _round_half_away(r["value"] * 100)
+
+    rows = {(r["cohort_week"], r["week_offset"]): r for r in
+            q_ltv_cohort_curve(spark, SF_SMOKE).collect()}
+    assert {cw for cw, _ in rows} == set(sizes)
+    for cw, n in sizes.items():
+        cum = 0
+        prev = -1.0
+        for k in range(_LTV_MAX_OFFSET + 1):
+            cum += weekly.get((cw, k), 0)
+            r = rows[(cw, k)]
+            assert r["cohort_size"] == n
+            want = cum / n / 100.0
+            assert abs(r["avg_cum_ltv"] - want) < 1e-3
+            assert r["avg_cum_ltv"] >= prev  # LTV curves never decrease
+            prev = r["avg_cum_ltv"]
