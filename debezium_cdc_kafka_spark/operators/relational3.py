@@ -720,3 +720,67 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum("k").alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-receipt cycle time profile by priority.
+# ---------------------------------------------------------------------------
+
+CYCLE_ORACLE = """
+WITH ct AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+           AS cycle_days,
+         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(CAST(sum(cycle_days) AS DOUBLE) / count(*), 4) AS mean_days,
+       round(quantile_cont(cycle_days, 0.5), 1) AS p50_days,
+       round(quantile_cont(cycle_days, 0.9), 1) AS p90_days,
+       round(quantile_cont(cycle_days, 0.95), 1) AS p95_days,
+       round(CAST(sum(late) AS DOUBLE) / count(*), 6) AS late_share
+FROM ct GROUP BY priority
+"""
+
+
+@query("q_order_cycle_time", CYCLE_ORACLE)
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle-time profile per priority class: mean / p50 /
+    p90 / p95 days from order placement to line shipment plus the
+    >90-day SLA breach share — the latency DISTRIBUTION behind
+    q12_late_shipments' binary breach count (same 90-day SLA; the
+    schema carries no receipt/commit dates). Day diffs are exact
+    integers; percentile/quantile_cont interpolation parity as in
+    [[q_interarrival_burstiness]].
+
+    Scale: the lineitem⋈orders equi-join is the co-partnered big join
+    every TPC-H plan shares (bucketed tables co-locate it); the exact
+    per-priority percentile needs the per-group multiset — the
+    percentile_approx swap applies at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderdate",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cyc = F.datediff("l_shipdate", "o_orderdate").cast("long")
+    ct = li.join(o, "l_orderkey").select(
+        "priority",
+        cyc.alias("cycle_days"),
+        (cyc > 90).cast("int").alias("late"),
+    )
+    return ct.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum("cycle_days").cast("double") / F.count(F.lit(1)), 4).alias(
+            "mean_days"
+        ),
+        F.round(F.percentile("cycle_days", F.lit(0.5)), 1).alias("p50_days"),
+        F.round(F.percentile("cycle_days", F.lit(0.9)), 1).alias("p90_days"),
+        F.round(F.percentile("cycle_days", F.lit(0.95)), 1).alias("p95_days"),
+        F.round(
+            F.sum("late").cast("double") / F.count(F.lit(1)), 6
+        ).alias("late_share"),
+    )

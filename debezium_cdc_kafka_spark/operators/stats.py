@@ -1977,3 +1977,94 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("g.qt") - F.col("g.qc")) / 100.0, 4).alias("qte"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis / minimum detectable effect from observed moments.
+# ---------------------------------------------------------------------------
+
+_PWR_Z = 2.801585  # z_{0.025} + z_{0.20} = 1.959964 + 0.841621 (80% power)
+_PWR_MDE_REL = 0.05  # design target: detect a 5% lift
+
+
+def _power_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    arm = f"({md5_long_sql('CAST(user_id AS VARCHAR)')}) % 2"
+    return f"""
+WITH per AS (
+  SELECT user_id, CAST({arm} AS INT) AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+), ctl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS s1,
+         sum(CAST(c AS HUGEINT) * c) AS s2
+  FROM per WHERE arm = 0
+), mom AS (
+  SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var
+  FROM ctl
+)
+SELECT n AS n_control,
+       round(mu / 100.0, 4) AS mean_spend,
+       round(sqrt(var) / 100.0, 4) AS sd_spend,
+       CAST({_PWR_MDE_REL} AS DOUBLE) AS mde_rel_target,
+       CAST(ceil(2.0 * var * {_PWR_Z} * {_PWR_Z}
+                 / ((mu * {_PWR_MDE_REL}) * (mu * {_PWR_MDE_REL}))) AS BIGINT)
+         AS n_required_per_arm,
+       round(sqrt(2.0 * var * {_PWR_Z} * {_PWR_Z} / n) / mu, 6)
+         AS mde_rel_at_current_n
+FROM mom
+"""
+
+
+POWER_ORACLE = _power_oracle()
+
+
+@query("q_power_analysis", POWER_ORACLE)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from observed moments: using the control arm's
+    per-user spend mean/variance, the per-arm sample size needed to
+    detect a {_PWR_MDE_REL:.0%} lift at alpha=.05 / 80% power
+    (n = 2 sigma^2 (z_a + z_b)^2 / delta^2), and dually the minimum
+    detectable relative effect at the CURRENT sample size — the
+    before-you-launch companion of [[q_welch_ttest]] (which tests after)
+    and [[q_cuped_adjustment]] (whose rho2 says how much of this n the
+    covariate buys back). z-sum is a shared literal; sqrt is IEEE
+    correctly-rounded, so both engines agree bit-for-bit.
+
+    Scale: one user-keyed cents aggregate, one 3-number moment row,
+    scalar math after."""
+    from ..functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (md5_long(F.col("user_id").cast("string")) % 2).cast("int")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    ).select(arm.alias("arm"), "c")
+    ctl = per.filter(F.col("arm") == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    mom = ctl.select(F.col("n").alias("n_control"), mu.alias("mu"), var.alias("var"))
+    z2 = F.lit(_PWR_Z) * F.lit(_PWR_Z)
+    delta = F.col("mu") * F.lit(_PWR_MDE_REL)
+    return mom.select(
+        "n_control",
+        F.round(F.col("mu") / 100.0, 4).alias("mean_spend"),
+        F.round(F.sqrt("var") / 100.0, 4).alias("sd_spend"),
+        F.lit(_PWR_MDE_REL).alias("mde_rel_target"),
+        F.ceil(F.lit(2.0) * F.col("var") * z2 / (delta * delta))
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+        F.round(
+            F.sqrt(F.lit(2.0) * F.col("var") * z2 / F.col("n_control"))
+            / F.col("mu"),
+            6,
+        ).alias("mde_rel_at_current_n"),
+    )

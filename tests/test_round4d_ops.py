@@ -707,3 +707,69 @@ def test_ltv_cohort_curve_matches_python_recompute(spark):
             assert abs(r["avg_cum_ltv"] - want) < 1e-3
             assert r["avg_cum_ltv"] >= prev  # LTV curves never decrease
             prev = r["avg_cum_ltv"]
+
+
+# ---------------------------------------------------------------------------
+# Power analysis + cycle time: Python recomputes.
+# ---------------------------------------------------------------------------
+
+
+def test_power_analysis_matches_recompute(spark):
+    import hashlib
+
+    from debezium_cdc_kafka_spark.operators.stats import (
+        _PWR_MDE_REL,
+        _PWR_Z,
+        q_power_analysis,
+    )
+
+    spend = defaultdict(int)
+    for r in _read("events"):
+        spend[r["user_id"]] += _round_half_away(r["value"] * 100)
+    ctl = [
+        v for u, v in spend.items()
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2 == 0
+    ]
+    n = len(ctl)
+    mu = sum(ctl) / n
+    var = sum(v * v for v in ctl) / n - mu * mu
+    delta = mu * _PWR_MDE_REL
+    n_req = math.ceil(2 * var * _PWR_Z**2 / delta**2)
+
+    (r,) = q_power_analysis(spark, SF_SMOKE).collect()
+    assert r["n_control"] == n
+    assert abs(r["mean_spend"] - mu / 100) < 1e-3
+    assert abs(r["sd_spend"] - math.sqrt(var) / 100) < 1e-3
+    assert r["n_required_per_arm"] == n_req
+    assert abs(
+        r["mde_rel_at_current_n"] - math.sqrt(2 * var * _PWR_Z**2 / n) / mu
+    ) < 1e-5
+    # duality: at n = n_required, the detectable effect IS the target
+    assert (
+        math.sqrt(2 * var * _PWR_Z**2 / n_req) / mu <= _PWR_MDE_REL + 1e-4
+    )
+
+
+def test_order_cycle_time_matches_recompute(spark):
+    import numpy as np
+
+    from debezium_cdc_kafka_spark.operators.relational3 import q_order_cycle_time
+
+    odate = {r["o_orderkey"]: (r["o_orderdate"], r["o_orderpriority"])
+             for r in _read("orders")}
+    per = defaultdict(list)
+    for r in _read("lineitem"):
+        od, prio = odate[r["l_orderkey"]]
+        per[prio].append((r["l_shipdate"].date() - od.date()).days)
+
+    rows = {r["priority"]: r for r in q_order_cycle_time(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per)
+    for prio, days in per.items():
+        r = rows[prio]
+        assert r["n_lineitems"] == len(days)
+        assert abs(r["mean_days"] - sum(days) / len(days)) < 1e-3
+        for pct, col in ((50, "p50_days"), (90, "p90_days"), (95, "p95_days")):
+            assert abs(r[col] - float(np.percentile(days, pct))) < 0.11
+        assert abs(
+            r["late_share"] - sum(1 for d in days if d > 90) / len(days)
+        ) < 1e-6
