@@ -784,3 +784,85 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("late").cast("double") / F.count(F.lit(1)), 6
         ).alias("late_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (cumulative-revenue Pareto classes).
+# ---------------------------------------------------------------------------
+
+ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS r_c
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT CAST(sum(r_c) AS BIGINT) AS t FROM rev),
+ranked AS (
+  SELECT r_c,
+         sum(r_c) OVER (ORDER BY r_c DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c
+  FROM rev
+), classed AS (
+  SELECT r_c,
+         CASE WHEN cum_c * 10 <= (SELECT t FROM tot) * 7 THEN 'A'
+              WHEN cum_c * 10 <= (SELECT t FROM tot) * 9 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(r_c) AS BIGINT) / 100.0, 2) AS revenue,
+       round(CAST(sum(r_c) AS BIGINT) / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed GROUP BY abc_class
+"""
+
+
+@query("q_abc_classification", ABC_ORACLE)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: rank parts by discounted revenue,
+    walk the cumulative share, and split at 70% / 90% — class A is the
+    short head that earns 70% of revenue, C the long tail (the Pareto
+    cut behind stocking policy, and the relational twin of
+    [[q_vocab_coverage]]'s token-mass curve). Class boundaries are
+    INTEGER-cents comparisons (cum*10 <= total*7), so the cut is exact
+    in both engines.
+
+    Scale: per-part revenue is one map-side-combinable aggregate; the
+    global cumulative walk is the two-pass distributed prefix sum from
+    functions/distributed.py (range-partition on (revenue, key), local
+    cumsum + broadcast per-partition offsets — no data-proportional
+    single-partition window, unlike the oracle's SQL form); the class
+    rollup is a 3-row aggregate."""
+    from ..functions.distributed import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("r_c")
+    )
+    tot = rev.agg(F.sum("r_c").alias("t"))
+    ranked = global_prefix_sum(
+        rev,
+        order=[F.col("r_c").desc(), F.col("l_partkey")],
+        val=F.col("r_c"),
+        out="cum_c",
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "r_c",
+        "t",
+        F.when(F.col("cum_c") * 10 <= F.col("t") * 7, "A")
+        .when(F.col("cum_c") * 10 <= F.col("t") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("r_c") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("r_c") / F.first("t").cast("double"), 6).alias(
+            "revenue_share"
+        ),
+    )

@@ -773,3 +773,39 @@ def test_order_cycle_time_matches_recompute(spark):
         assert abs(
             r["late_share"] - sum(1 for d in days if d > 90) / len(days)
         ) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ABC classification: Python Pareto walk + partition invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_abc_classification_matches_python_pareto_walk(spark):
+    from debezium_cdc_kafka_spark.operators.relational3 import q_abc_classification
+
+    rev = defaultdict(int)
+    for r in _read("lineitem"):
+        rev[r["l_partkey"]] += _round_half_away(
+            r["l_extendedprice"] * (1 - r["l_discount"]) * 100
+        )
+    total = sum(rev.values())
+    cum = 0
+    agg = {c: [0, 0] for c in "ABC"}
+    for pk, rc in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += rc
+        c = "A" if cum * 10 <= total * 7 else ("B" if cum * 10 <= total * 9 else "C")
+        agg[c][0] += 1
+        agg[c][1] += rc
+
+    rows = {r["abc_class"]: r for r in q_abc_classification(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    for c, (n, rc) in agg.items():
+        assert rows[c]["n_parts"] == n
+        assert abs(rows[c]["revenue"] - rc / 100.0) < 1e-6
+        assert abs(rows[c]["revenue_share"] - rc / total) < 1e-6
+    # Pareto shape: A has fewer parts than C but more revenue
+    assert rows["A"]["n_parts"] < rows["C"]["n_parts"] or rows["A"][
+        "revenue"
+    ] > rows["C"]["revenue"]
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-5
