@@ -866,3 +866,82 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier revenue concentration per nation (Herfindahl-Hirschman index).
+# ---------------------------------------------------------------------------
+
+HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS r_c
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(CAST(sum(r.r_c) AS BIGINT) / 100.0, 2) AS revenue,
+       round(CAST(sum(CAST(r.r_c AS HUGEINT) * r.r_c) AS DOUBLE)
+             / (CAST(sum(r.r_c) AS DOUBLE) * CAST(sum(r.r_c) AS DOUBLE)), 6)
+         AS hhi,
+       round(CAST(max(r.r_c) AS DOUBLE) / CAST(sum(r.r_c) AS BIGINT), 6)
+         AS top_supplier_share
+FROM rev r JOIN nation n ON n.n_nationkey = r.s_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("q_supplier_hhi", HHI_ORACLE)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation via the
+    Herfindahl-Hirschman index — HHI = sum of squared revenue shares,
+    1/n for perfect competition up to 1 for a monopoly supplier — plus
+    the single-biggest-supplier share: the supply-chain-risk audit (one
+    nation's revenue hanging off one supplier is the fragile pattern
+    this flags). Algebraically HHI = sum(r_i^2) / (sum r_i)^2, so both
+    moments stay EXACT integers (cents and HUGEINT/decimal squared
+    cents) with one double division at the end — no per-share doubles
+    are ever summed.
+
+    Scale: per-supplier revenue is one map-side-combinable aggregate on
+    the lineitem⋈supplier broadcast join; the nation rollup runs over
+    |suppliers| rows with a |nations|-row broadcast name join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    rev = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("r_c")
+        )
+    )
+    return (
+        rev.join(F.broadcast(nat), "s_nationkey")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("r_c") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum(F.col("r_c").cast("decimal(19,0)") * F.col("r_c"))
+                .cast("double")
+                / (F.sum("r_c").cast("double") * F.sum("r_c").cast("double")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.max("r_c").cast("double") / F.sum("r_c"), 6
+            ).alias("top_supplier_share"),
+        )
+    )

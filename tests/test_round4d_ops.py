@@ -809,3 +809,32 @@ def test_abc_classification_matches_python_pareto_walk(spark):
         "revenue"
     ] > rows["C"]["revenue"]
     assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_supplier_hhi_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.relational3 import q_supplier_hhi
+
+    nat = {r["s_nationkey"]: None for r in _read("supplier")}
+    nation_name = {r["n_nationkey"]: r["n_name"] for r in _read("nation")}
+    sup_nation = {r["s_suppkey"]: r["s_nationkey"] for r in _read("supplier")}
+    rev = defaultdict(lambda: defaultdict(int))
+    for r in _read("lineitem"):
+        nk = sup_nation[r["l_suppkey"]]
+        rev[nk][r["l_suppkey"]] += _round_half_away(
+            r["l_extendedprice"] * (1 - r["l_discount"]) * 100
+        )
+
+    rows = {r["nation"]: r for r in q_supplier_hhi(spark, SF_SMOKE).collect()}
+    assert set(rows) == {nation_name[nk] for nk in rev}
+    for nk, per_sup in rev.items():
+        r = rows[nation_name[nk]]
+        vals = list(per_sup.values())
+        tot = sum(vals)
+        hhi = sum(v * v for v in vals) / (tot * tot)
+        assert r["n_suppliers"] == len(vals)
+        assert abs(r["revenue"] - tot / 100.0) < 1e-6
+        assert abs(r["hhi"] - hhi) < 1e-6
+        assert abs(r["top_supplier_share"] - max(vals) / tot) < 1e-6
+        # bounds: 1/n <= HHI <= 1 and top share^2 <= HHI
+        assert 1 / len(vals) - 1e-9 <= r["hhi"] <= 1.0
+        assert r["top_supplier_share"] ** 2 <= r["hhi"] + 1e-9
