@@ -945,3 +945,90 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_supplier_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer reorder cadence per market segment.
+# ---------------------------------------------------------------------------
+
+REORDER_ORACLE = """
+WITH seq AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(date_diff('day',
+              lag(o.o_orderdate) OVER (
+                PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey),
+              o.o_orderdate) AS BIGINT) AS gap_days
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), cust AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT g.segment,
+       CAST(count(g.gap_days) AS BIGINT) AS n_gaps,
+       round(CAST(sum(g.gap_days) AS BIGINT) / CAST(count(g.gap_days) AS DOUBLE),
+             4) AS mean_gap_days,
+       round(quantile_cont(g.gap_days, 0.5), 1) AS median_gap_days,
+       (SELECT round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6)
+        FROM cust c2 WHERE c2.segment = g.segment) AS repeat_customer_share
+FROM seq g WHERE g.gap_days IS NOT NULL
+GROUP BY g.segment
+"""
+
+
+@query("q_reorder_interval", REORDER_ORACLE)
+def q_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder cadence per market segment: the day gaps between each
+    customer's consecutive orders (mean + exact median) and the share
+    of the segment's customers who ordered at least twice — the
+    purchase-frequency half of [[q_rfm_segments]] as a standalone
+    cadence profile (replenishment-cycle length is what inventory and
+    CRM timing are planned against). Gap days are exact integers; the
+    repeat share counts over ALL customers (LEFT join keeps the
+    never-ordered in the denominator).
+
+    Scale: one customer-keyed window for the lag (orders bucketed by
+    custkey co-locate it), a broadcast segment join, and two bounded
+    per-segment aggregates; exact median documents the
+    percentile_approx swap at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        orders.withColumn(
+            "gap_days",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    gaps = seq.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.sum("gap_days") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mean_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 1).alias("median_gap_days"),
+    )
+    per_cust = (
+        cust.join(
+            orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")),
+            "o_custkey",
+            "left",
+        )
+        .groupBy("segment")
+        .agg(
+            F.round(
+                F.sum((F.coalesce(F.col("n_orders"), F.lit(0)) >= 2).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("repeat_customer_share")
+        )
+    )
+    return gaps.join(per_cust, "segment")

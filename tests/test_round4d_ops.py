@@ -838,3 +838,32 @@ def test_supplier_hhi_matches_python_recompute(spark):
         # bounds: 1/n <= HHI <= 1 and top share^2 <= HHI
         assert 1 / len(vals) - 1e-9 <= r["hhi"] <= 1.0
         assert r["top_supplier_share"] ** 2 <= r["hhi"] + 1e-9
+
+
+def test_reorder_interval_matches_python_recompute(spark):
+    import numpy as np
+
+    from debezium_cdc_kafka_spark.operators.relational3 import q_reorder_interval
+
+    seg = {r["c_custkey"]: r["c_mktsegment"] for r in _read("customer")}
+    per_cust = defaultdict(list)
+    for r in _read("orders"):
+        per_cust[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    gaps = defaultdict(list)
+    n_orders = Counter()
+    for ck, os_ in per_cust.items():
+        os_.sort()
+        n_orders[ck] = len(os_)
+        for (d0, _), (d1, _) in zip(os_, os_[1:]):
+            gaps[seg[ck]].append((d1.date() - d0.date()).days)
+
+    rows = {r["segment"]: r for r in q_reorder_interval(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(gaps)
+    for s, g in gaps.items():
+        r = rows[s]
+        assert r["n_gaps"] == len(g)
+        assert abs(r["mean_gap_days"] - sum(g) / len(g)) < 1e-3
+        assert abs(r["median_gap_days"] - float(np.percentile(g, 50))) < 0.11
+        custs = [c for c, sg in seg.items() if sg == s]
+        share = sum(1 for c in custs if n_orders[c] >= 2) / len(custs)
+        assert abs(r["repeat_customer_share"] - share) < 1e-6
