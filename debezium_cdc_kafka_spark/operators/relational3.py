@@ -1032,3 +1032,163 @@ def q_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gaps.join(per_cust, "segment")
+
+
+# ---------------------------------------------------------------------------
+# Basket profile: order-size histogram + value by basket band.
+# ---------------------------------------------------------------------------
+
+BASKET_ORACLE = """
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS v_c
+  FROM lineitem GROUP BY l_orderkey
+), banded AS (
+  SELECT CASE WHEN n_items <= 2 THEN '1-2'
+              WHEN n_items <= 4 THEN '3-4'
+              WHEN n_items <= 6 THEN '5-6'
+              ELSE '7+' END AS basket_band,
+         n_items, v_c
+  FROM per
+)
+SELECT basket_band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+         AS order_share,
+       round(CAST(sum(v_c) AS BIGINT) / 100.0, 2) AS revenue,
+       round(CAST(sum(v_c) AS BIGINT)
+             / CAST((SELECT sum(v_c) FROM per) AS DOUBLE), 6) AS revenue_share,
+       round(CAST(sum(n_items) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+         AS avg_items,
+       round(CAST(sum(v_c) AS BIGINT) / count(*) / 100.0, 4) AS avg_order_value
+FROM banded GROUP BY basket_band
+"""
+
+
+@query("q_basket_profile", BASKET_ORACLE)
+def q_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size profile: orders banded by line-item count (1-2 / 3-4 /
+    5-6 / 7+) with each band's order share, revenue share, and average
+    order value — the merchandising dashboard that says whether revenue
+    rides many small baskets or few large ones (and the order-grain
+    cousin of [[q13_customer_distribution]], which profiles orders per
+    CUSTOMER). Cents-exact value folds; band cuts are integer
+    comparisons.
+
+    Scale: one map-side-combinable groupBy(l_orderkey) — the natural
+    pre-aggregation grain — then a 4-row band rollup; the share windows
+    run on the 4-row frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("v_c"),
+    )
+    band = (
+        F.when(F.col("n_items") <= 2, "1-2")
+        .when(F.col("n_items") <= 4, "3-4")
+        .when(F.col("n_items") <= 6, "5-6")
+        .otherwise("7+")
+    )
+    banded = per.select(band.alias("basket_band"), "n_items", "v_c")
+    agg = banded.groupBy("basket_band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("v_c").alias("sv"),
+        F.sum("n_items").alias("si"),
+    )
+    wg = W.partitionBy()
+    return agg.select(
+        "basket_band",
+        "n_orders",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(wg).cast("double"), 6
+        ).alias("order_share"),
+        F.round(F.col("sv") / 100.0, 2).alias("revenue"),
+        F.round(F.col("sv") / F.sum("sv").over(wg).cast("double"), 6).alias(
+            "revenue_share"
+        ),
+        F.round(F.col("si") / F.col("n_orders").cast("double"), 4).alias(
+            "avg_items"
+        ),
+        F.round(F.col("sv") / F.col("n_orders") / 100.0, 4).alias(
+            "avg_order_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unit-price dispersion per brand (coefficient of variation).
+# ---------------------------------------------------------------------------
+
+DISPERSION_ORACLE = """
+WITH u AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(100 * l.l_extendedprice / l.l_quantity) AS BIGINT) AS u_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0
+), mom AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u_c) AS HUGEINT) AS s1,
+         sum(CAST(u_c AS HUGEINT) * u_c) AS s2,
+         CAST(min(u_c) AS BIGINT) AS mn, CAST(max(u_c) AS BIGINT) AS mx
+  FROM u GROUP BY brand
+)
+SELECT brand, n,
+       round(CAST(s1 AS DOUBLE) / n / 100.0, 4) AS mean_unit_price,
+       round(sqrt(greatest(
+           CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0))
+         / (CAST(s1 AS DOUBLE) / n), 6) AS cv,
+       round(mn / 100.0, 2) AS min_unit_price,
+       round(mx / 100.0, 2) AS max_unit_price
+FROM mom
+"""
+
+
+@query("q_unit_price_dispersion", DISPERSION_ORACLE)
+def q_unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price dispersion per brand: coefficient of variation (and
+    range) of the per-line effective unit price — the price-consistency
+    audit that flags brands selling the same catalog at wildly different
+    realized prices (discount leakage, data errors, or genuine price
+    discrimination; the pricing cousin of [[q_outliers_mad]]'s
+    robust screen). Unit prices are rounded to integer cents PER ROW
+    (identical double division both engines), so the moments are exact
+    HUGEINT/decimal sums and CV is scalar math after; sigma^2 clamps at
+    0 before the IEEE-exact sqrt.
+
+    Scale: broadcast part-dim join into one map-side-combinable
+    |brands|-group moment aggregate — a pure scan-speed profile."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    u = li.join(F.broadcast(part), "l_partkey").select(
+        "brand",
+        F.round(100 * F.col("l_extendedprice") / F.col("l_quantity"))
+        .cast("long")
+        .alias("u_c"),
+    )
+    mom = u.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u_c").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("u_c").cast("decimal(19,0)") * F.col("u_c")).alias("s2"),
+        F.min("u_c").alias("mn"),
+        F.max("u_c").alias("mx"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0))
+    )
+    return mom.select(
+        "brand",
+        "n",
+        F.round(mu / 100.0, 4).alias("mean_unit_price"),
+        F.round(sd / mu, 6).alias("cv"),
+        F.round(F.col("mn") / 100.0, 2).alias("min_unit_price"),
+        F.round(F.col("mx") / 100.0, 2).alias("max_unit_price"),
+    )

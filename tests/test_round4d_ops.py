@@ -867,3 +867,72 @@ def test_reorder_interval_matches_python_recompute(spark):
         custs = [c for c, sg in seg.items() if sg == s]
         share = sum(1 for c in custs if n_orders[c] >= 2) / len(custs)
         assert abs(r["repeat_customer_share"] - share) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Basket profile + unit-price dispersion: Python recomputes.
+# ---------------------------------------------------------------------------
+
+
+def test_basket_profile_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.relational3 import q_basket_profile
+
+    per = defaultdict(lambda: [0, 0])
+    for r in _read("lineitem"):
+        a = per[r["l_orderkey"]]
+        a[0] += 1
+        a[1] += _round_half_away(
+            r["l_extendedprice"] * (1 - r["l_discount"]) * 100
+        )
+
+    def band(n):
+        return "1-2" if n <= 2 else ("3-4" if n <= 4 else ("5-6" if n <= 6 else "7+"))
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for n, v in per.values():
+        a = agg[band(n)]
+        a[0] += 1
+        a[1] += v
+        a[2] += n
+    tot_o = sum(a[0] for a in agg.values())
+    tot_v = sum(a[1] for a in agg.values())
+
+    rows = {r["basket_band"]: r for r in q_basket_profile(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for b, (no, v, ni) in agg.items():
+        r = rows[b]
+        assert r["n_orders"] == no
+        assert abs(r["order_share"] - no / tot_o) < 1e-6
+        assert abs(r["revenue"] - v / 100.0) < 1e-6
+        assert abs(r["revenue_share"] - v / tot_v) < 1e-6
+        assert abs(r["avg_items"] - ni / no) < 1e-3
+        assert abs(r["avg_order_value"] - v / no / 100.0) < 1e-3
+
+
+def test_unit_price_dispersion_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.relational3 import (
+        q_unit_price_dispersion,
+    )
+
+    brand = {r["p_partkey"]: r["p_brand"] for r in _read("part")}
+    per = defaultdict(list)
+    for r in _read("lineitem"):
+        if r["l_quantity"] > 0:
+            per[brand[r["l_partkey"]]].append(
+                _round_half_away(100 * r["l_extendedprice"] / r["l_quantity"])
+            )
+
+    rows = {r["brand"]: r for r in q_unit_price_dispersion(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per)
+    for b, us in per.items():
+        r = rows[b]
+        n = len(us)
+        mu = sum(us) / n
+        sd = math.sqrt(max(sum(u * u for u in us) / n - mu * mu, 0.0))
+        assert r["n"] == n
+        assert abs(r["mean_unit_price"] - mu / 100.0) < 1e-3
+        assert abs(r["cv"] - sd / mu) < 1e-5
+        assert r["min_unit_price"] == min(us) / 100.0
+        assert r["max_unit_price"] == max(us) / 100.0
+        assert r["cv"] > 0  # real dispersion exists in the data
