@@ -1192,3 +1192,78 @@ def q_unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mn") / 100.0, 2).alias("min_unit_price"),
         F.round(F.col("mx") / 100.0, 2).alias("max_unit_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Discount-depth mix: what each discount band sells and earns.
+# ---------------------------------------------------------------------------
+
+DISCOUNT_ORACLE = """
+WITH b AS (
+  SELECT CASE WHEN l_discount < 0.02 THEN '00-01'
+              WHEN l_discount < 0.05 THEN '02-04'
+              WHEN l_discount < 0.08 THEN '05-07'
+              ELSE '08-10' END AS discount_band,
+         l_quantity,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS v_c,
+         CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) AS d_c
+  FROM lineitem
+)
+SELECT discount_band,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             / CAST(count(*) AS DOUBLE) / 100.0, 4) AS avg_quantity,
+       round(CAST(sum(v_c) AS BIGINT) / 100.0, 2) AS revenue,
+       round(CAST(sum(d_c) AS BIGINT) / 100.0, 2) AS discount_given,
+       round(CAST(sum(d_c) AS DOUBLE)
+             / CAST(sum(v_c) + sum(d_c) AS BIGINT), 6) AS effective_discount
+FROM b GROUP BY discount_band
+"""
+
+
+@query("q_discount_band_mix", DISCOUNT_ORACLE)
+def q_discount_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth mix: line items banded by discount depth with each
+    band's volume, average quantity, realized revenue, and the absolute
+    discount given away — the promo-depth dashboard that shows whether
+    deeper discounts actually move quantity or just leak margin (the
+    band form of TPC-H Q6's single-slice what-if). Money stays in
+    per-row-rounded cents ([[functions/money.py]] discipline), quantity
+    in centi-units, so every column is an exact integer fold with one
+    final division.
+
+    Scale: single scan, literal band cuts, |bands|-row
+    map-side-combinable aggregate — pure scan-speed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") < 0.02, "00-01")
+        .when(F.col("l_discount") < 0.05, "02-04")
+        .when(F.col("l_discount") < 0.08, "05-07")
+        .otherwise("08-10")
+    )
+    v_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    d_c = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+    q_c = F.round(F.col("l_quantity") * 100).cast("long")
+    agg = li.select(
+        band.alias("discount_band"), v_c.alias("v_c"), d_c.alias("d_c"),
+        q_c.alias("q_c"),
+    ).groupBy("discount_band").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("q_c").alias("sq"),
+        F.sum("v_c").alias("sv"),
+        F.sum("d_c").alias("sd"),
+    )
+    return agg.select(
+        "discount_band",
+        "n_items",
+        F.round(
+            F.col("sq") / F.col("n_items").cast("double") / 100.0, 4
+        ).alias("avg_quantity"),
+        F.round(F.col("sv") / 100.0, 2).alias("revenue"),
+        F.round(F.col("sd") / 100.0, 2).alias("discount_given"),
+        F.round(
+            F.col("sd").cast("double") / (F.col("sv") + F.col("sd")), 6
+        ).alias("effective_discount"),
+    )

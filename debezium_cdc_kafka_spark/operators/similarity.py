@@ -2996,3 +2996,84 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("norm2u").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("mean_norm2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding per-dimension variance audit (dead/degenerate dims).
+# ---------------------------------------------------------------------------
+
+_DIMVAR_DEAD = 0.01  # variance below 1% of the mean dim variance = dead
+
+DIMVAR_ORACLE = f"""
+WITH comp AS (
+  SELECT r.i - 1 AS dim,
+         CAST(round(CAST(e.embedding[r.i] AS DOUBLE) * 1000) AS BIGINT) AS m
+  FROM embeddings e,
+       unnest(range(1, len(e.embedding) + 1)) AS r(i)
+), mom AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS HUGEINT) AS s1,
+         sum(CAST(m AS HUGEINT) * m) AS s2
+  FROM comp GROUP BY dim
+), v AS (
+  SELECT CAST(dim AS INT) AS dim, n,
+         (CAST(s2 AS DOUBLE) / n
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1000000.0
+           AS var_,
+         CAST(s1 AS DOUBLE) / n / 1000.0 AS mean_
+  FROM mom
+)
+SELECT dim,
+       round(mean_, 6) AS mean_value,
+       round(var_, 6) AS variance,
+       CAST(var_ < {_DIMVAR_DEAD} * (SELECT sum(var_) / count(*) FROM v) AS INT)
+         AS is_dead
+FROM v
+"""
+
+
+@query("q_embedding_dim_variance", DIMVAR_ORACLE)
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION mean/variance of the embedding table and a dead-dim
+    flag (variance under {_DIMVAR_DEAD:.0%} of the average dim variance)
+    — the other axis of [[q_embedding_norm_audit]]: a dimension that
+    never moves is wasted index width and a symptom of a truncated or
+    mis-exported model, and it is what [[q_jl_projection]] /
+    [[q_matryoshka_recall]] silently rely on not existing. Milli-integer
+    component folds keep the moments exact; the dead cut compares
+    against the 64-row variance table's own mean.
+
+    Scale: posexplode inside the scan, one map-side-combinable
+    64-group moment aggregate — dimension count, not row count, bounds
+    everything after the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim", F.round(F.col("x").cast("double") * 1000).cast("long").alias("m")
+    )
+    mom = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("m").cast("decimal(19,0)") * F.col("m")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var_ = (F.col("s2").cast("double") / F.col("n") - mu * mu) / 1000000.0
+    v = mom.select(
+        F.col("dim").cast("int").alias("dim"),
+        (mu / 1000.0).alias("mean_"),
+        var_.alias("var_"),
+    )
+    wg = W.partitionBy()
+    return v.select(
+        "dim",
+        F.round("mean_", 6).alias("mean_value"),
+        F.round("var_", 6).alias("variance"),
+        (
+            F.col("var_")
+            < F.lit(_DIMVAR_DEAD)
+            * (F.sum("var_").over(wg) / F.count(F.lit(1)).over(wg))
+        )
+        .cast("int")
+        .alias("is_dead"),
+    )

@@ -936,3 +936,59 @@ def test_unit_price_dispersion_matches_python_recompute(spark):
         assert r["min_unit_price"] == min(us) / 100.0
         assert r["max_unit_price"] == max(us) / 100.0
         assert r["cv"] > 0  # real dispersion exists in the data
+
+
+def test_discount_band_mix_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.relational3 import q_discount_band_mix
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in _read("lineitem"):
+        d = r["l_discount"]
+        b = "00-01" if d < 0.02 else ("02-04" if d < 0.05 else
+                                      ("05-07" if d < 0.08 else "08-10"))
+        a = agg[b]
+        a[0] += 1
+        a[1] += _round_half_away(r["l_quantity"] * 100)
+        a[2] += _round_half_away(r["l_extendedprice"] * (1 - d) * 100)
+        a[3] += _round_half_away(r["l_extendedprice"] * d * 100)
+
+    rows = {r["discount_band"]: r for r in q_discount_band_mix(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for b, (n, sq, sv, sd) in agg.items():
+        r = rows[b]
+        assert r["n_items"] == n
+        assert abs(r["avg_quantity"] - sq / n / 100.0) < 1e-3
+        assert abs(r["revenue"] - sv / 100.0) < 1e-6
+        assert abs(r["discount_given"] - sd / 100.0) < 1e-6
+        assert abs(r["effective_discount"] - sd / (sv + sd)) < 1e-6
+
+
+def test_embedding_dim_variance_matches_numpy(spark):
+    import numpy as np
+
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        _DIMVAR_DEAD,
+        q_embedding_dim_variance,
+    )
+
+    m = np.array(
+        [
+            [_round_half_away(float(x) * 1000) for x in r["embedding"]]
+            for r in _read("embeddings")
+        ],
+        dtype=np.int64,
+    )
+    mean = m.mean(axis=0) / 1000.0
+    var = (
+        (m.astype(np.float64) ** 2).mean(axis=0) - m.mean(axis=0) ** 2
+    ) / 1e6
+    dead_cut = _DIMVAR_DEAD * var.mean()
+
+    rows = {r["dim"]: r for r in q_embedding_dim_variance(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(64))
+    for d in range(64):
+        r = rows[d]
+        assert abs(r["mean_value"] - mean[d]) < 1e-4
+        assert abs(r["variance"] - var[d]) < 1e-4
+        assert r["is_dead"] == int(var[d] < dead_cut)
