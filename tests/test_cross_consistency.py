@@ -1,0 +1,79 @@
+"""Cross-operator reconciliation: independent pipelines that measure the
+same underlying quantity must agree exactly. This is the auditor's
+closing check — each of these invariants spans two operators built at
+different times through different plans, so a regression in either
+one's money/pair/window discipline breaks an equality here even if its
+own oracle still passes on its own (changed) definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_cdc_kafka_spark.catalog import load_table
+from debezium_cdc_kafka_spark.operators.behavior import (
+    q_attribution_linear,
+    q_attribution_time_decay,
+    q_funnel_3step,
+    q_window_funnel,
+)
+from debezium_cdc_kafka_spark.operators.relational3 import (
+    q_abc_classification,
+    q_basket_profile,
+    q_supplier_hhi,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _cents_total(spark):
+    """Ground truth: discounted lineitem revenue in exact cents."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    return li.select(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("c")
+    ).collect()[0].c
+
+
+def test_revenue_reconciles_across_abc_hhi_basket(spark):
+    """Three unrelated rollups of discounted revenue — by part Pareto
+    class, by supplier nation, by basket band — must each sum to the
+    same exact cents total."""
+    truth = _cents_total(spark) / 100.0
+    for fn in (q_abc_classification, q_supplier_hhi, q_basket_profile):
+        total = sum(r["revenue"] for r in fn(spark, SF_SMOKE).collect())
+        assert abs(total - truth) < 0.02, fn.__name__
+
+
+def test_windowed_funnel_is_bounded_by_unbounded_funnel(spark):
+    """A user reaching stage 2+ inside the 6h window necessarily clicked
+    after a signup at ALL; the time-constrained count can never exceed
+    the unbounded one."""
+    win = {r["funnel_level"]: r["users"] for r in q_window_funnel(
+        spark, SF_SMOKE).collect()}
+    unb = {r["stage_ord"]: r["users"] for r in q_funnel_3step(
+        spark, SF_SMOKE).collect()}
+    assert sum(win.values()) == unb[1]  # every signup user gets a level
+    assert win.get(2, 0) + win.get(3, 0) <= unb[2]
+    assert win.get(3, 0) <= unb[3]
+
+
+def test_attribution_models_share_pair_structure(spark):
+    """Linear and time-decay attribution run over the IDENTICAL
+    (touch, purchase) pair set — only the weighting differs. So the
+    unattributed count, each channel's touched-purchase count, and the
+    total credited mass must match exactly; the per-channel SPLIT must
+    not (decay has to change the answer)."""
+    lin = {r["touch_type"]: r for r in q_attribution_linear(
+        spark, SF_SMOKE).collect()}
+    dec = {r["touch_type"]: r for r in q_attribution_time_decay(
+        spark, SF_SMOKE).collect()}
+    assert set(lin) == set(dec) == {"view", "click", "_unattributed"}
+    for ch in ("view", "click", "_unattributed"):
+        assert lin[ch]["purchases_touched"] == dec[ch]["purchases_touched"], ch
+    mass = lambda d: sum(r["credited_purchases"] for r in d.values())  # noqa: E731
+    assert abs(mass(lin) - mass(dec)) < 1e-4
+    assert abs(
+        lin["view"]["credited_purchases"] - dec["view"]["credited_purchases"]
+    ) > 1e-3
