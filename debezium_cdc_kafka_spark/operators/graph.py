@@ -600,3 +600,67 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_directed_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-purchase graph (log2-binned histogram).
+# ---------------------------------------------------------------------------
+
+DEGDIST_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT u AS node, count(*) AS dg FROM (
+    SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+  ) GROUP BY u
+), binned AS (
+  SELECT CAST(floor(log2(dg)) AS INT) AS log2_bin, dg FROM deg
+)
+SELECT log2_bin,
+       CAST(power(2, log2_bin) AS BIGINT) AS min_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS node_share,
+       CAST(max(dg) AS BIGINT) AS max_degree_in_bin
+FROM binned GROUP BY log2_bin
+"""
+
+
+@query("graph_degree_distribution", DEGDIST_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram of the co-purchase graph — the
+    first thing to read off any graph before running
+    [[graph_triangle_count]] / [[graph_pagerank_copurchase]] on it: a
+    heavy tail here is the skew that degree-ORIENTED triangle counting
+    and salted joins exist for, and the bin populations are the evidence
+    behind SCALE.md's O(m^1.5) wedge-bound claim. floor(log2(d)) on
+    exact integer degrees is an integer in both engines (log2 of an
+    int is well clear of representation boundaries at graph scales).
+
+    Scale: basket-capped edge generation as in the other graph ops,
+    one degree aggregate, then a ≤log2(max-degree)-row histogram with
+    its share window on that bounded frame."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d = li.distinct()
+    a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    binned = deg.select(F.floor(F.log2("dg")).cast("int").alias("log2_bin"), "dg")
+    wg = W.partitionBy()
+    return binned.groupBy("log2_bin").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("dg").alias("mx"),
+    ).select(
+        "log2_bin",
+        F.pow(F.lit(2.0), F.col("log2_bin")).cast("bigint").alias("min_degree"),
+        "n_nodes",
+        F.round(
+            F.col("n_nodes") / F.sum("n_nodes").over(wg).cast("double"), 6
+        ).alias("node_share"),
+        F.col("mx").cast("bigint").alias("max_degree_in_bin"),
+    )

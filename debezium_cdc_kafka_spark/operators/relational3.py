@@ -1267,3 +1267,81 @@ def q_discount_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sd").cast("double") / (F.col("sv") + F.col("sd")), 6
         ).alias("effective_discount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn flags: customers silent for the trailing 90 days of history.
+# ---------------------------------------------------------------------------
+
+_CHURN_DAYS = 90
+
+CHURN_ORACLE = f"""
+WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+last_o AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN l.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS never_ordered,
+       CAST(sum(CASE WHEN l.o_custkey IS NOT NULL
+                 AND date_diff('day', l.last_order, (SELECT m FROM mx))
+                     > {_CHURN_DAYS} THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+       CAST(sum(CASE WHEN l.o_custkey IS NOT NULL
+                 AND date_diff('day', l.last_order, (SELECT m FROM mx))
+                     <= {_CHURN_DAYS} THEN 1 ELSE 0 END) AS BIGINT) AS active,
+       round(CAST(sum(CASE WHEN l.o_custkey IS NOT NULL
+                 AND date_diff('day', l.last_order, (SELECT m FROM mx))
+                     > {_CHURN_DAYS} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS churn_rate
+FROM customer c LEFT JOIN last_o l ON l.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("q_churn_flags", CHURN_ORACLE)
+def q_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency churn census per segment: customers split into
+    never-ordered / churned (last order > {_CHURN_DAYS} days before the
+    corpus's own last order date) / active — the standing churn KPI and
+    the population the R score of [[q_rfm_segments]] quantile-ranks
+    (this fixes an absolute SLA where RFM ranks relatively). The
+    horizon anchors on max(o_orderdate) IN the data, so the query is
+    scale-factor- and wall-clock-independent.
+
+    Scale: one custkey aggregate for last orders, a 1-row broadcast
+    global max, a broadcast-dim left join, and a |segments|-row rollup
+    — integer day comparisons only."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    last_o = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_order"))
+    mx = orders.agg(F.max("o_orderdate").alias("m"))
+    j = (
+        cust.join(last_o, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "segment",
+            F.col("last_order").isNull().alias("never"),
+            (
+                F.col("last_order").isNotNull()
+                & (F.datediff("m", "last_order") > _CHURN_DAYS)
+            ).alias("churned"),
+            (
+                F.col("last_order").isNotNull()
+                & (F.datediff("m", "last_order") <= _CHURN_DAYS)
+            ).alias("active"),
+        )
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("never").cast("int")).cast("long").alias("never_ordered"),
+        F.sum(F.col("churned").cast("int")).cast("long").alias("churned"),
+        F.sum(F.col("active").cast("int")).cast("long").alias("active"),
+        F.round(
+            F.sum(F.col("churned").cast("int")) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("churn_rate"),
+    )

@@ -992,3 +992,74 @@ def test_embedding_dim_variance_matches_numpy(spark):
         assert abs(r["mean_value"] - mean[d]) < 1e-4
         assert abs(r["variance"] - var[d]) < 1e-4
         assert r["is_dead"] == int(var[d] < dead_cut)
+
+
+def test_churn_flags_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.relational3 import (
+        _CHURN_DAYS,
+        q_churn_flags,
+    )
+
+    seg = {r["c_custkey"]: r["c_mktsegment"] for r in _read("customer")}
+    last = {}
+    mx = None
+    for r in _read("orders"):
+        d = r["o_orderdate"]
+        mx = d if mx is None or d > mx else mx
+        if r["o_custkey"] not in last or d > last[r["o_custkey"]]:
+            last[r["o_custkey"]] = d
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for ck, s in seg.items():
+        a = agg[s]
+        a[0] += 1
+        if ck not in last:
+            a[1] += 1
+        elif (mx.date() - last[ck].date()).days > _CHURN_DAYS:
+            a[2] += 1
+        else:
+            a[3] += 1
+
+    rows = {r["segment"]: r for r in q_churn_flags(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for s, (n, never, churned, active) in agg.items():
+        r = rows[s]
+        assert (r["n_customers"], r["never_ordered"], r["churned"], r["active"]) \
+            == (n, never, churned, active)
+        assert never + churned + active == n
+        assert abs(r["churn_rate"] - churned / n) < 1e-6
+        assert 0 < churned < n  # non-degenerate on this data
+
+
+def test_degree_distribution_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.graph import graph_degree_distribution
+
+    baskets = defaultdict(set)
+    for r in _read("lineitem"):
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    deg = Counter()
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                edges.add((u, v))
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    bins = Counter()
+    mx_in_bin = {}
+    for d in deg.values():
+        b = math.floor(math.log2(d))
+        bins[b] += 1
+        mx_in_bin[b] = max(mx_in_bin.get(b, 0), d)
+    total = sum(bins.values())
+
+    rows = {r["log2_bin"]: r for r in graph_degree_distribution(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(bins)
+    for b, n in bins.items():
+        r = rows[b]
+        assert r["n_nodes"] == n
+        assert r["min_degree"] == 2 ** b
+        assert abs(r["node_share"] - n / total) < 1e-6
+        assert r["max_degree_in_bin"] == mx_in_bin[b]
