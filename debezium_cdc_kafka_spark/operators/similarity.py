@@ -3077,3 +3077,93 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_dead"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal: text-quality profile of each embedding cluster.
+# ---------------------------------------------------------------------------
+
+CLUSTER_QUALITY_ORACLE = f"""
+WITH assign AS ({KMEANS_ORACLE}),
+j AS (
+  SELECT a.cluster_id, d.lang, d.source, d.n_chars
+  FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+), lang_counts AS (
+  SELECT cluster_id, lang, CAST(count(*) AS BIGINT) AS n_l
+  FROM j GROUP BY cluster_id, lang
+), major AS (
+  SELECT cluster_id, lang AS majority_lang, n_l AS n_major
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY n_l DESC, lang) AS rk
+    FROM lang_counts
+  ) WHERE rk = 1
+), base AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(CAST(sum(n_chars) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+           AS mean_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM j GROUP BY cluster_id
+)
+SELECT b.cluster_id, b.n_docs, b.mean_chars, b.n_langs, b.n_sources,
+       m.majority_lang,
+       round(CAST(m.n_major AS DOUBLE) / b.n_docs, 6) AS majority_lang_share
+FROM base b JOIN major m USING (cluster_id)
+"""
+
+
+@query("q_cluster_quality_profile", CLUSTER_QUALITY_ORACLE)
+def q_cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal audit: join the k-means cell assignment
+    ([[ann_kmeans_assign]], vec_id ≡ doc_id in this corpus) back to the
+    DOCUMENT table and profile each cell's text — size, mean length,
+    language/source diversity, majority language and its share. This is
+    the is-my-vector-space-capturing-text-properties diagnostic: cells
+    that mix languages at random say the embeddings ignore language,
+    and a cell dominated by one source is crawl bias showing up as
+    geometry ([[q_cluster_purity]] scores the same question against
+    labels; this explains it against observable text columns).
+
+    Scale: the assignment's bounded broadcast-seed scan, one doc-keyed
+    equi-join (dimension tables co-partition on the shared id), then
+    everything lives on the k x |langs| census."""
+    assign = ann_kmeans_assign(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    j = assign.join(docs, "doc_id")
+    lang_counts = j.groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    wl = W.partitionBy("cluster_id").orderBy(F.desc("n_l"), F.asc("lang"))
+    major = (
+        lang_counts.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id", F.col("lang").alias("majority_lang"),
+            F.col("n_l").alias("n_major"),
+        )
+    )
+    base = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("n_chars") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return base.join(major, "cluster_id").select(
+        "cluster_id",
+        "n_docs",
+        "mean_chars",
+        "n_langs",
+        "n_sources",
+        "majority_lang",
+        F.round(F.col("n_major") / F.col("n_docs").cast("double"), 6).alias(
+            "majority_lang_share"
+        ),
+    )

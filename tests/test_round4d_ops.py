@@ -1063,3 +1063,36 @@ def test_degree_distribution_matches_python_recompute(spark):
         assert r["min_degree"] == 2 ** b
         assert abs(r["node_share"] - n / total) < 1e-6
         assert r["max_degree_in_bin"] == mx_in_bin[b]
+
+
+def test_cluster_quality_profile_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        ann_kmeans_assign,
+        q_cluster_quality_profile,
+    )
+
+    assign = {r["vec_id"]: r["cluster_id"] for r in ann_kmeans_assign(
+        spark, SF_SMOKE).collect()}
+    docs = {r["doc_id"]: r for r in _read("documents")}
+    per = defaultdict(lambda: [0, 0, set(), set(), Counter()])
+    for did, cid in assign.items():
+        d = docs[did]
+        a = per[cid]
+        a[0] += 1
+        a[1] += d["n_chars"]
+        a[2].add(d["lang"])
+        a[3].add(d["source"])
+        a[4][d["lang"]] += 1
+
+    rows = {r["cluster_id"]: r for r in q_cluster_quality_profile(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per)
+    for cid, (n, chars, langs, sources, lc) in per.items():
+        r = rows[cid]
+        assert r["n_docs"] == n
+        assert abs(r["mean_chars"] - chars / n) < 1e-3
+        assert r["n_langs"] == len(langs)
+        assert r["n_sources"] == len(sources)
+        maj, n_maj = sorted(lc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r["majority_lang"] == maj
+        assert abs(r["majority_lang_share"] - n_maj / n) < 1e-6
