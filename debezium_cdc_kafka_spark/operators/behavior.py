@@ -1547,3 +1547,68 @@ def q_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_cum_ltv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engagement by market segment (events enriched with the customer dim).
+# ---------------------------------------------------------------------------
+
+ENGAGEMENT_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, e.user_id, e.event_type,
+         CAST(round(e.value * 100) AS BIGINT) AS v_c
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+       round(count(*) / CAST(count(DISTINCT user_id) AS DOUBLE), 4)
+         AS events_per_user,
+       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS purchase_share,
+       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN v_c ELSE 0 END)
+                  AS BIGINT) / 100.0, 2) AS purchase_value
+FROM j GROUP BY segment
+"""
+
+
+@query("q_engagement_by_segment", ENGAGEMENT_ORACLE)
+def q_engagement_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream engagement enriched with the CUSTOMER dimension
+    (event user ids are customer keys): per market segment, event
+    volume, active users, events-per-user intensity, purchase share of
+    activity, and cents-exact purchase value — the batch, oracle-gated
+    form of the stream-static enrichment proven in
+    tests/test_stream_static_join.py, and the join that fuses the CDC
+    event world with the relational dim world everywhere else kept
+    separate.
+
+    Scale: broadcast customer dim into the event scan (the stream's
+    per-micro-batch join is the same plan), one |segments|-group
+    aggregate; only the exact distinct-user count re-keys — swap in
+    [[q_bitmap_distinct_users]]'s bitmap or HLL at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    v_c = F.round(F.col("value") * 100).cast("long")
+    j = ev.join(F.broadcast(cust), "user_id").select(
+        "segment", "user_id", "event_type", v_c.alias("v_c")
+    )
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("active_users"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("user_id").cast("double"), 4
+        ).alias("events_per_user"),
+        F.round(F.sum(is_p) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "purchase_share"
+        ),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("v_c")).otherwise(0))
+            / 100.0,
+            2,
+        ).alias("purchase_value"),
+    )

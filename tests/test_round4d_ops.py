@@ -1096,3 +1096,31 @@ def test_cluster_quality_profile_matches_python_recompute(spark):
         maj, n_maj = sorted(lc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert r["majority_lang"] == maj
         assert abs(r["majority_lang_share"] - n_maj / n) < 1e-6
+
+
+def test_engagement_by_segment_matches_python_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.behavior import q_engagement_by_segment
+
+    seg = {r["c_custkey"]: r["c_mktsegment"] for r in _read("customer")}
+    agg = defaultdict(lambda: [0, set(), 0, 0])
+    for r in _read("events"):
+        s = seg.get(r["user_id"])
+        if s is None:
+            continue
+        a = agg[s]
+        a[0] += 1
+        a[1].add(r["user_id"])
+        if r["event_type"] == "purchase":
+            a[2] += 1
+            a[3] += _round_half_away(r["value"] * 100)
+
+    rows = {r["segment"]: r for r in q_engagement_by_segment(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for s, (n, users, np_, v) in agg.items():
+        r = rows[s]
+        assert r["n_events"] == n
+        assert r["active_users"] == len(users)
+        assert abs(r["events_per_user"] - n / len(users)) < 1e-3
+        assert abs(r["purchase_share"] - np_ / n) < 1e-6
+        assert abs(r["purchase_value"] - v / 100.0) < 1e-6
