@@ -99,8 +99,12 @@ def _modules():
 # q_spacesaving_heavy_hitters, q_interarrival_burstiness, q_ndcg_eval,
 # q_embedding_norm_audit, q_window_funnel, q_attribution_linear,
 # q_hll_time_rollup, q_cuped_adjustment, q_diff_in_diff,
-# q_quantile_treatment_effect, q_bitmap_distinct_users. r6 sweeps the
-# remainder.
+# q_quantile_treatment_effect, q_bitmap_distinct_users, and the closing
+# r4 wave (variant_props, time-decay attribution, LTV curve, power
+# analysis, cycle time, ABC, HHI, reorder, basket, dispersion,
+# discount mix, dim variance, churn, degree distribution, cluster
+# quality, engagement). ~65 never-gated total — fill r5's ~13 free
+# slots one-per-family, r6 sweeps the remainder.
 GATE_ORDER: list[str] = [
     # red-row fixes from CORRECTNESS_r03
     "q_embedding_quantize",
