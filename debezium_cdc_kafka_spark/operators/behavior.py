@@ -1612,3 +1612,87 @@ def q_engagement_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-window CDF: share of signups converting within each horizon.
+# ---------------------------------------------------------------------------
+
+_CONV_HORIZONS_H = (1, 6, 24, 72)
+
+CONV_CDF_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts) - epoch_us(s.s_ts)) AS d_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+  GROUP BY e.user_id
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_signups FROM s)
+SELECT CAST(h.h AS INT) AS horizon_hours,
+       (SELECT n_signups FROM tot) AS n_signups,
+       CAST(count(CASE WHEN p.d_us <= h.h * 3600000000 THEN 1 END) AS BIGINT)
+         AS converted,
+       round(count(CASE WHEN p.d_us <= h.h * 3600000000 THEN 1 END)
+             / CAST((SELECT n_signups FROM tot) AS DOUBLE), 6)
+         AS conversion_rate
+FROM (SELECT unnest([{", ".join(str(h) for h in _CONV_HORIZONS_H)}]) AS h) h
+LEFT JOIN p ON true
+GROUP BY h.h
+"""
+
+
+@query("q_conversion_cdf", CONV_CDF_ORACLE)
+def q_conversion_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window CDF: of all signed-up users, the share whose
+    FIRST post-signup purchase lands within 1 / 6 / 24 / 72 hours — the
+    curve that picks the attribution window ([[q_attribution_linear]]'s
+    24h) and the funnel horizon ([[q_window_funnel]]'s 6h) instead of
+    guessing them; monotone by construction (pinned in tests).
+
+    Exactness: first-touch deltas are exact integer microseconds;
+    horizon cuts are integer comparisons; one rounded share per row.
+
+    Scale: two user-keyed aggregates (first signup, first later
+    purchase — the funnel shuffle again), then a 4-literal-row grid
+    over the per-user delta table; nothing data-proportional after the
+    user rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("s_ts")).alias("d_us")
+        )
+    )
+    tot = s.agg(F.count(F.lit(1)).alias("n_signups"))
+    grid = tot.select(
+        "n_signups",
+        F.explode(
+            F.array(*[F.lit(h) for h in _CONV_HORIZONS_H])
+        ).alias("horizon_hours"),
+    )
+    j = grid.join(
+        p,
+        F.col("d_us") <= F.col("horizon_hours").cast("long") * 3_600_000_000,
+        "left",
+    )
+    return j.groupBy("horizon_hours", "n_signups").agg(
+        F.count("d_us").cast("long").alias("converted"),
+        F.round(
+            F.count("d_us") / F.first("n_signups").cast("double"), 6
+        ).alias("conversion_rate"),
+    ).select(
+        F.col("horizon_hours").cast("int").alias("horizon_hours"),
+        "n_signups",
+        "converted",
+        "conversion_rate",
+    )

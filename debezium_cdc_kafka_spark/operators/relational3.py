@@ -1345,3 +1345,79 @@ def q_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("churn_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index: monthly price level vs the base month's basket.
+# ---------------------------------------------------------------------------
+
+LASPEYRES_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS v_c,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_c
+  FROM lineitem GROUP BY 1, 2
+), b AS (SELECT min(m) AS m0 FROM pm),
+base AS (
+  SELECT l_partkey, v_c AS v0, q_c AS q0 FROM pm WHERE m = (SELECT m0 FROM b)
+), terms AS (
+  SELECT pm.m,
+         CAST(round(1000000.0 * pm.v_c * base.q0 / pm.q_c) AS BIGINT) AS num_u,
+         base.v0 AS den_c
+  FROM pm JOIN base USING (l_partkey)
+)
+SELECT m AS month,
+       CAST(count(*) AS BIGINT) AS n_common_parts,
+       round(CAST(sum(num_u) AS DOUBLE) / 1000000.0
+             / CAST(sum(den_c) AS BIGINT), 6) AS laspeyres_index
+FROM terms GROUP BY m
+"""
+
+
+@query("q_laspeyres_price_index", LASPEYRES_ORACLE)
+def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship-month: what the BASE month's
+    basket (first month's quantities) would cost at each month's
+    realized unit prices, relative to what it actually cost — the
+    fixed-basket inflation measure (a CPI), restricted per month to
+    parts traded in both periods. Distinguishes price movement from mix
+    shift, which raw revenue trends ([[q_mom_growth]]) conflate.
+
+    Exactness: part-month value/quantity are exact cents/centi-unit
+    integers; each part's index term is ONE identically-associated
+    double expression rounded to a 1e6-scaled integer, so the month
+    sums are order-free and the denominator (base-month spend over the
+    same common set) is a pure integer sum.
+
+    Scale: one (part, month) map-side-combinable aggregate, a part-keyed
+    join against the base-month slice (broadcastable: one month of
+    parts), then a |months|-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").cast("date").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v_c"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q_c"),
+    )
+    m0 = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(m0))
+        .filter(F.col("m") == F.col("m0"))
+        .select(
+            "l_partkey", F.col("v_c").alias("v0"), F.col("q_c").alias("q0")
+        )
+    )
+    terms = pm.join(F.broadcast(base), "l_partkey").select(
+        "m",
+        F.round(
+            F.lit(1000000.0) * F.col("v_c") * F.col("q0") / F.col("q_c")
+        ).cast("bigint").alias("num_u"),
+        F.col("v0").alias("den_c"),
+    )
+    return terms.groupBy(F.col("m").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_common_parts"),
+        F.round(
+            F.sum("num_u").cast("double") / 1000000.0 / F.sum("den_c"), 6
+        ).alias("laspeyres_index"),
+    )

@@ -1124,3 +1124,80 @@ def test_engagement_by_segment_matches_python_recompute(spark):
         assert abs(r["events_per_user"] - n / len(users)) < 1e-3
         assert abs(r["purchase_share"] - np_ / n) < 1e-6
         assert abs(r["purchase_value"] - v / 100.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Conversion CDF + Laspeyres index: Python recomputes and invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_cdf_matches_recompute_and_is_monotone(spark):
+    from debezium_cdc_kafka_spark.operators.behavior import (
+        _CONV_HORIZONS_H,
+        q_conversion_cdf,
+    )
+
+    first_signup = {}
+    events = sorted(_read("events"), key=lambda r: r["ts"])
+    for r in events:
+        if r["event_type"] == "signup" and r["user_id"] not in first_signup:
+            first_signup[r["user_id"]] = r["ts"]
+    first_purch = {}
+    for r in events:
+        u = r["user_id"]
+        if (
+            r["event_type"] == "purchase"
+            and u in first_signup
+            and r["ts"] > first_signup[u]
+            and u not in first_purch
+        ):
+            first_purch[u] = r["ts"]
+
+    rows = {r["horizon_hours"]: r for r in q_conversion_cdf(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(_CONV_HORIZONS_H)
+    prev = -1
+    for h in sorted(_CONV_HORIZONS_H):
+        conv = sum(
+            1 for u, pt in first_purch.items()
+            if (pt - first_signup[u]).total_seconds() <= h * 3600
+        )
+        r = rows[h]
+        assert r["n_signups"] == len(first_signup)
+        assert r["converted"] == conv
+        assert abs(r["conversion_rate"] - conv / len(first_signup)) < 1e-6
+        assert r["converted"] >= prev  # CDF is monotone
+        prev = r["converted"]
+
+
+def test_laspeyres_index_matches_recompute_and_base_is_one(spark):
+    from debezium_cdc_kafka_spark.operators.relational3 import (
+        q_laspeyres_price_index,
+    )
+
+    pm = defaultdict(lambda: [0, 0])
+    for r in _read("lineitem"):
+        m = r["l_shipdate"].date().replace(day=1)
+        a = pm[(r["l_partkey"], m)]
+        a[0] += _round_half_away(r["l_extendedprice"] * 100)
+        a[1] += _round_half_away(r["l_quantity"] * 100)
+    m0 = min(m for _, m in pm)
+    base = {pk: vq for (pk, m), vq in pm.items() if m == m0}
+    months = defaultdict(lambda: [0, 0, 0])
+    for (pk, m), (v, q) in pm.items():
+        if pk not in base:
+            continue
+        v0, q0 = base[pk]
+        a = months[m]
+        a[0] += 1
+        a[1] += _round_half_away(1e6 * v * q0 / q)
+        a[2] += v0
+
+    rows = {r["month"]: r for r in q_laspeyres_price_index(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(months)
+    for m, (n, num, den) in months.items():
+        r = rows[m]
+        assert r["n_common_parts"] == n
+        assert abs(r["laspeyres_index"] - num / 1e6 / den) < 1e-5
+    assert abs(rows[m0]["laspeyres_index"] - 1.0) < 1e-6  # base month = 1
