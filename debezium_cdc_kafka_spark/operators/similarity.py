@@ -3167,3 +3167,68 @@ def q_cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "majority_lang_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-similarity histogram: the embedding-collapse diagnostic.
+# ---------------------------------------------------------------------------
+
+_SIMH_PRED = "vec_id % 5 = 0"  # deterministic probe subset
+
+SIMHIST_ORACLE = f"""
+WITH pairs AS (
+  SELECT round({_COS_SQL}, 3) AS c
+  FROM embeddings a JOIN embeddings b
+    ON a.{_SIMH_PRED} AND b.{_SIMH_PRED} AND a.vec_id < b.vec_id
+), binned AS (
+  SELECT CAST(floor(c * 10) AS INT) AS bin, c FROM pairs
+)
+SELECT bin,
+       round(bin / 10.0, 1) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share,
+       round(sum(CAST(round(c * 1000) AS BIGINT)) / 1000.0
+             / count(*), 6) AS mean_cos
+FROM binned GROUP BY bin
+"""
+
+
+@query("q_embedding_similarity_histogram", SIMHIST_ORACLE)
+def q_embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic probe subset
+    (every 5th vector) in 0.1-wide bins — the embedding-space HEALTH
+    diagnostic: mass piling up near 1.0 is representation collapse
+    (every ANN structure here degrades to a scan), mass at 0 with thin
+    tails is healthy spread, and the shape calibrates every cosine
+    threshold this engine uses ([[dedup_embedding_cosine]]'s τ,
+    [[q_dbscan_clusters]]' ε, SemDeDup's prune). Cosines are the same
+    sequential fold both engines compute bit-for-bit, rounded to 3dp
+    BEFORE binning so bin edges cannot flip; per-bin means fold
+    1e3-scaled integers.
+
+    Scale: the probe subset bounds the pair space at |probe|² (sampling
+    rate is the knob — at 100 TB you take every k-th so |probe|² fits a
+    stage), the join prunes to upper-triangle pairs, and everything
+    after is a ≤21-row histogram."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.expr(_SIMH_PRED))
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.round(_cosine("e1", "e2"), 3).alias("c")
+    )
+    binned = pairs.select(
+        F.floor(F.col("c") * 10).cast("int").alias("bin"), "c"
+    )
+    wg = W.partitionBy()
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round(F.col("c") * 1000).cast("long")).alias("sc"),
+    ).select(
+        "bin",
+        F.round(F.col("bin") / 10.0, 1).alias("bin_lo"),
+        "n_pairs",
+        F.round(
+            F.col("n_pairs") / F.sum("n_pairs").over(wg).cast("double"), 6
+        ).alias("share"),
+        F.round(F.col("sc") / 1000.0 / F.col("n_pairs"), 6).alias("mean_cos"),
+    )

@@ -1201,3 +1201,41 @@ def test_laspeyres_index_matches_recompute_and_base_is_one(spark):
         assert r["n_common_parts"] == n
         assert abs(r["laspeyres_index"] - num / 1e6 / den) < 1e-5
     assert abs(rows[m0]["laspeyres_index"] - 1.0) < 1e-6  # base month = 1
+
+
+def test_similarity_histogram_matches_numpy(spark):
+    import numpy as np
+
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        q_embedding_similarity_histogram,
+    )
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in _read("embeddings")
+        if r["vec_id"] % 5 == 0
+    }
+    ids = sorted(vecs)
+    bins = Counter()
+    sums = defaultdict(int)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            # same sequential fold the engines use; round like them
+            c = round(float(va @ vb / math.sqrt((va @ va) * (vb @ vb))), 3)
+            bn = math.floor(c * 10)
+            bins[bn] += 1
+            sums[bn] += _round_half_away(c * 1000)
+
+    rows = {r["bin"]: r for r in q_embedding_similarity_histogram(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(bins)
+    total = sum(bins.values())
+    for bn, n in bins.items():
+        r = rows[bn]
+        assert r["n_pairs"] == n
+        assert abs(r["share"] - n / total) < 1e-6
+        assert abs(r["mean_cos"] - sums[bn] / 1000 / n) < 2e-3
+    # healthy spread on this data: mass is NOT collapsed near 1.0
+    near_one = sum(n for bn, n in bins.items() if bn >= 9) / total
+    assert near_one < 0.5
