@@ -1421,3 +1421,103 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("num_u").cast("double") / 1000000.0 / F.sum("den_c"), 6
         ).alias("laspeyres_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paasche and Fisher price indexes (the Laspeyres' dual and their mean).
+# ---------------------------------------------------------------------------
+
+FISHER_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS v_c,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_c
+  FROM lineitem GROUP BY 1, 2
+), b AS (SELECT min(m) AS m0 FROM pm),
+base AS (
+  SELECT l_partkey, v_c AS v0, q_c AS q0 FROM pm WHERE m = (SELECT m0 FROM b)
+), terms AS (
+  SELECT pm.m,
+         CAST(round(1000000.0 * pm.v_c * base.q0 / pm.q_c) AS BIGINT) AS l_num,
+         base.v0 AS l_den,
+         pm.v_c AS p_num,
+         CAST(round(1000000.0 * base.v0 * pm.q_c / base.q0) AS BIGINT) AS p_den
+  FROM pm JOIN base USING (l_partkey)
+), agg AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n_common_parts,
+         CAST(sum(l_num) AS DOUBLE) / 1000000.0 / CAST(sum(l_den) AS BIGINT)
+           AS lasp,
+         CAST(sum(p_num) AS BIGINT)
+           / (CAST(sum(p_den) AS DOUBLE) / 1000000.0) AS paas
+  FROM terms GROUP BY m
+)
+SELECT m AS month, n_common_parts,
+       round(lasp, 6) AS laspeyres,
+       round(paas, 6) AS paasche,
+       round(sqrt(lasp * paas), 6) AS fisher
+FROM agg
+"""
+
+
+@query("q_fisher_price_index", FISHER_ORACLE)
+def q_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-number triple per ship-month: Laspeyres (base-month
+    basket — overstates inflation as buyers substitute away), Paasche
+    (CURRENT-month basket — understates it), and Fisher's ideal index,
+    their geometric mean, which is what statistical agencies actually
+    publish. Shares the [[q_laspeyres_price_index]] scaffolding; the
+    Laspeyres/Paasche gap per month IS the substitution-bias
+    measurement.
+
+    Exactness: same discipline as Laspeyres — each cross term is one
+    identically-associated double expression rounded to a 1e6-scaled
+    integer, each same-period term a pure integer sum; Fisher adds one
+    IEEE-correctly-rounded sqrt. L ≥ P almost surely (substitution),
+    F between them by construction (pinned in tests).
+
+    Scale: identical to the Laspeyres plan — (part, month) aggregate,
+    broadcast base-month slice, |months|-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").cast("date").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v_c"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q_c"),
+    )
+    m0 = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(m0))
+        .filter(F.col("m") == F.col("m0"))
+        .select("l_partkey", F.col("v_c").alias("v0"), F.col("q_c").alias("q0"))
+    )
+    terms = pm.join(F.broadcast(base), "l_partkey").select(
+        "m",
+        F.round(F.lit(1000000.0) * F.col("v_c") * F.col("q0") / F.col("q_c"))
+        .cast("bigint")
+        .alias("l_num"),
+        F.col("v0").alias("l_den"),
+        F.col("v_c").alias("p_num"),
+        F.round(F.lit(1000000.0) * F.col("v0") * F.col("q_c") / F.col("q0"))
+        .cast("bigint")
+        .alias("p_den"),
+    )
+    lasp = F.col("sl").cast("double") / 1000000.0 / F.col("sld")
+    paas = F.col("sp") / (F.col("spd").cast("double") / 1000000.0)
+    return (
+        terms.groupBy(F.col("m").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common_parts"),
+            F.sum("l_num").alias("sl"),
+            F.sum("l_den").alias("sld"),
+            F.sum("p_num").alias("sp"),
+            F.sum("p_den").alias("spd"),
+        )
+        .select(
+            "month",
+            "n_common_parts",
+            F.round(lasp, 6).alias("laspeyres"),
+            F.round(paas, 6).alias("paasche"),
+            F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+    )

@@ -1239,3 +1239,27 @@ def test_similarity_histogram_matches_numpy(spark):
     # healthy spread on this data: mass is NOT collapsed near 1.0
     near_one = sum(n for bn, n in bins.items() if bn >= 9) / total
     assert near_one < 0.5
+
+
+def test_fisher_index_invariants_and_recompute(spark):
+    """Fisher must sit between Laspeyres and Paasche (geometric mean),
+    base month all ~1.0, and the Laspeyres column must agree with the
+    standalone q_laspeyres_price_index query."""
+    from debezium_cdc_kafka_spark.operators.relational3 import (
+        q_fisher_price_index,
+        q_laspeyres_price_index,
+    )
+
+    tri = {r["month"]: r for r in q_fisher_price_index(spark, SF_SMOKE).collect()}
+    lasp = {r["month"]: r for r in q_laspeyres_price_index(
+        spark, SF_SMOKE).collect()}
+    assert set(tri) == set(lasp)
+    m0 = min(tri)
+    for m, r in tri.items():
+        lo, hi = sorted((r["laspeyres"], r["paasche"]))
+        assert lo - 1e-6 <= r["fisher"] <= hi + 1e-6
+        assert abs(r["fisher"] ** 2 - r["laspeyres"] * r["paasche"]) < 1e-4
+        assert abs(r["laspeyres"] - lasp[m]["laspeyres_index"]) < 1e-6
+        assert r["n_common_parts"] == lasp[m]["n_common_parts"]
+    for col in ("laspeyres", "paasche", "fisher"):
+        assert abs(tri[m0][col] - 1.0) < 1e-5
