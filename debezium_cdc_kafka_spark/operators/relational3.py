@@ -1521,3 +1521,134 @@ def q_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Price/volume/mix bridge: revenue change decomposition per brand.
+# ---------------------------------------------------------------------------
+
+_PVM_SPLIT = "1998-07-01"  # 1995-2001 stream → two ~3.5y halves
+
+PVM_ORACLE = f"""
+WITH pp AS (
+  SELECT p.p_brand AS brand, l.l_partkey,
+         CASE WHEN l.l_shipdate < TIMESTAMP '{_PVM_SPLIT}' THEN 0 ELSE 1 END
+           AS period,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS v_c,
+         CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2, 3
+), wide AS (
+  SELECT brand, l_partkey,
+         max(CASE WHEN period = 0 THEN v_c END) AS v0,
+         max(CASE WHEN period = 0 THEN q_c END) AS q0,
+         max(CASE WHEN period = 1 THEN v_c END) AS v1,
+         max(CASE WHEN period = 1 THEN q_c END) AS q1
+  FROM pp GROUP BY brand, l_partkey
+), common AS (
+  SELECT brand,
+         -- price effect: (p1-p0)*q0, computed as 1e6-scaled int terms
+         CAST(round(1000000.0 * v1 * q0 / q1) AS BIGINT) - 1000000 * v0
+           AS price_u,
+         -- volume effect: p0*(q1-q0)
+         CAST(round(1000000.0 * v0 * q1 / q0) AS BIGINT) - 1000000 * v0
+           AS volume_u,
+         v1 - v0 AS delta_c, v0, v1
+  FROM wide WHERE v0 IS NOT NULL AND v1 IS NOT NULL
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n_common_parts,
+       round(CAST(sum(delta_c) AS BIGINT) / 100.0, 2) AS revenue_change,
+       round(CAST(sum(price_u) AS DOUBLE) / 100000000.0, 2) AS price_effect,
+       round(CAST(sum(volume_u) AS DOUBLE) / 100000000.0, 2) AS volume_effect,
+       round((CAST(sum(delta_c) AS BIGINT) * 1000000.0
+              - CAST(sum(price_u) AS DOUBLE) - CAST(sum(volume_u) AS DOUBLE))
+             / 100000000.0, 2) AS mix_effect
+FROM common GROUP BY brand
+"""
+
+
+@query("q_price_volume_mix", PVM_ORACLE)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix bridge per brand between the stream's two
+    halves (split {_PVM_SPLIT}): revenue change decomposed into the
+    price effect (Δprice x base volume), volume effect (base price x
+    Δvolume), and the joint/mix residual — the FP&A waterfall that says
+    WHY revenue moved where [[q_mom_growth]] only says THAT it moved
+    and [[q_fisher_price_index]] isolates the pure-price component
+    corpus-wide. Restricted to parts traded in both halves; the three
+    effects sum exactly to the revenue change by construction (pinned
+    in tests).
+
+    Exactness: the Laspeyres discipline again — per-part cross terms
+    are single identically-associated double expressions rounded to
+    1e6-scaled integers, same-period terms pure integer sums, the mix
+    residual derived from those sums so the bridge closes to the cent.
+
+    Scale: one (brand, part, half) map-side-combinable aggregate, a
+    per-part pivot (2 rows → 1), and a |brands|-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    split = F.lit(_PVM_SPLIT).cast("timestamp")
+    pp = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy(
+            "brand",
+            "l_partkey",
+            (F.col("l_shipdate") >= split).cast("int").alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "v_c"
+            ),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q_c"),
+        )
+    )
+    wide = pp.groupBy("brand", "l_partkey").agg(
+        F.max(F.when(F.col("period") == 0, F.col("v_c"))).alias("v0"),
+        F.max(F.when(F.col("period") == 0, F.col("q_c"))).alias("q0"),
+        F.max(F.when(F.col("period") == 1, F.col("v_c"))).alias("v1"),
+        F.max(F.when(F.col("period") == 1, F.col("q_c"))).alias("q1"),
+    )
+    common = wide.filter(
+        F.col("v0").isNotNull() & F.col("v1").isNotNull()
+    ).select(
+        "brand",
+        (
+            F.round(F.lit(1000000.0) * F.col("v1") * F.col("q0") / F.col("q1"))
+            .cast("bigint")
+            - F.lit(1000000).cast("bigint") * F.col("v0")
+        ).alias("price_u"),
+        (
+            F.round(F.lit(1000000.0) * F.col("v0") * F.col("q1") / F.col("q0"))
+            .cast("bigint")
+            - F.lit(1000000).cast("bigint") * F.col("v0")
+        ).alias("volume_u"),
+        (F.col("v1") - F.col("v0")).alias("delta_c"),
+    )
+    return common.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_common_parts"),
+        F.round(F.sum("delta_c") / 100.0, 2).alias("revenue_change"),
+        F.round(
+            F.sum(F.col("price_u").cast("decimal(28,0)")).cast("double")
+            / 100000000.0,
+            2,
+        ).alias("price_effect"),
+        F.round(
+            F.sum(F.col("volume_u").cast("decimal(28,0)")).cast("double")
+            / 100000000.0,
+            2,
+        ).alias("volume_effect"),
+        F.round(
+            (
+                F.sum("delta_c").cast("double") * 1000000.0
+                - F.sum(F.col("price_u").cast("decimal(28,0)")).cast("double")
+                - F.sum(F.col("volume_u").cast("decimal(28,0)")).cast("double")
+            )
+            / 100000000.0,
+            2,
+        ).alias("mix_effect"),
+    )

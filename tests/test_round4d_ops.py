@@ -1263,3 +1263,49 @@ def test_fisher_index_invariants_and_recompute(spark):
         assert r["n_common_parts"] == lasp[m]["n_common_parts"]
     for col in ("laspeyres", "paasche", "fisher"):
         assert abs(tri[m0][col] - 1.0) < 1e-5
+
+
+def test_pvm_bridge_closes_and_matches_recompute(spark):
+    """The three effects must sum exactly to the revenue change per
+    brand (bridge closure), and every number must match a pure-Python
+    decomposition."""
+    from debezium_cdc_kafka_spark.operators.relational3 import (
+        _PVM_SPLIT,
+        q_price_volume_mix,
+    )
+
+    brand = {r["p_partkey"]: r["p_brand"] for r in _read("part")}
+    split = pd.Timestamp(_PVM_SPLIT)
+    pp = defaultdict(lambda: [0, 0])
+    for r in _read("lineitem"):
+        k = (brand[r["l_partkey"]], r["l_partkey"], int(r["l_shipdate"] >= split))
+        a = pp[k]
+        a[0] += _round_half_away(r["l_extendedprice"] * 100)
+        a[1] += _round_half_away(r["l_quantity"] * 100)
+    parts = defaultdict(dict)
+    for (b, pk, per), (v, q) in pp.items():
+        parts[(b, pk)][per] = (v, q)
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for (b, pk), d in parts.items():
+        if 0 not in d or 1 not in d:
+            continue
+        (v0, q0), (v1, q1) = d[0], d[1]
+        a = agg[b]
+        a[0] += 1
+        a[1] += v1 - v0
+        a[2] += _round_half_away(1e6 * v1 * q0 / q1) - 1000000 * v0
+        a[3] += _round_half_away(1e6 * v0 * q1 / q0) - 1000000 * v0
+
+    rows = {r["brand"]: r for r in q_price_volume_mix(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for b, (n, dc, pu, vu) in agg.items():
+        r = rows[b]
+        assert r["n_common_parts"] == n
+        assert abs(r["revenue_change"] - dc / 100.0) < 1e-6
+        assert abs(r["price_effect"] - pu / 1e8) < 0.011
+        assert abs(r["volume_effect"] - vu / 1e8) < 0.011
+        # closure: effects sum to the revenue change (rounding grain only)
+        assert abs(
+            r["price_effect"] + r["volume_effect"] + r["mix_effect"]
+            - r["revenue_change"]
+        ) < 0.03
