@@ -1136,3 +1136,127 @@ def q_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f, 6).alias("f_stat"),
         (f > 2.1).cast("int").alias("weekly_cycle_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (the significance test beside Theil-Sen's slope).
+# ---------------------------------------------------------------------------
+
+_MK_Z_CRIT = 1.959964  # two-sided 5%
+
+MANNKENDALL_ORACLE = f"""
+WITH day AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY d
+), idx AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t FROM day
+), pairs AS (
+  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM idx a JOIN idx b ON b.t > a.t
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+ties AS (
+  SELECT CAST(coalesce(sum(tj * (tj - 1) * (2 * tj + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS tj FROM idx GROUP BY x
+        HAVING count(*) > 1)
+), stat AS (
+  SELECT p.s, p.n_pairs, nn.n,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie_term) / 18.0 AS var_s
+  FROM pairs p CROSS JOIN nn CROSS JOIN ties t
+)
+SELECT s, n, n_pairs,
+       round(var_s, 4) AS var_s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z,
+       CAST(abs(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                     WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                     ELSE 0.0 END) > {_MK_Z_CRIT} AS INT) AS trend_detected
+FROM stat
+"""
+
+
+@query("q_mann_kendall", MANNKENDALL_ORACLE)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST on the daily event counts: S = sum of
+    pairwise sign comparisons, tie-corrected Var(S), the
+    continuity-corrected Z, and a 5% two-sided verdict — the
+    non-parametric is-there-a-trend-at-all decision whose slope
+    companion is [[q_theil_sen_trend]] (same pair space; MK says
+    WHETHER, Theil-Sen says HOW MUCH; both immune to the outlier days
+    that break [[q_regression_trend]]'s OLS).
+
+    Exactness: S and the tie term are exact integer folds over the
+    calendar-bounded pair table; Var(S) is one integer expression over
+    18.0 and Z one IEEE sqrt+division, critical value a shared literal.
+
+    Scale: the corpus collapses to the per-day count table in one
+    map-side-combinable aggregate; the pairwise comparison runs on the
+    bounded |days|² frame — never on raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    idx = day.select(
+        "x", F.row_number().over(W.orderBy("d")).cast("long").alias("t")
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("t").alias("ta"))
+    b = idx.select(F.col("x").alias("xb"), F.col("t").alias("tb"))
+    pairs = a.join(b, F.col("tb") > F.col("ta")).agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    nn = idx.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        idx.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("tj"))
+        .filter(F.col("tj") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tj") * (F.col("tj") - 1) * (2 * F.col("tj") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    stat = (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s",
+            "n",
+            "n_pairs",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt("var_s"))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        "s",
+        "n",
+        "n_pairs",
+        F.round("var_s", 4).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > _MK_Z_CRIT).cast("int").alias("trend_detected"),
+    )

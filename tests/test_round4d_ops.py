@@ -1309,3 +1309,33 @@ def test_pvm_bridge_closes_and_matches_recompute(spark):
             r["price_effect"] + r["volume_effect"] + r["mix_effect"]
             - r["revenue_change"]
         ) < 0.03
+
+
+def test_mann_kendall_matches_textbook_recompute(spark):
+    from debezium_cdc_kafka_spark.operators.timeseries import (
+        _MK_Z_CRIT,
+        q_mann_kendall,
+    )
+
+    daily = Counter(r["ts"].date() for r in _read("events"))
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else (-1 if xs[j] < xs[i] else 0))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_groups = [c for c in Counter(xs).values() if c > 1]
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in tie_groups)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+        (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    )
+
+    (r,) = q_mann_kendall(spark, SF_SMOKE).collect()
+    assert r["n"] == n
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert r["s"] == s
+    assert abs(r["var_s"] - var_s) < 1e-3
+    assert abs(r["z"] - z) < 1e-5
+    assert r["trend_detected"] == int(abs(z) > _MK_Z_CRIT)
