@@ -77,3 +77,46 @@ def test_attribution_models_share_pair_structure(spark):
     assert abs(
         lin["view"]["credited_purchases"] - dec["view"]["credited_purchases"]
     ) > 1e-3
+
+
+def test_exact_distinct_agrees_between_bitmap_and_hll_census(spark):
+    """Two sketch-family queries carry the EXACT distinct beside their
+    estimates (bitmap computes it via bitmap_count, the HLL query via
+    count distinct) — the exact columns must be identical per type and
+    globally."""
+    from debezium_cdc_kafka_spark.operators.approx import (
+        q_bitmap_distinct_users,
+        q_hll_sketch_union,
+    )
+
+    bm = {r["event_type"]: r["distinct_users"] for r in
+          q_bitmap_distinct_users(spark, SF_SMOKE).collect()}
+    hll = {r["event_type"]: r["exact_distinct"] for r in
+           q_hll_sketch_union(spark, SF_SMOKE).collect()}
+    assert bm == hll
+
+
+def test_conversion_cdf_population_is_the_funnel_stage_one(spark):
+    from debezium_cdc_kafka_spark.operators.behavior import (
+        q_conversion_cdf,
+        q_funnel_3step,
+    )
+
+    signups = {r["stage_ord"]: r["users"] for r in q_funnel_3step(
+        spark, SF_SMOKE).collect()}[1]
+    for r in q_conversion_cdf(spark, SF_SMOKE).collect():
+        assert r["n_signups"] == signups
+
+
+def test_reorder_gap_count_reconciles_with_order_census(spark):
+    """Sum of per-segment gap counts must equal total orders minus the
+    number of customers with at least one order (each ordered customer
+    contributes n_orders - 1 gaps)."""
+    from debezium_cdc_kafka_spark.operators.relational3 import q_reorder_interval
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    total_orders = orders.count()
+    ordering_customers = orders.select("o_custkey").distinct().count()
+    n_gaps = sum(r["n_gaps"] for r in q_reorder_interval(
+        spark, SF_SMOKE).collect())
+    assert n_gaps == total_orders - ordering_customers
