@@ -135,14 +135,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    spark = get_spark("oracle_check", cpus="8")
-    con = duckdb_connect(args.sf)
-
     queries = registry.all_queries()
     oracles = registry.all_oracles()
     names = sorted(queries)
     if args.only:
-        names = [n for n in names if n in set(args.only.split(","))]
+        wanted = [n for n in args.only.split(",") if n]
+        unknown = sorted(set(wanted) - set(names))
+        if unknown:
+            # A typo'd --only that silently skips looks like success
+            # (VERDICT r4 item 4) — fail loudly before spinning up Spark.
+            raise SystemExit(
+                f"--only names not in the registry: {', '.join(unknown)}"
+            )
+        only = set(wanted)
+        names = [n for n in names if n in only]
+
+    spark = get_spark("oracle_check", cpus="8")
+    con = duckdb_connect(args.sf)
 
     failures = 0
     results: dict[str, dict] = {}

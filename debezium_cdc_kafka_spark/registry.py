@@ -73,98 +73,80 @@ def _modules():
 # longer rotate it out of the gate as a side effect; changing the window is
 # an explicit edit to this list.
 #
-# Round-4 window (per VERDICT.md "Next round"): the four queries that were
-# red/ungated in CORRECTNESS_r03 lead (now canonicalizer-safe /
-# hash-gated), then the never-gated families: curation(15) + corpus(3) +
-# multimodal(3) + graph(3) + audit(4) + timeseries(7) + behavior(8) +
-# approx's first 3 = exactly 50. Still never gated after r4 (~29, queued
-# for r5): q_hll_sketch_union, stats(7), asof(2), reshape(6), partsupp(4),
-# layout(1), windows(6), dedup_incremental_minhash, q_pca_top2_project
-# (rows-only; its invariants companion is hash-gated in this window), and
-# relational stragglers already green in r1/r2.
-# r5 rotation plan (do NOT apply before the r4 driver gate has run):
-# lead with the never-gated pre-r4 families — stats(10: moments,
-# pandas_udf, outliers_mad, profile, regression, referential, qnorm,
-# chi2, corr-matrix, ks) + asof(2) + reshape(7) + partsupp(4) +
-# layout(3) + windows(6) + incremental(3: pca_invariants already gated →
-# dedup_incremental_minhash, q_incremental_topk, q_incremental_distinct)
-# + q_hll_sketch_union + q_kmv_sketch_ops — then fill the remaining
-# ~13 slots from this round's additions, preferring one per new family:
-# q_welch_ttest, q_bootstrap_ci, q_spearman_corr, q_acf_lags,
-# q_ohlc_candles, q_soft_dedup_weights, q_epoch_shuffle_plan,
-# multimodal_phash_dedup, graph_kcore, q_t_closeness, q_snapshot_diff,
-# dedup_lsh_recall_eval, q_vocab_coverage. Also never gated (added at
-# the end of r4): q_asof_nearest_tolerance, cdc_key_lifecycle,
-# dedup_source_overlap, q_simplified_silhouette, text_readability,
-# q_spacesaving_heavy_hitters, q_interarrival_burstiness, q_ndcg_eval,
-# q_embedding_norm_audit, q_window_funnel, q_attribution_linear,
-# q_hll_time_rollup, q_cuped_adjustment, q_diff_in_diff,
-# q_quantile_treatment_effect, q_bitmap_distinct_users, and the closing
-# r4 wave (variant_props, time-decay attribution, LTV curve, power
-# analysis, cycle time, ABC, HHI, reorder, basket, dispersion,
-# discount mix, dim variance, churn, degree distribution, cluster
-# quality, engagement). ~65 never-gated total — fill r5's ~13 free
-# slots one-per-family, r6 sweeps the remainder.
+# Round-5 window (per VERDICT.md r4 "Next round" item 1): exactly the r5
+# rotation plan recorded last round — never-gated pre-r4 families first,
+# then one pick per late-r4 family. Every name below is first-time (no
+# green row in CORRECTNESS_r01..r04), enforced by tests/test_driver_canon.py.
+# Still never gated after r5 (~97, queued for r6/r7): the remaining stats
+# additions (psi_drift, classifier_auc, decision_stump, calibration,
+# mutual_information, anova, weighted_median_udaf, winsorized, cuped,
+# diff_in_diff, qte, power), q_equidepth_histogram (reshape straggler),
+# q_windowed_topk_types, q_asof_nearest_tolerance, remaining approx
+# sketches, embedding evals (knn graph, recall, matryoshka, mrr, purity,
+# silhouette, ndcg, norm/dim audits, similarity histogram), text extras,
+# corpus extras, graph extras, behavior/timeseries late wave, and the
+# closing r4 business-metrics wave. Additions are FROZEN this round
+# (VERDICT item 2) so the pool strictly decreases: 147 -> 97.
 GATE_ORDER: list[str] = [
-    # red-row fixes from CORRECTNESS_r03
-    "q_embedding_quantize",
-    "q_jl_projection",
-    "q_inverted_index",
-    "q_pca_invariants",
-    # curation (15)
-    "q_stratified_sample",
-    "q_dataset_split",
-    "q_dedup_canonical",
-    "q_contamination_ngram",
-    "q_quality_percentile_band",
-    "q_weighted_sample",
-    "q_token_budget_mix",
-    "q_sequence_packing",
-    "q_curation_pipeline",
-    "q_c4_rule_gate",
-    "q_negative_samples",
-    "q_balanced_classes",
-    "q_dsir_weights",
-    "q_length_grouped_batches",
-    "q_temperature_mix",
-    # corpus (3)
-    "text_bpe_pair_counts",
-    "q_heaps_law",
-    "q_source_mix_entropy",
-    # multimodal (3)
-    "multimodal_blob_meta",
-    "multimodal_frame_sample",
-    "multimodal_shard_manifest",
-    # graph (3)
-    "graph_pagerank_copurchase",
-    "graph_association_rules",
-    "graph_triangle_count",
-    # audit (4)
-    "q_k_anonymity",
-    "q_cascade_delete",
-    "q_benford_price",
-    "q_dp_noisy_counts",
-    # timeseries (7)
-    "q_gapfill_hourly_counts",
-    "q_locf_daily_value",
-    "q_ewma_user_value",
-    "q_multires_rollup",
-    "q_rolling_zscore_anomaly",
-    "q_seasonal_hourly_baseline",
-    "q_streak_gaps_islands",
-    # behavior (8)
-    "q_funnel_3step",
-    "q_cohort_retention_weekly",
-    "q_markov_transitions",
-    "q_rfm_segments",
-    "q_attribution_last_touch",
-    "q_view_purchase_interval_join",
-    "q_top_session_paths",
-    "q_max_concurrent_sessions",
-    # approx (first 3)
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_countmin_sketch",
+    # stats (10) — never-gated since r3
+    "q_stats_moments",
+    "q_pandas_udf_score",
+    "q_outliers_mad",
+    "q_profile_columns",
+    "q_regression_trend",
+    "q_referential_audit",
+    "q_quantile_normalize",
+    "q_chi_square_independence",
+    "q_correlation_matrix",
+    "q_ks_two_sample",
+    # asof (2)
+    "q_asof_last_order",
+    "q_asof_next_order",
+    # reshape (7; q_equidepth_histogram queued for r6)
+    "q_moving_avg_7d",
+    "q_unpivot_metrics",
+    "q_histogram_price_bins",
+    "q_pct_of_total",
+    "q_date_dimension",
+    "q_map_functions",
+    "q_feature_scaling",
+    # partsupp TPC-H (4)
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q20_excess_inventory",
+    # layout (3)
+    "q_zorder_key",
+    "q_compaction_plan",
+    "q_partition_skew_advisor",
+    # windows (6; q_windowed_topk_types queued for r6)
+    "q_tumbling_window_1h",
+    "q_sliding_window_1h_30m",
+    "q_sessionize_30m",
+    "q_stream_dedup_first",
+    "q_late_events_10m",
+    "q_window_navigation",
+    # incremental (3; q_pca_invariants gated r4)
+    "dedup_incremental_minhash",
+    "q_incremental_topk",
+    "q_incremental_distinct",
+    # approx sketch stragglers (2)
+    "q_hll_sketch_union",
+    "q_kmv_sketch_ops",
+    # one per late-r4 family (13)
+    "q_welch_ttest",
+    "q_bootstrap_ci",
+    "q_spearman_corr",
+    "q_acf_lags",
+    "q_ohlc_candles",
+    "q_soft_dedup_weights",
+    "q_epoch_shuffle_plan",
+    "multimodal_phash_dedup",
+    "graph_kcore",
+    "q_t_closeness",
+    "q_snapshot_diff",
+    "dedup_lsh_recall_eval",
+    "q_vocab_coverage",
 ]
 
 GATE_SLOTS = 50

@@ -44,6 +44,39 @@ def test_gated_queries_all_have_oracles():
     assert not missing, f"gated queries without oracle SQL: {missing}"
 
 
+def test_gate_window_spends_no_slot_on_already_green_rows():
+    """Every GATE_ORDER slot must buy a FIRST driver row (VERDICT r4 item 5).
+
+    The driver gates only 50 queries per round; re-gating a query already
+    green in a prior CORRECTNESS_r*.json wastes a slot while 90+ queries
+    have never been driver-verified. Names may be re-gated deliberately
+    (e.g. a red row being re-verified after a fix) via REGATE_OK.
+    """
+    import glob
+    import json
+    import pathlib
+
+    # Deliberate re-verifications (red rows being fixed) go here.
+    REGATE_OK: set[str] = set()
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    prior_green: set[str] = set()
+    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r0*.json"))):
+        for name, row in json.load(open(path)).items():
+            if row.get("rows_match") and row.get("schema_match") and (
+                row.get("hash_match") in (True, None)
+            ):
+                prior_green.add(name)
+    wasted = [
+        n for n in registry.GATE_ORDER
+        if n in prior_green and n not in REGATE_OK
+    ]
+    assert not wasted, (
+        "GATE_ORDER slots spent on queries already green in a prior "
+        f"CORRECTNESS_r*.json (add to REGATE_OK if deliberate): {wasted}"
+    )
+
+
 def test_no_query_output_breaks_driver_canonicalizer(spark):
     assert not (COMPLEX_OK & set(registry.GATE_ORDER)), (
         "complex-typed queries must not occupy gated window slots"
@@ -64,3 +97,13 @@ def test_no_query_output_breaks_driver_canonicalizer(spark):
         "queries with driver-unhashable (array/map/struct) output columns "
         f"(stringify with array_join/to_json or whitelist in COMPLEX_OK): {bad}"
     )
+
+
+def test_oracle_check_only_rejects_unknown_names():
+    """A typo'd --only must exit non-zero, not report n/n ok (VERDICT r4 #4)."""
+    import pytest
+
+    from debezium_cdc_kafka_spark.oracle_check import main
+
+    with pytest.raises(SystemExit, match="q_mann_kendall_trend"):
+        main(["--sf", SF_SMOKE, "--only", "q_mann_kendall_trend"])
