@@ -518,8 +518,9 @@ WITH qi AS (
   FROM grid
 )
 SELECT c_nationkey, c_mktsegment, CAST(n_c AS BIGINT) AS group_n,
-       round(max(abs(cdf_gap)), 6) AS t_distance,
-       CAST(max(abs(cdf_gap)) <= {_T_CLOSE} AS INTEGER) AS t_close
+       round(sum(abs(cdf_gap)) / greatest(count(*) - 1, 1), 6) AS t_distance,
+       CAST(sum(abs(cdf_gap)) / greatest(count(*) - 1, 1) <= {_T_CLOSE}
+            AS INTEGER) AS t_close
 FROM walk
 GROUP BY c_nationkey, c_mktsegment, n_c
 """
@@ -531,10 +532,13 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the privacy trio: [[q_k_anonymity]] checks class SIZE, [[q_l_diversity]]
     checks sensitive-value VARIETY, and this checks the sensitive-value
     DISTRIBUTION: per QI class, the earth-mover's distance between the
-    class's balance-band distribution and the global one (for an ordered
-    1-D attribute, EMD = max |CDF gap| over the band walk — Kolmogorov
-    form), flagged against t={_T_CLOSE}. A class can pass k and l yet
-    still leak by skew; this is the audit that catches it.
+    class's balance-band distribution and the global one. For an ordered
+    1-D attribute Li et al. 2007 (Def. 5) give EMD as the MEAN of the
+    absolute cumulative gaps over the band walk — sum|CDF gap|/(m-1) for
+    m bands — which this computes (the r4 version took max|CDF gap|, the
+    Kolmogorov-Smirnov distance, a looser bound the r4 ADVICE flagged);
+    flagged against t={_T_CLOSE}. A class can pass k and l yet still
+    leak by skew; this is the audit that catches it.
 
     Scale: the corpus collapses to the class × band contingency table;
     the dense grid (classes × bands — both bounded), the CDF walk, and
@@ -581,7 +585,12 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         walk.groupBy("c_nationkey", "c_mktsegment", "n_c")
-        .agg(F.max(F.abs(F.col("cdf_gap"))).alias("t_raw"))
+        .agg(
+            (
+                F.sum(F.abs(F.col("cdf_gap")))
+                / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
+            ).alias("t_raw")
+        )
         .select(
             "c_nationkey",
             "c_mktsegment",

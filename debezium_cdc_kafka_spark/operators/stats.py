@@ -569,11 +569,20 @@ binned AS (
          is_base
   FROM pop, rng
 ),
-counts AS (
+counts0 AS (
   SELECT bin,
          CAST(sum(is_base) AS BIGINT) AS n_base,
          CAST(sum(1 - is_base) AS BIGINT) AS n_cur
   FROM binned GROUP BY bin
+),
+-- densify to the full 0..{_PSI_BINS - 1} grid: a bin empty in BOTH periods
+-- still carries a nonzero smoothed term, and the denominator below assumes
+-- all {_PSI_BINS} bins are present (r4 ADVICE item 3)
+counts AS (
+  SELECT CAST(g.range AS INTEGER) AS bin,
+         CAST(coalesce(c.n_base, 0) AS BIGINT) AS n_base,
+         CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur
+  FROM range({_PSI_BINS}) g LEFT JOIN counts0 c ON c.bin = g.range
 ),
 tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM counts),
 terms AS (
@@ -619,9 +628,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
         "is_base",
     )
-    counts = binned.groupBy("bin").agg(
+    counts0 = binned.groupBy("bin").agg(
         F.sum("is_base").cast("long").alias("n_base"),
         F.sum(1 - F.col("is_base")).cast("long").alias("n_cur"),
+    )
+    # Densify to the full 0..B-1 grid (r4 ADVICE item 3): a bin empty in
+    # both periods still contributes its smoothed (p-q)ln(p/q) term, and
+    # the +B*0.5 denominator assumes all B bins are present.
+    grid = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    counts = grid.join(F.broadcast(counts0), "bin", "left").select(
+        "bin",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
     )
     tot = counts.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
     p = (F.col("n_base") + 0.5) / (F.col("tb") + _PSI_BINS * 0.5)

@@ -251,6 +251,9 @@ def test_psi_drift_additivity(spark):
     from debezium_cdc_kafka_spark.operators.stats import q_psi_drift
 
     rows = q_psi_drift(spark, SF_SMOKE).collect()
+    # densified: every bin 0..9 is present even if empty in both periods,
+    # so the +B*0.5 smoothing denominator matches the terms actually summed
+    assert sorted(r["bin"] for r in rows) == list(range(10))
     tot = rows[0]["psi_total"]
     assert all(r["psi_total"] == tot for r in rows)
     assert abs(sum(r["psi_term"] for r in rows) - tot) < 1e-5

@@ -652,9 +652,11 @@ def test_cluster_purity_matches_python(spark):
         assert r["cluster_n"] == nc[r["cluster_id"]]
 
 
-def test_t_closeness_is_max_cdf_gap(spark):
-    """t_distance must equal the max |CDF gap| computed in Python over
-    the dense band grid, and classes equal to the global mix score 0."""
+def test_t_closeness_is_ordered_emd(spark):
+    """t_distance must equal the Li et al. 2007 ordered-attribute EMD —
+    the MEAN of absolute cumulative gaps, sum|CDF gap|/(m-1) — computed
+    in Python over the dense band grid (r4 ADVICE: the old max-gap form
+    was the KS distance, not the paper's EMD)."""
     from debezium_cdc_kafka_spark.operators.audit import q_t_closeness
 
     cells = Counter()
@@ -672,12 +674,13 @@ def test_t_closeness_is_max_cdf_gap(spark):
     for r in rows:
         key = (r["c_nationkey"], r["c_mktsegment"])
         n_c = r["group_n"]
-        gap, worst = 0.0, 0.0
+        gap, acc = 0.0, 0.0
         for b in bands:
             gap += cells.get((*key, b), 0) / n_c - gband[b] / n
-            worst = max(worst, abs(gap))
-        assert abs(r["t_distance"] - worst) < 1e-5
-        assert r["t_close"] == int(worst <= 0.2)
+            acc += abs(gap)
+        emd = acc / max(len(bands) - 1, 1)
+        assert abs(r["t_distance"] - emd) < 1e-5
+        assert r["t_close"] == int(emd <= 0.2)
     assert len(classes) == len(rows)
 
 
