@@ -112,13 +112,16 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outdeg = pairs.groupBy("src").agg(F.sum("w").alias("deg"))
-    edges = pairs.join(outdeg, "src")
+    # The edge frame feeds every iteration: checkpoint once so the heavy
+    # self-join+agg subtree is computed once, not _ITERS times, and rank
+    # lineage does not grow a copy of it per round.
+    edges = pairs.join(outdeg, "src").localCheckpoint(eager=True)
     n_nodes = part.count()
     base9 = round((1 - _DAMP) * _SCALE / n_nodes)
     ranks = part.select(
         "node", F.lit(round(_SCALE / n_nodes)).cast("long").alias("r9")
     )
-    for _ in range(_ITERS):
+    for it in range(_ITERS):
         contrib = (
             ranks.join(edges, ranks.node == edges.src)
             .select(
@@ -137,6 +140,10 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.round(_DAMP * F.coalesce(F.col("s9"), F.lit(0))).cast("long")
             ).alias("r9"),
         )
+        # Bound plan/lineage depth (same hygiene as dedup_clusters /
+        # graph_kcore): flatten every 2 rounds, values unchanged.
+        if (it + 1) % 2 == 0 and (it + 1) < _ITERS:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("p_partkey"),
         F.round(F.col("r9") / float(_SCALE), 6).alias("pagerank"),
