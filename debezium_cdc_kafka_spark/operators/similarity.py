@@ -988,23 +988,30 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a pure per-row projection inside whole-stage codegen; no
     shuffle, no UDF. The matrix is baked into the plan as literals (the
-    16x64 coefficients), so executors need no broadcast at all."""
+    16x64 coefficients), so executors need no broadcast at all. The
+    ~5,000-node expression is built as ONE SQL string handed to a single
+    F.expr call: composing it term-by-term through the Column DSL made
+    ~3,000 Py4J round-trips and cost ~7s of driver time per build (the
+    r5 sweep/bench flagged it); the SQL parse is one call and the
+    resulting plan — and every output value — is identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
-    def coord(k: int):
-        term = None
-        for j in range(_JL_IN):
-            t = F.lit(_jl_sign(j, k)) * F.element_at(arr, j + 1)
-            term = t if term is None else term + t
-        return F.round(term * 1000000).cast("long").cast("string")
+    def coord_sql(k: int) -> str:
+        # 0.25D: double literal (plain 0.25 parses as DECIMAL in Spark SQL,
+        # which would change the arithmetic). Left-to-right + keeps the
+        # fixed IEEE summation order the oracle mirrors.
+        terms = " + ".join(
+            f"({_jl_sign(j, k)}D * CAST(element_at(embedding, {j + 1}) AS DOUBLE))"
+            for j in range(_JL_IN)
+        )
+        return f"CAST(CAST(round(({terms}) * 1000000D) AS BIGINT) AS STRING)"
 
-    return emb.select(
-        "vec_id",
-        F.array_join(F.array(*[coord(k) for k in range(_JL_OUT)]), ",").alias(
-            "jl_vec"
-        ),
+    jl = (
+        "array_join(array("
+        + ", ".join(coord_sql(k) for k in range(_JL_OUT))
+        + "), ',')"
     )
+    return emb.select("vec_id", F.expr(jl).alias("jl_vec"))
 
 
 # ---------------------------------------------------------------------------

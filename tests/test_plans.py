@@ -144,3 +144,20 @@ def test_quantize_is_shuffle_free(spark):
     base = plan_facts(load_table(spark, SF_SMOKE, "embeddings")).exchanges
     facts = plan_facts(similarity.q_embedding_quantize(spark, SF_SMOKE))
     assert facts.exchanges == base, (facts.exchanges, base)
+
+
+def test_similarity_histogram_probe_is_constant_size(spark):
+    """The pair space must be capped at ~(TARGET choose 2) at EVERY scale
+    — the r4 fixed-rate probe grew pairs as (n/5)² (VERDICT r4 scale-killer).
+    Checked at sf0.1 (n=2000, 4x the smoke table): exactly C(100,2) pairs
+    and no CartesianProduct (the probe side must stay broadcastable)."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        _SIMH_TARGET,
+        q_embedding_similarity_histogram,
+    )
+
+    df = q_embedding_similarity_histogram(spark, "/root/testdata/sf0.1")
+    total_pairs = sum(r["n_pairs"] for r in df.collect())
+    assert total_pairs == _SIMH_TARGET * (_SIMH_TARGET - 1) // 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
