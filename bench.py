@@ -42,13 +42,27 @@ HEADLINE = [
     "q_label_centroid_outliers",
 ]
 
+# Extended set (r5, VERDICT item 6): the 5 slowest non-graph-module entries
+# from the r5 full-registry sweep (tools/sweep_timings.py at sf0.1) — the
+# 21-query HEADLINE set predates ~250 of the 292 registered queries, so
+# regressions in the heavy tail were invisible round-over-round. These are
+# benched and reported per-query alongside the headline set; `value` stays
+# the HEADLINE-only total so BENCH_rN remains comparable to BASELINE.md and
+# BENCH_r01..r04, and `value_ext26` adds the extended set.
+EXTENDED = [
+    "q_label_propagation",   # label-blocked mutual-kNN vote (brute eval form)
+    "q_knn_graph",           # label-blocked O(n^2/L) cosine kNN build
+    "semdedup_survivors",    # k-means-cell-bounded SemDeDup pair prune
+    "q_bootstrap_ci",        # 32x Poisson-explode over orders (map-local)
+    "q_jl_projection",       # 1024-literal projection tree (compile-bound)
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
     queries = registry.all_queries()
-    names = [n for n in HEADLINE if n in queries]
 
     # Warm the JVM once per query shape at the smallest SF (codegen/JIT for
     # the big expression trees costs seconds on first run), then once per
@@ -57,32 +71,44 @@ def main() -> int:
     # full-size warm rep the min-of-reps below still carries 30-60% of that
     # first-touch cost (observed bimodal reps at sf0.1). Steady-state per
     # query is what BASELINE comparisons need.
-    for name in names:
-        queries[name](spark, "/root/testdata/sf0.001").count()
-    spark.catalog.clearCache()
-    for name in names:
-        queries[name](spark, sf_dir).count()
-        spark.catalog.clearCache()
-
+    #
     # min over `reps` runs per query: single-run wall time at 1–2s scale
     # has ±20% scheduler/GC jitter (observed across rounds 1–2); the min is
     # the steady-state cost. Cache is cleared after every run so a query's
     # internal persist() neither leaks into its neighbours nor lets a
     # repeat ride the previous rep's cache.
-    times: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+    def run_set(set_names: list[str], times: dict[str, float]) -> None:
+        found = [n for n in set_names if n in queries]
+        for name in found:
+            queries[name](spark, "/root/testdata/sf0.001").count()
+        spark.catalog.clearCache()
+        for name in found:
+            queries[name](spark, sf_dir).count()
             spark.catalog.clearCache()
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+        for name in found:
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            times[name] = round(best, 3)
+            print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
+    # The HEADLINE warm+time cycle runs COMPLETELY BEFORE the extended set
+    # touches the JVM: warming the extended set's giant plans (the
+    # 1024-literal JL tree, the O(n^2/L) pair joins) first fills the JIT
+    # code cache and inflated every headline rep ~2-4x when measured after
+    # them — which would break comparability with BENCH_r01..r04.
+    times: dict[str, float] = {}
+    run_set(HEADLINE, times)
+    headline = set(HEADLINE) & set(times)
+    run_set(EXTENDED, times)
+
+    total = round(sum(t for n, t in times.items() if n in headline), 3)
+    total_ext = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -91,7 +117,16 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "value_ext26": total_ext,
+                "n_headline": len(headline),
+                "n_extended": len([n for n in times if n not in headline]),
                 "reps": reps,
+                "notes": (
+                    "r4 regressions rechecked at reps=10 (VERDICT r4 #8): "
+                    "ann_bruteforce_topk min 0.532s, q_funnel_3step min "
+                    "0.323s - both back at r3 levels, reps=3 noise, plans "
+                    "unchanged"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
