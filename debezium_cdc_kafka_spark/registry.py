@@ -77,16 +77,38 @@ def _modules():
 # rotation plan recorded last round — never-gated pre-r4 families first,
 # then one pick per late-r4 family. Every name below is first-time (no
 # green row in CORRECTNESS_r01..r04), enforced by tests/test_driver_canon.py.
-# Still never gated after r5 (~97, queued for r6/r7): the remaining stats
-# additions (psi_drift, classifier_auc, decision_stump, calibration,
-# mutual_information, anova, weighted_median_udaf, winsorized, cuped,
-# diff_in_diff, qte, power), q_equidepth_histogram (reshape straggler),
-# q_windowed_topk_types, q_asof_nearest_tolerance, remaining approx
-# sketches, embedding evals (knn graph, recall, matryoshka, mrr, purity,
-# silhouette, ndcg, norm/dim audits, similarity histogram), text extras,
-# corpus extras, graph extras, behavior/timeseries late wave, and the
-# closing r4 business-metrics wave. Additions are FROZEN this round
-# (VERDICT item 2) so the pool strictly decreases: 147 -> 97.
+# Never gated after the r5 gate runs: exactly 97 (additions FROZEN this
+# round per VERDICT r4 item 2, so the pool strictly decreases; verified
+# against CORRECTNESS_r01..r04 + this window).
+# r6 window plan (50, do NOT apply before the r5 driver gate has run) —
+# whole never-gated families in module order:
+#   cdc(3): cdc_op_mix_drift, cdc_hot_keys, cdc_key_lifecycle
+#   dedup(4): dedup_exact_substring, q_minhash_containment,
+#     dedup_cluster_histogram, dedup_source_overlap
+#   similarity(16): q_rrf_hybrid_search, q_knn_graph, ann_recall_eval,
+#     q_embedding_health, q_kcenter_coreset, q_dbscan_clusters,
+#     q_label_propagation, q_matryoshka_recall, q_retrieval_mrr,
+#     q_cluster_purity, q_simplified_silhouette, q_ndcg_eval,
+#     q_embedding_norm_audit, q_embedding_dim_variance,
+#     q_cluster_quality_profile, q_embedding_similarity_histogram
+#   text(4): q_feature_hashing, q_langid_confusion,
+#     text_lexical_diversity, text_readability
+#   curation(1): q_split_leakage_report
+#   corpus(7): text_bpe_train, text_bpe_apply, q_ngram_novelty,
+#     q_gini_source_tokens, q_tokenizer_fertility, q_zipf_fit,
+#     q_pmi_collocations
+#   multimodal(3): multimodal_patch_grid, multimodal_audio_chunks,
+#     multimodal_aspect_buckets
+#   graph(3): graph_jaccard_neighbors, graph_assortativity,
+#     graph_degree_distribution
+#   audit(3): q_l_diversity, q_qi_generalize, q_srm_check
+#   timeseries(6): q_cusum_changepoint, q_sax_symbolize, q_rolling_wau,
+#     q_mom_growth, q_theil_sen_trend, q_seasonal_naive_backtest
+# r7 window (the remaining 47, clearing the pool): timeseries stragglers
+# (q_weekday_effect, q_mann_kendall), behavior(12), approx(6), stats(12),
+# q_asof_nearest_tolerance, q_equidepth_histogram, q_windowed_topk_types,
+# relational3(12: variant/cycle/ABC/HHI/reorder/basket/dispersion/
+# discount/churn/Laspeyres/Fisher/PVM).
 GATE_ORDER: list[str] = [
     # stats (10) — never-gated since r3
     "q_stats_moments",
