@@ -52,6 +52,28 @@ def query(name: str, oracle: str | None = None):
 # Query set: every 100th vector (deterministic, SF-independent rule).
 _QUERY_PRED = "vec_id % 100 = 0"
 
+
+# Seed count for every md5-ordered k-means seed draw in this module: k
+# tracks the corpus so cells stay ~constant-SIZE (k = max(8, ceil(n/250)))
+# instead of constant-COUNT - with fixed k, cell size grows with n and the
+# in-cell pair space (SemDeDup, silhouette, purity) turns quadratic (the r5
+# 4x-scaling measurement in SCALE.md caught exactly that: 7.1x at 4x rows).
+# At every checked-in SF (n <= 2000) k evaluates to 8, so every oracle hash
+# is unchanged; the knob engages beyond n = 2000.
+_SEED_TARGET = 250
+
+_SEEDS_LIMIT_SQL = (
+    "greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0)"
+    " AS BIGINT))"
+)
+
+
+def _seed_count(emb) -> int:
+    import math
+
+    return max(8, math.ceil(emb.count() / _SEED_TARGET))
+
+
 _COS_SQL = (
     f"{EMB_DOT_SQL} / sqrt(({EMB_NORM_SQL.format(t='a')}) * ({EMB_NORM_SQL.format(t='b')}))"
 )
@@ -444,7 +466,7 @@ _D2_SQL = (
 KMEANS_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
 ), scored AS (
   SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
   FROM embeddings e CROSS JOIN seeds s
@@ -478,7 +500,7 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(8)
+        .limit(_seed_count(emb))
         .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
     )
     diffs = F.zip_with(
@@ -507,7 +529,7 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_UPDATE_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
 ), scored AS (
   SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
   FROM embeddings e CROSS JOIN seeds s
@@ -547,7 +569,7 @@ def ann_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(8)
+        .limit(_seed_count(emb))
         .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
     )
     diffs = F.zip_with(
@@ -645,7 +667,7 @@ _SEMDEDUP_TAU = 0.4
 _MEMBERS_CTE = f"""
 seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
 ), scored AS (
   SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
   FROM embeddings e CROSS JOIN seeds s
@@ -691,7 +713,7 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(8)
+        .limit(_seed_count(emb))
         .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
     )
     diffs = F.zip_with(
@@ -1688,7 +1710,7 @@ _KNNG_K = 5
 KNNG_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
 ), best AS (
   SELECT vec_id, cluster_id FROM (
     SELECT e.vec_id, s.cluster_id,
@@ -1719,13 +1741,13 @@ WHERE x.src < x.dst
 
 
 def _knng_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster_id, embedding) under the same deterministic k=8
-    quantizer ann_kmeans_assign uses (smallest-md5 seeds, d² rounded
+    """(vec_id, cluster_id, embedding) under the same deterministic
+    k = max(8, ceil(n/250)) quantizer ann_kmeans_assign uses (smallest-md5 seeds, d² rounded
     before the argmin so ties cut identically cross-engine)."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(8)
+        .limit(_seed_count(emb))
         .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
     )
     diffs = F.zip_with(
@@ -2735,7 +2757,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 SILHOUETTE_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
 ), scored AS (
   SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
   FROM embeddings e CROSS JOIN seeds s
@@ -2781,7 +2803,7 @@ def q_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(8)
+        .limit(_seed_count(emb))
         .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
     )
     diffs = F.zip_with(
