@@ -107,3 +107,17 @@ def test_oracle_check_only_rejects_unknown_names():
 
     with pytest.raises(SystemExit, match="q_mann_kendall_trend"):
         main(["--sf", SF_SMOKE, "--only", "q_mann_kendall_trend"])
+
+
+def test_bench_sets_name_real_queries():
+    """bench.py silently filters unknown names (`if n in queries`); a typo'd
+    HEADLINE/EXTENDED entry would shrink the benched set without failing
+    anything. Pin every name to the registry, and keep the two sets
+    disjoint so `value` stays the 21-query BASELINE-comparable total."""
+    import bench
+
+    qs = set(registry.all_queries())
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in qs]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert not set(bench.HEADLINE) & set(bench.EXTENDED)
+    assert len(bench.HEADLINE) == 21  # BASELINE comparability contract
