@@ -157,6 +157,28 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RULE_MIN_PAIR = 3
 _RULE_TOPK = 50
 
+# Relative min-support (r5): the absolute floor of 3 co-purchases is kept,
+# but beyond ~150k orders the threshold tracks the corpus — 2 per 100k
+# orders — so the support-pruned co-purchase graph keeps ~constant density
+# instead of densifying superlinearly as order volume grows over a fixed
+# catalog (the r5 4x-facts sweep measured graph_jaccard_neighbors at 5.0x
+# for 4x orders; with relative support the edge set is pruned back).
+# ceil(150000 * 2e-5) = 3 exactly, so every checked-in SF (orders <= 150k)
+# keeps threshold 3 and every oracle hash is unchanged.
+_SUPPORT_RATE = 0.00002
+
+_SUPPORT_SQL = (
+    "greatest({floor}, CAST(ceil((SELECT count(*) FROM orders) * 0.00002)"
+    " AS BIGINT))"
+)
+
+
+def _min_support(spark: SparkSession, sf_dir: str, floor: int) -> int:
+    import math
+
+    n = load_table(spark, sf_dir, "orders").count()
+    return max(floor, math.ceil(n * _SUPPORT_RATE))
+
 ASSOC_ORACLE = f"""
 WITH d AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -167,7 +189,7 @@ items AS (
   SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS pair_n
   FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
   GROUP BY src, dst
-  HAVING count(*) >= {_RULE_MIN_PAIR}
+  HAVING count(*) >= {_SUPPORT_SQL.format(floor=_RULE_MIN_PAIR)}
 ), rules AS (
   SELECT p.src, p.dst, p.pair_n,
          round(p.pair_n * 1.0 / si.item_n, 6) AS confidence,
@@ -207,7 +229,7 @@ def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("pair_n"))
-        .filter(F.col("pair_n") >= _RULE_MIN_PAIR)
+        .filter(F.col("pair_n") >= _min_support(spark, sf_dir, _RULE_MIN_PAIR))
     )
     si = items.select(F.col("l_partkey").alias("src"), F.col("item_n").alias("src_n"))
     di = items.select(F.col("l_partkey").alias("dst"), F.col("item_n").alias("dst_n"))
@@ -334,7 +356,7 @@ WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_JN_MIN_PAIR}
+  GROUP BY 1, 2 HAVING count(*) >= {_SUPPORT_SQL.format(floor=_JN_MIN_PAIR)}
 ),
 und AS (
   SELECT u, v AS w FROM pairs UNION ALL SELECT v AS u, u AS w FROM pairs
@@ -390,7 +412,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("pn"))
-        .filter(F.col("pn") >= _JN_MIN_PAIR)
+        .filter(F.col("pn") >= _min_support(spark, sf_dir, _JN_MIN_PAIR))
         .drop("pn")
     )
     und = pairs.select("u", F.col("v").alias("w")).unionByName(
