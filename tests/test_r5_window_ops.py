@@ -1,0 +1,195 @@
+"""Independent Python recomputes for r5 driver-window queries that were
+oracle-gated but had no direct pytest reference (stats moments, MAD
+outliers, as-of joins, reshape/window shapes). Same discipline as the
+test_round4*_ops files: read the raw parquet, recompute the definition in
+plain Python, compare exactly at the published rounding — a third engine
+beside Spark and DuckDB, so a shared-SQL-misreading cannot pass silently.
+"""
+
+from __future__ import annotations
+
+import math
+import statistics
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_SMOKE
+
+
+def _read(table: str) -> list[dict]:
+    return pq.read_table(f"{SF_SMOKE}/{table}.parquet").to_pylist()
+
+
+def test_stats_moments_match_textbook(spark):
+    """stddev_samp/var_samp/corr/covar_samp per event type vs
+    statistics-module recomputes on the raw rows."""
+    from debezium_cdc_kafka_spark.operators.stats import q_stats_moments
+    import json
+
+    by_type: dict[str, list[tuple[float, float | None]]] = defaultdict(list)
+    for e in _read("events"):
+        k = json.loads(e["props"]).get("k") if e["props"] else None
+        by_type[e["event_type"]].append(
+            (float(e["value"]), None if k is None else float(int(k)))
+        )
+
+    rows = {r["event_type"]: r for r in q_stats_moments(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_type)
+    for t, pairs in by_type.items():
+        vals = [v for v, _ in pairs]
+        assert abs(rows[t]["sd_value"] - round(statistics.stdev(vals), 3)) <= 1e-9
+        assert abs(rows[t]["var_value"] - round(statistics.variance(vals), 2)) <= 1e-9
+        both = [(v, k) for v, k in pairs if k is not None]
+        vs = [v for v, _ in both]
+        ks = [k for _, k in both]
+        n = len(both)
+        mv, mk = sum(vs) / n, sum(ks) / n
+        cov = sum((v - mv) * (k - mk) for v, k in both) / (n - 1)
+        sv = math.sqrt(sum((v - mv) ** 2 for v in vs) / (n - 1))
+        sk = math.sqrt(sum((k - mk) ** 2 for k in ks) / (n - 1))
+        assert abs(rows[t]["cov_vk"] - round(cov, 3)) <= 1e-6
+        assert abs(rows[t]["corr_vk"] - round(cov / (sv * sk), 4)) <= 1e-6
+
+
+def test_outliers_mad_matches_python_medians(spark):
+    """Per-lang median, MAD, and the 3-MAD outlier census recomputed with
+    statistics.median (percentile(0.5) on even counts = midpoint — same
+    linear-interpolation definition)."""
+    from debezium_cdc_kafka_spark.operators.stats import q_outliers_mad
+
+    by_lang = defaultdict(list)
+    for d in _read("documents"):
+        by_lang[d["lang"]].append(float(d["n_chars"]))
+
+    rows = {r["lang"]: r for r in q_outliers_mad(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_lang)
+    for lang, xs in by_lang.items():
+        med = statistics.median(xs)
+        adev = [abs(x - med) for x in xs]
+        mad = statistics.median(adev)
+        n_out = sum(1 for a in adev if a > 3 * mad)
+        assert rows[lang]["med_chars"] == round(med, 4)
+        assert rows[lang]["mad_chars"] == round(mad, 4)
+        assert rows[lang]["n_outliers"] == n_out
+
+
+def _orders_by_user():
+    by_user = defaultdict(list)
+    for o in _read("orders"):
+        by_user[o["o_custkey"]].append((o["o_orderdate"], o["o_orderkey"]))
+    return by_user
+
+
+def test_asof_last_order_matches_replay(spark):
+    """Backward as-of: most recent order at-or-before the event, largest
+    orderkey on date ties (the window carries the LAST peer in
+    (t, tiebreak) order)."""
+    from debezium_cdc_kafka_spark.operators.asof import q_asof_last_order
+
+    by_user = _orders_by_user()
+    rows = q_asof_last_order(spark, SF_SMOKE).collect()
+    assert rows, "filter kept no events"
+    for r in rows:
+        cands = [
+            (d, k) for d, k in by_user.get(r["user_id"], [])
+            if d <= __import__("datetime").datetime.combine(
+                _event_ts(r["event_id"]).date(), _event_ts(r["event_id"]).time()
+            )
+        ]
+        want = max(cands) if cands else None
+        if want is None:
+            assert r["last_orderkey"] is None
+        else:
+            assert r["last_orderkey"] == want[1], (r, want)
+            assert r["last_orderdate"] == want[0].strftime("%Y-%m-%d")
+
+
+_EV_TS = None
+
+
+def _event_ts(event_id):
+    global _EV_TS
+    if _EV_TS is None:
+        _EV_TS = {e["event_id"]: e["ts"] for e in _read("events")}
+    return _EV_TS[event_id]
+
+
+def test_asof_next_order_matches_replay(spark):
+    """Forward as-of: first order at-or-after the event, smallest orderkey
+    on date ties."""
+    from debezium_cdc_kafka_spark.operators.asof import q_asof_next_order
+
+    by_user = _orders_by_user()
+    rows = q_asof_next_order(spark, SF_SMOKE).collect()
+    assert rows
+    key_col = [c for c in rows[0].asDict() if "orderkey" in c][0]
+    date_col = [c for c in rows[0].asDict() if "orderdate" in c][0]
+    for r in rows:
+        ts = _event_ts(r["event_id"])
+        cands = [(d, k) for d, k in by_user.get(r["user_id"], []) if d >= ts]
+        want = min(cands) if cands else None
+        if want is None:
+            assert r[key_col] is None
+        else:
+            assert r[key_col] == want[1], (r, want)
+            assert r[date_col] == want[0].strftime("%Y-%m-%d")
+
+
+def test_moving_avg_7d_matches_replay(spark):
+    """RANGE(-6,0) day-number frame: floor-to-cent average of the integer
+    cent sums of the days actually present in the window."""
+    from debezium_cdc_kafka_spark.operators.reshape import q_moving_avg_7d
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    daily = defaultdict(int)  # (supp, day_no) -> cents
+    for li in _read("lineitem"):
+        d = li["l_shipdate"].date() if hasattr(li["l_shipdate"], "date") else li["l_shipdate"]
+        if d < datetime.date(2001, 1, 1):
+            continue
+        day_no = (d - base).days
+        # HALF_UP like Spark's round(), not Python's banker's rounding
+        cents = math.floor(li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5)
+        daily[(li["l_suppkey"], day_no)] += int(cents)
+
+    # replay per supplier
+    per_supp = defaultdict(dict)
+    for (s, dn), c in daily.items():
+        per_supp[s][dn] = c
+    rows = q_moving_avg_7d(spark, SF_SMOKE).collect()
+    assert len(rows) == len(daily)
+    for r in rows:
+        days = per_supp[r["l_suppkey"]]
+        window = [days[d] for d in range(r["day_no"] - 6, r["day_no"] + 1) if d in days]
+        want = math.floor(sum(window) / len(window)) / 100.0
+        assert r["mov_avg_7d"] == want, (r, want)
+
+
+def test_pct_of_total_sums_to_100(spark):
+    from debezium_cdc_kafka_spark.operators.reshape import q_pct_of_total
+
+    rows = q_pct_of_total(spark, SF_SMOKE).collect()
+    total = sum(r["revenue"] for r in rows)
+    assert abs(sum(r["pct_of_total"] for r in rows) - 100.0) < 0.01
+    for r in rows:
+        assert r["pct_of_total"] == round(100.0 * r["revenue"] / total, 4)
+
+
+def test_histogram_price_bins_match_counter(spark):
+    from debezium_cdc_kafka_spark.operators.reshape import q_histogram_price_bins
+
+    bins = Counter()
+    lo: dict[int, float] = {}
+    hi: dict[int, float] = {}
+    for o in _read("orders"):
+        b = math.floor(o["o_totalprice"] / 50000)
+        bins[b] += 1
+        lo[b] = min(lo.get(b, float("inf")), o["o_totalprice"])
+        hi[b] = max(hi.get(b, float("-inf")), o["o_totalprice"])
+    rows = {r["bin"]: r for r in q_histogram_price_bins(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(bins)
+    for b, n in bins.items():
+        assert rows[b]["n_orders"] == n
+        assert rows[b]["bin_min"] == round(lo[b], 2)
+        assert rows[b]["bin_max"] == round(hi[b], 2)
