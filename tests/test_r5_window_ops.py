@@ -193,3 +193,103 @@ def test_histogram_price_bins_match_counter(spark):
         assert rows[b]["n_orders"] == n
         assert rows[b]["bin_min"] == round(lo[b], 2)
         assert rows[b]["bin_max"] == round(hi[b], 2)
+
+
+def test_referential_audit_matches_counters(spark):
+    """Orphan counts per FK edge recomputed with set lookups."""
+    from debezium_cdc_kafka_spark.operators.stats import _FK_EDGES, q_referential_audit
+
+    rows = {r["fk"]: r for r in q_referential_audit(spark, SF_SMOKE).collect()}
+    assert len(rows) == len(_FK_EDGES)
+    for child, ck, parent, pk in _FK_EDGES:
+        crows = _read(child)
+        parents = {p[pk] for p in _read(parent)}
+        fk = f"{child}.{ck}→{parent}"
+        assert rows[fk]["n_child_rows"] == len(crows)
+        assert rows[fk]["n_orphans"] == sum(1 for c in crows if c[ck] not in parents)
+
+
+def test_regression_trend_matches_ols(spark):
+    """OLS slope/intercept/R^2 per event type vs the closed-form normal
+    equations in Python floats (engine rounds before comparison)."""
+    from debezium_cdc_kafka_spark.operators.stats import q_regression_trend
+
+    pts = defaultdict(list)
+    for e in _read("events"):
+        x = e["ts"].timestamp() / 86400.0  # days since epoch (ts is naive UTC)
+        pts[e["event_type"]].append((x, float(e["value"])))
+
+    rows = {r["event_type"]: r for r in q_regression_trend(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(pts)
+    for t, xy in pts.items():
+        n = len(xy)
+        mx = sum(x for x, _ in xy) / n
+        my = sum(y for _, y in xy) / n
+        sxx = sum((x - mx) ** 2 for x, _ in xy)
+        sxy = sum((x - mx) * (y - my) for x, y in xy)
+        syy = sum((y - my) ** 2 for _, y in xy)
+        slope = sxy / sxx
+        r2 = (sxy * sxy) / (sxx * syy)
+        assert rows[t]["n"] == n
+        assert abs(rows[t]["slope_per_day"] - slope) < 5e-4
+        assert abs(rows[t]["intercept"] - (my - slope * mx)) < 5e-2
+        assert abs(rows[t]["r2"] - r2) < 5e-4
+
+
+def test_quantile_normalize_is_percent_rank(spark):
+    """percent_rank = (rank-1)/(n-1) under the (value, event_id) order."""
+    from debezium_cdc_kafka_spark.operators.stats import q_quantile_normalize
+
+    groups = defaultdict(list)
+    for e in _read("events"):
+        groups[e["event_type"]].append((float(e["value"]), e["event_id"]))
+    want = {}
+    for t, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        for i, (_, eid) in enumerate(xs):
+            want[eid] = round(i / (n - 1), 6) if n > 1 else 0.0
+
+    rows = q_quantile_normalize(spark, SF_SMOKE).collect()
+    assert len(rows) == sum(len(v) for v in groups.values())
+    for r in rows:
+        assert r["value_pctl"] == want[r["event_id"]], r
+
+
+def test_unpivot_metrics_shape_and_values(spark):
+    """stack(3) long form: 3 rows per segment, values equal the wide agg."""
+    from debezium_cdc_kafka_spark.operators.reshape import q_unpivot_metrics
+
+    by_seg = defaultdict(list)
+    for c in _read("customer"):
+        by_seg[c["c_mktsegment"]].append(c["c_acctbal"])
+    rows = q_unpivot_metrics(spark, SF_SMOKE).collect()
+    assert len(rows) == 3 * len(by_seg)
+    got = {(r["c_mktsegment"], r["metric"]): r["value"] for r in rows}
+    for seg, xs in by_seg.items():
+        assert got[(seg, "avg_bal")] == round(sum(xs) / len(xs), 2)
+        assert got[(seg, "max_bal")] == round(max(xs), 2)
+        assert got[(seg, "min_bal")] == round(min(xs), 2)
+
+
+def test_date_dimension_calendar_invariants(spark):
+    """One row per day across the order-date span; dow/weekend/month-end
+    flags recomputed with datetime."""
+    from debezium_cdc_kafka_spark.operators.reshape import q_date_dimension
+    import calendar
+    import datetime
+
+    dates = [o["o_orderdate"] for o in _read("orders")]
+    lo = min(dates).date() if hasattr(min(dates), "date") else min(dates)
+    hi = max(dates).date() if hasattr(max(dates), "date") else max(dates)
+    rows = q_date_dimension(spark, SF_SMOKE).collect()
+    assert len(rows) == (hi - lo).days + 1
+    for r in rows:
+        d = r["day"].date()
+        assert r["year"] == d.year and r["month"] == d.month
+        assert r["quarter"] == (d.month - 1) // 3 + 1
+        assert r["iso_week"] == d.isocalendar()[1]
+        # Spark dayofweek: 1=Sunday..7=Saturday
+        assert r["dow"] == (d.weekday() + 1) % 7 + 1
+        assert r["is_weekend"] == (d.weekday() >= 5)
+        assert r["is_month_end"] == (d.day == calendar.monthrange(d.year, d.month)[1])
