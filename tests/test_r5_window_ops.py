@@ -293,3 +293,84 @@ def test_date_dimension_calendar_invariants(spark):
         assert r["dow"] == (d.weekday() + 1) % 7 + 1
         assert r["is_weekend"] == (d.weekday() >= 5)
         assert r["is_month_end"] == (d.day == calendar.monthrange(d.year, d.month)[1])
+
+
+def test_sliding_window_counts_match_replay(spark):
+    """1h/30min sliding windows: every event lands in exactly the two
+    windows whose aligned starts cover it; counts and HALF_UP value sums
+    recomputed from raw events."""
+    from debezium_cdc_kafka_spark.operators.windows import q_sliding_window_1h_30m
+    import datetime
+
+    counts = Counter()
+    sums = defaultdict(float)
+    for e in _read("events"):
+        ts = e["ts"]
+        epoch = ts.timestamp()
+        for align in (0, 1800):
+            start = (epoch - align) // 3600 * 3600 + align
+            if start <= epoch < start + 3600:
+                key = datetime.datetime.utcfromtimestamp(start).strftime("%Y-%m-%d %H:%M:%S")
+                counts[key] += 1
+                sums[key] += e["value"]
+    # each event must land in exactly 2 windows
+    assert sum(counts.values()) == 2 * len(_read("events"))
+
+    rows = {r["window_start"]: r for r in q_sliding_window_1h_30m(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(counts)
+    for k in counts:
+        assert rows[k]["n_events"] == counts[k], k
+        assert abs(rows[k]["total_value"] - round(sums[k], 2)) <= 0.01
+
+
+def test_window_navigation_matches_replay(spark):
+    """cume_dist/nth_value(2)/lead(2, default -1)/first_value replayed per
+    customer over the (o_orderdate, o_orderkey) total order."""
+    from debezium_cdc_kafka_spark.operators.windows import q_window_navigation
+
+    per_cust = defaultdict(list)
+    for o in _read("orders"):
+        per_cust[o["o_custkey"]].append((o["o_orderdate"], o["o_orderkey"]))
+    want = {}
+    for c, xs in per_cust.items():
+        xs.sort()
+        n = len(xs)
+        for i, (d, k) in enumerate(xs):
+            want[k] = {
+                "cd": round((i + 1) / n, 6),  # tie-free order
+                "second": xs[1][1] if i >= 1 and n >= 2 else None,
+                "after_next": xs[i + 2][1] if i + 2 < n else -1,
+                "first_date": xs[0][0].strftime("%Y-%m-%d"),
+            }
+
+    for r in q_window_navigation(spark, SF_SMOKE).collect():
+        w = want[r["o_orderkey"]]
+        assert r["cd"] == w["cd"], r
+        assert r["second_orderkey"] == w["second"], r
+        assert r["after_next_orderkey"] == w["after_next"], r
+        assert r["first_orderdate"] == w["first_date"], r
+
+
+def test_partition_skew_advisor_matches_replay(spark):
+    """Per-(year*100+month) row/order counts, ratio-to-mean, and the
+    [0.75, 1.25] skew flag recomputed from raw lineitem."""
+    from debezium_cdc_kafka_spark.operators.layout import q_partition_skew_advisor
+
+    n_rows = Counter()
+    orders = defaultdict(set)
+    for li in _read("lineitem"):
+        d = li["l_shipdate"]
+        k = d.year * 100 + d.month
+        n_rows[k] += 1
+        orders[k].add(li["l_orderkey"])
+    mean = sum(n_rows.values()) / len(n_rows)
+
+    rows = {r["part_key"]: r for r in q_partition_skew_advisor(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(n_rows)
+    for k in n_rows:
+        r = rows[k]
+        ratio = n_rows[k] / mean
+        assert r["n_rows"] == n_rows[k]
+        assert r["n_orders"] == len(orders[k])
+        assert r["skew_ratio"] == round(ratio, 6)
+        assert r["skewed"] == int(ratio > 1.25 or ratio < 0.75)
