@@ -374,3 +374,48 @@ def test_partition_skew_advisor_matches_replay(spark):
         assert r["n_orders"] == len(orders[k])
         assert r["skew_ratio"] == round(ratio, 6)
         assert r["skewed"] == int(ratio > 1.25 or ratio < 0.75)
+
+
+def test_map_functions_match_replay(spark):
+    """Map algebra per user (n_types / sorted key list / value fold /
+    heavy-hitter filter) replayed from raw event counts."""
+    from debezium_cdc_kafka_spark.operators.reshape import q_map_functions
+
+    per_user = defaultdict(Counter)
+    for e in _read("events"):
+        per_user[e["user_id"]][e["event_type"]] += 1
+
+    rows = {r["user_id"]: r for r in q_map_functions(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per_user)
+    for u, cnt in per_user.items():
+        r = rows[u]
+        keys = sorted(cnt)
+        assert r["n_types"] == len(cnt)
+        assert r["types"] == ",".join(keys)
+        assert r["total_events"] == sum(cnt.values())
+        assert r["heavy_types"] == ",".join(sorted(k for k, n in cnt.items() if n >= 5))
+
+
+def test_profile_columns_match_replay(spark):
+    """Deequ-style profile of orders: nulls / exact distinct / numeric
+    min-max (dates as epoch seconds) recomputed per column."""
+    from debezium_cdc_kafka_spark.operators.stats import _PROFILE_COLS, q_profile_columns
+
+    orders = _read("orders")
+    rows = {r["column_name"]: r for r in q_profile_columns(spark, SF_SMOKE).collect()}
+    assert set(rows) == {n for n, _ in _PROFILE_COLS}
+    for name, num in _PROFILE_COLS:
+        vals = [o[name] for o in orders]
+        r = rows[name]
+        assert r["n_rows"] == len(orders)
+        assert r["n_nulls"] == sum(1 for v in vals if v is None)
+        assert r["n_distinct"] == len({v for v in vals if v is not None})
+        if num is None:
+            assert r["min_num"] is None and r["max_num"] is None
+        else:
+            nums = [
+                v.timestamp() if hasattr(v, "timestamp") else float(v)
+                for v in vals if v is not None
+            ]
+            assert r["min_num"] == round(min(nums), 6)
+            assert r["max_num"] == round(max(nums), 6)
