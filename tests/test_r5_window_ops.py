@@ -419,3 +419,103 @@ def test_profile_columns_match_replay(spark):
             ]
             assert r["min_num"] == round(min(nums), 6)
             assert r["max_num"] == round(max(nums), 6)
+
+
+def test_l_diversity_matches_replay(spark):
+    """Distinct sensitive bands per QI class + the l>=3 flag via Counters."""
+    from debezium_cdc_kafka_spark.operators.audit import _L_DIV, q_l_diversity
+
+    classes = defaultdict(set)
+    sizes = Counter()
+    for c in _read("customer"):
+        key = (c["c_nationkey"], c["c_mktsegment"])
+        classes[key].add(math.floor(c["c_acctbal"] / 2000))
+        sizes[key] += 1
+
+    rows = {(r["c_nationkey"], r["c_mktsegment"]): r
+            for r in q_l_diversity(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(classes)
+    for key, sens in classes.items():
+        r = rows[key]
+        assert r["group_n"] == sizes[key]
+        assert r["sensitive_distinct"] == len(sens)
+        assert r["l_diverse"] == int(len(sens) >= _L_DIV)
+
+
+def test_rrf_hybrid_search_matches_replay(spark):
+    """Full RRF replay: BM25 leg (integer micro-scores), cosine leg
+    (sequential-fold doubles), per-leg top-50 ranks, 1e6/(60+r) fusion."""
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        _RRF_K,
+        _RRF_L,
+        _RRF_QID,
+        q_rrf_hybrid_search,
+    )
+    from debezium_cdc_kafka_spark.operators.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    # lexical leg
+    docs = _read("documents")
+    toks = {d["doc_id"]: [t for t in d["text"].split(" ") if t] for d in docs}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    dfreq = Counter()
+    tf = defaultdict(Counter)
+    for i, ts in toks.items():
+        seen = set()
+        for t in ts:
+            if t in _BM25_TERMS:
+                tf[i][t] += 1
+                seen.add(t)
+        for t in seen:
+            dfreq[t] += 1
+    s6 = Counter()
+    for i, cnt in tf.items():
+        if i == _RRF_QID:
+            continue
+        for t, f_ in cnt.items():
+            idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            denom = f_ + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl[i] / avgdl)
+            s6[i] += math.floor(idf * f_ * (_BM25_K1 + 1.0) / denom * 1e6 + 0.5)
+    lex_top = sorted(s6.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_L]
+    lex_rk = {i: r + 1 for r, (i, _) in enumerate(lex_top)}
+
+    # semantic leg
+    emb = {e["vec_id"]: e["embedding"] for e in _read("embeddings")}
+    q = emb[_RRF_QID]
+    def cos(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / math.sqrt(na * nb)
+    scored = [(i, cos(q, v)) for i, v in emb.items() if i != _RRF_QID]
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    vec_rk = {i: r + 1 for r, (i, _) in enumerate(scored[:_RRF_L])}
+
+    # fusion
+    fused = {}
+    for i in set(lex_rk) | set(vec_rk):
+        s = 0
+        if i in lex_rk:
+            s += math.floor(1e6 / (_RRF_K + lex_rk[i]) + 0.5)
+        if i in vec_rk:
+            s += math.floor(1e6 / (_RRF_K + vec_rk[i]) + 0.5)
+        fused[i] = s
+
+    rows = q_rrf_hybrid_search(spark, SF_SMOKE).collect()
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:len(rows)]
+    assert [r["doc_id"] for r in rows] == [i for i, _ in order]
+    for r in rows:
+        assert r["lex_rk"] == lex_rk.get(r["doc_id"], 0), r
+        assert r["vec_rk"] == vec_rk.get(r["doc_id"], 0), r
+        assert r["rrf"] == round(fused[r["doc_id"]] / 1e6, 6), r
