@@ -120,3 +120,34 @@ def test_reorder_gap_count_reconciles_with_order_census(spark):
     n_gaps = sum(r["n_gaps"] for r in q_reorder_interval(
         spark, SF_SMOKE).collect())
     assert n_gaps == total_orders - ordering_customers
+
+
+def test_orders_rowcount_reconciles_histogram_profile_audit(spark):
+    """Three unrelated operators must agree on how many orders exist:
+    the price-bin histogram's bin total, the Deequ-style profile's
+    n_rows, and the referential audit's child-row count for the
+    orders.o_custkey edge."""
+    from debezium_cdc_kafka_spark.operators.reshape import q_histogram_price_bins
+    from debezium_cdc_kafka_spark.operators.stats import (
+        q_profile_columns,
+        q_referential_audit,
+    )
+
+    hist_total = sum(
+        r["n_orders"] for r in q_histogram_price_bins(spark, SF_SMOKE).collect()
+    )
+    profile = q_profile_columns(spark, SF_SMOKE).collect()
+    audit = {r["fk"]: r for r in q_referential_audit(spark, SF_SMOKE).collect()}
+    assert hist_total == profile[0]["n_rows"]
+    assert hist_total == audit["orders.o_custkey→customer"]["n_child_rows"]
+
+
+def test_nation_revenue_shares_reconcile_with_cents_ground_truth(spark):
+    """q_pct_of_total's per-nation revenues must sum back to the exact
+    global discounted-revenue cent total (every lineitem has a supplier,
+    so the nation rollup partitions the whole fact table)."""
+    from debezium_cdc_kafka_spark.operators.reshape import q_pct_of_total
+
+    rows = q_pct_of_total(spark, SF_SMOKE).collect()
+    assert round(sum(r["revenue"] for r in rows) * 100) == _cents_total(spark)
+    assert abs(sum(r["pct_of_total"] for r in rows) - 100.0) < 0.01
