@@ -1784,7 +1784,11 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     past a size cap (k-means on the cell's members), not by salting,
     because the semantics are per-cell. Cosine is rounded to 6dp BEFORE
     ranking so no cross-engine tie can cut the top-k differently."""
-    cell = _knng_cells(spark, sf_dir)
+    # The cell frame feeds both sides of the pair join, and the directed
+    # top-k below feeds both sides of the mutuality self-join — without
+    # materialization the assignment subtree executes 4x and the pair
+    # scoring 2x (measured: over half this query's wall time).
+    cell = _knng_cells(spark, sf_dir).localCheckpoint(eager=True)
     a = cell.select(
         F.col("vec_id").alias("src"),
         F.col("cluster_id").alias("ca"),
@@ -1804,6 +1808,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _KNNG_K)
         .select("src", "dst", "cos6")
+        .localCheckpoint(eager=True)  # n*k rows; read twice below
     )
     x, y = directed.alias("x"), directed.alias("y")
     return (
