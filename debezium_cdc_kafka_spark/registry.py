@@ -73,102 +73,103 @@ def _modules():
 # longer rotate it out of the gate as a side effect; changing the window is
 # an explicit edit to this list.
 #
-# Round-5 window (per VERDICT.md r4 "Next round" item 1): exactly the r5
-# rotation plan recorded last round — never-gated pre-r4 families first,
-# then one pick per late-r4 family. Every name below is first-time (no
-# green row in CORRECTNESS_r01..r04), enforced by tests/test_driver_canon.py.
-# Never gated after the r5 gate runs: exactly 97 (additions FROZEN this
-# round per VERDICT r4 item 2, so the pool strictly decreases; verified
-# against CORRECTNESS_r01..r04 + this window).
-# r6 window plan (50, do NOT apply before the r5 driver gate has run) —
-# whole never-gated families in module order:
-#   cdc(3): cdc_op_mix_drift, cdc_hot_keys, cdc_key_lifecycle
-#   dedup(4): dedup_exact_substring, q_minhash_containment,
-#     dedup_cluster_histogram, dedup_source_overlap
-#   similarity(16): q_rrf_hybrid_search, q_knn_graph, ann_recall_eval,
-#     q_embedding_health, q_kcenter_coreset, q_dbscan_clusters,
-#     q_label_propagation, q_matryoshka_recall, q_retrieval_mrr,
-#     q_cluster_purity, q_simplified_silhouette, q_ndcg_eval,
-#     q_embedding_norm_audit, q_embedding_dim_variance,
-#     q_cluster_quality_profile, q_embedding_similarity_histogram
-#   text(4): q_feature_hashing, q_langid_confusion,
-#     text_lexical_diversity, text_readability
-#   curation(1): q_split_leakage_report
-#   corpus(7): text_bpe_train, text_bpe_apply, q_ngram_novelty,
-#     q_gini_source_tokens, q_tokenizer_fertility, q_zipf_fit,
-#     q_pmi_collocations
-#   multimodal(3): multimodal_patch_grid, multimodal_audio_chunks,
-#     multimodal_aspect_buckets
-#   graph(3): graph_jaccard_neighbors, graph_assortativity,
-#     graph_degree_distribution
-#   audit(3): q_l_diversity, q_qi_generalize, q_srm_check
-#   timeseries(6): q_cusum_changepoint, q_sax_symbolize, q_rolling_wau,
-#     q_mom_growth, q_theil_sen_trend, q_seasonal_naive_backtest
-# r7 window (the remaining 47, clearing the pool): timeseries stragglers
-# (q_weekday_effect, q_mann_kendall), behavior(12), approx(6), stats(12),
-# q_asof_nearest_tolerance, q_equidepth_histogram, q_windowed_topk_types,
-# relational3(12: variant/cycle/ABC/HHI/reorder/basket/dispersion/
-# discount/churn/Laspeyres/Fisher/PVM).
+# Round-6 window (per VERDICT.md r5 "Next round" item 1): exactly the r6
+# rotation plan recorded in round 5 — whole never-gated families in module
+# order. Every name below is first-time (no green row in
+# CORRECTNESS_r01..r05), enforced by tests/test_driver_canon.py. Additions
+# remain FROZEN at 292, so the never-gated pool strictly decreases:
+# 97 → 47 once the r6 gate runs (q_pca_top2_project already has its
+# rows-only driver row from r3 — no oracle by design — so it is not
+# re-gated).
+# r7 window plan (the remaining 47, clearing the pool; do NOT apply
+# before the r6 driver gate has run) — full explicit list, module order:
+#   timeseries(2): q_weekday_effect, q_mann_kendall
+#   behavior(12): q_kaplan_meier, q_dau_mau_stickiness,
+#     q_next_event_accuracy, q_user_concentration, q_new_vs_returning,
+#     q_interarrival_burstiness, q_window_funnel, q_attribution_linear,
+#     q_attribution_time_decay, q_ltv_cohort_curve,
+#     q_engagement_by_segment, q_conversion_cdf
+#   approx(6): q_bloom_fpr_audit, q_ams_f2_sketch, q_join_size_sketch,
+#     q_spacesaving_heavy_hitters, q_hll_time_rollup,
+#     q_bitmap_distinct_users
+#   stats(12): q_psi_drift, q_classifier_auc, q_decision_stump,
+#     q_calibration_curve, q_mutual_information, q_anova_oneway,
+#     q_weighted_median_udaf, q_winsorized_stats, q_cuped_adjustment,
+#     q_diff_in_diff, q_quantile_treatment_effect, q_power_analysis
+#   asof(1): q_asof_nearest_tolerance
+#   reshape(1): q_equidepth_histogram
+#   windows(1): q_windowed_topk_types
+#   relational3(12): q_variant_props, q_order_cycle_time,
+#     q_abc_classification, q_supplier_hhi, q_reorder_interval,
+#     q_basket_profile, q_unit_price_dispersion, q_discount_band_mix,
+#     q_churn_flags, q_laspeyres_price_index, q_fisher_price_index,
+#     q_price_volume_mix
+# (2+12+6+12+1+1+1+12 = 47; reconciled against CORRECTNESS_r01..r05 +
+# the r6 window below via tools/never_gated.py-style recount.)
 GATE_ORDER: list[str] = [
-    # stats (10) — never-gated since r3
-    "q_stats_moments",
-    "q_pandas_udf_score",
-    "q_outliers_mad",
-    "q_profile_columns",
-    "q_regression_trend",
-    "q_referential_audit",
-    "q_quantile_normalize",
-    "q_chi_square_independence",
-    "q_correlation_matrix",
-    "q_ks_two_sample",
-    # asof (2)
-    "q_asof_last_order",
-    "q_asof_next_order",
-    # reshape (7; q_equidepth_histogram queued for r6)
-    "q_moving_avg_7d",
-    "q_unpivot_metrics",
-    "q_histogram_price_bins",
-    "q_pct_of_total",
-    "q_date_dimension",
-    "q_map_functions",
-    "q_feature_scaling",
-    # partsupp TPC-H (4)
-    "q02_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_counts",
-    "q20_excess_inventory",
-    # layout (3)
-    "q_zorder_key",
-    "q_compaction_plan",
-    "q_partition_skew_advisor",
-    # windows (6; q_windowed_topk_types queued for r6)
-    "q_tumbling_window_1h",
-    "q_sliding_window_1h_30m",
-    "q_sessionize_30m",
-    "q_stream_dedup_first",
-    "q_late_events_10m",
-    "q_window_navigation",
-    # incremental (3; q_pca_invariants gated r4)
-    "dedup_incremental_minhash",
-    "q_incremental_topk",
-    "q_incremental_distinct",
-    # approx sketch stragglers (2)
-    "q_hll_sketch_union",
-    "q_kmv_sketch_ops",
-    # one per late-r4 family (13)
-    "q_welch_ttest",
-    "q_bootstrap_ci",
-    "q_spearman_corr",
-    "q_acf_lags",
-    "q_ohlc_candles",
-    "q_soft_dedup_weights",
-    "q_epoch_shuffle_plan",
-    "multimodal_phash_dedup",
-    "graph_kcore",
-    "q_t_closeness",
-    "q_snapshot_diff",
-    "dedup_lsh_recall_eval",
-    "q_vocab_coverage",
+    # Round-6 window: exactly the r6 plan recorded last round (comment
+    # above) — whole never-gated families in module order. Every name is
+    # first-time vs CORRECTNESS_r01..r05 (enforced by test_driver_canon).
+    # cdc (3)
+    "cdc_op_mix_drift",
+    "cdc_hot_keys",
+    "cdc_key_lifecycle",
+    # dedup (4)
+    "dedup_exact_substring",
+    "q_minhash_containment",
+    "dedup_cluster_histogram",
+    "dedup_source_overlap",
+    # similarity (16)
+    "q_rrf_hybrid_search",
+    "q_knn_graph",
+    "ann_recall_eval",
+    "q_embedding_health",
+    "q_kcenter_coreset",
+    "q_dbscan_clusters",
+    "q_label_propagation",
+    "q_matryoshka_recall",
+    "q_retrieval_mrr",
+    "q_cluster_purity",
+    "q_simplified_silhouette",
+    "q_ndcg_eval",
+    "q_embedding_norm_audit",
+    "q_embedding_dim_variance",
+    "q_cluster_quality_profile",
+    "q_embedding_similarity_histogram",
+    # text (4)
+    "q_feature_hashing",
+    "q_langid_confusion",
+    "text_lexical_diversity",
+    "text_readability",
+    # curation (1)
+    "q_split_leakage_report",
+    # corpus (7)
+    "text_bpe_train",
+    "text_bpe_apply",
+    "q_ngram_novelty",
+    "q_gini_source_tokens",
+    "q_tokenizer_fertility",
+    "q_zipf_fit",
+    "q_pmi_collocations",
+    # multimodal (3)
+    "multimodal_patch_grid",
+    "multimodal_audio_chunks",
+    "multimodal_aspect_buckets",
+    # graph (3)
+    "graph_jaccard_neighbors",
+    "graph_assortativity",
+    "graph_degree_distribution",
+    # audit (3)
+    "q_l_diversity",
+    "q_qi_generalize",
+    "q_srm_check",
+    # timeseries (6)
+    "q_cusum_changepoint",
+    "q_sax_symbolize",
+    "q_rolling_wau",
+    "q_mom_growth",
+    "q_theil_sen_trend",
+    "q_seasonal_naive_backtest",
 ]
 
 GATE_SLOTS = 50

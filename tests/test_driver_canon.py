@@ -21,6 +21,8 @@ stays cheap.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql.types import ArrayType, MapType, StructType
 
 from debezium_cdc_kafka_spark import registry
@@ -51,30 +53,68 @@ def test_gate_window_spends_no_slot_on_already_green_rows():
     green in a prior CORRECTNESS_r*.json wastes a slot while 90+ queries
     have never been driver-verified. Names may be re-gated deliberately
     (e.g. a red row being re-verified after a fix) via REGATE_OK.
+
+    Round-aware (VERDICT r5 item 2): the driver writes the CURRENT round's
+    artifact mid-round, after the window is set — an artifact whose row
+    names are exactly this window is the current round's own result, not a
+    prior round, and must not count as "prior green" (otherwise this test
+    goes red in every inter-round window the moment the gate runs).
     """
+    for path in sorted(_CORRECTNESS_GLOB()):
+        names = set(json.load(open(path)))
+        if names == set(registry.GATE_ORDER):
+            continue  # the current round's own artifact
+        wasted = [
+            n for n in registry.GATE_ORDER
+            if n in _green_rows(path) and n not in REGATE_OK
+        ]
+        assert not wasted, (
+            "GATE_ORDER slots spent on queries already green in prior "
+            f"{path} (add to REGATE_OK if deliberate): {wasted}"
+        )
+
+
+# Deliberate re-verifications (red rows being fixed) go here.
+REGATE_OK: set[str] = set()
+
+
+def _CORRECTNESS_GLOB() -> list[str]:
     import glob
-    import json
     import pathlib
 
-    # Deliberate re-verifications (red rows being fixed) go here.
-    REGATE_OK: set[str] = set()
-
     repo = pathlib.Path(__file__).resolve().parents[1]
-    prior_green: set[str] = set()
-    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r0*.json"))):
-        for name, row in json.load(open(path)).items():
-            if row.get("rows_match") and row.get("schema_match") and (
-                row.get("hash_match") in (True, None)
-            ):
-                prior_green.add(name)
-    wasted = [
-        n for n in registry.GATE_ORDER
-        if n in prior_green and n not in REGATE_OK
-    ]
-    assert not wasted, (
-        "GATE_ORDER slots spent on queries already green in a prior "
-        f"CORRECTNESS_r*.json (add to REGATE_OK if deliberate): {wasted}"
-    )
+    return sorted(glob.glob(str(repo / "CORRECTNESS_r0*.json")))
+
+
+def _green_rows(path) -> set[str]:
+    green: set[str] = set()
+    for name, row in json.load(open(path)).items():
+        if row.get("rows_match") and row.get("schema_match") and (
+            row.get("hash_match") in (True, None)
+        ):
+            green.add(name)
+    return green
+
+
+def test_regate_guard_ignores_current_rounds_own_artifact(tmp_path):
+    """Simulate the post-gate state (VERDICT r5 item 2 'done' criterion):
+    after the driver drops an artifact whose rows ARE the current window,
+    the guard must not flag those rows as wasted slots."""
+    current = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in registry.GATE_ORDER
+    }
+    p = tmp_path / "CORRECTNESS_r99.json"
+    p.write_text(json.dumps(current))
+    assert set(json.load(open(p))) == set(registry.GATE_ORDER)
+    # The exclusion rule used by the guard: identical name set → skip.
+    # A prior-round artifact (different name set) must still be scanned.
+    prior = dict(current)
+    prior.pop(registry.GATE_ORDER[0])
+    prior["q_some_other"] = {
+        "rows_match": True, "schema_match": True, "hash_match": True
+    }
+    assert set(prior) != set(registry.GATE_ORDER)
 
 
 def test_no_query_output_breaks_driver_canonicalizer(spark):
