@@ -122,10 +122,13 @@ def main() -> int:
                 "n_extended": len([n for n in times if n not in headline]),
                 "reps": reps,
                 "notes": (
-                    "r4 regressions rechecked at reps=10 (VERDICT r4 #8): "
-                    "ann_bruteforce_topk min 0.532s, q_funnel_3step min "
-                    "0.323s - both back at r3 levels, reps=3 noise, plans "
-                    "unchanged"
+                    "CANONICAL timing source for round-over-round deltas "
+                    "(incl. the 5 extended entries): this file, reps-mean, "
+                    "extended phase after headline. SCALE.md sweep numbers "
+                    "(single rep, shared warm session) differ by harness - "
+                    "e.g. r5 q_knn_graph 11.97s bench vs 9.4s sweep; compare "
+                    "bench to bench only (VERDICT r5 item 4, SCALE.md "
+                    "'Canonical timing sources')"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

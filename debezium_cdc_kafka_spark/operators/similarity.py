@@ -53,25 +53,29 @@ def query(name: str, oracle: str | None = None):
 _QUERY_PRED = "vec_id % 100 = 0"
 
 
-# Seed count for every md5-ordered k-means seed draw in this module: k
-# tracks the corpus so cells stay ~constant-SIZE (k = max(8, ceil(n/250)))
-# instead of constant-COUNT - with fixed k, cell size grows with n and the
-# in-cell pair space (SemDeDup, silhouette, purity) turns quadratic (the r5
-# 4x-scaling measurement in SCALE.md caught exactly that: 7.1x at 4x rows).
-# At every checked-in SF (n <= 2000) k evaluates to 8, so every oracle hash
-# is unchanged; the knob engages beyond n = 2000.
-_SEED_TARGET = 250
+# Seed count for every md5-ordered k-means seed draw in this module:
+# k = max(8, ceil(sqrt(n)/6)), i.e. k ∝ √n (VERDICT r5 item 3). The r5
+# form k ∝ n made cells constant-SIZE (linear in-cell pair space) but the
+# assignment scan is emb × broadcast(seeds) = n·k distance folds — with
+# k ∝ n that is O(n²/250) work and an O(n) broadcast, the dominant
+# quadratic at 100 TB. k ∝ √n balances both sides: assignment n·k =
+# O(n^1.5), in-cell pairs n²/k = O(n^1.5), broadcast seed table O(√n)
+# (a few MB even at 10^10 vectors). Measured on the 4× fixture: k 8→15
+# (was 8→32), in-cell pair space 500k→4.3M ≈ 8.5× ≈ (4×)^1.5. At every
+# checked-in SF (n ≤ 2000) k still evaluates to 8 — ceil(√2000/6) = 8 —
+# so every oracle hash is unchanged; the knob engages beyond n = 2304.
+_SEED_SQRT_DIV = 6.0
 
 _SEEDS_LIMIT_SQL = (
-    "greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0)"
-    " AS BIGINT))"
+    "greatest(8, CAST(ceil(sqrt(CAST((SELECT count(*) FROM embeddings)"
+    " AS DOUBLE)) / 6.0) AS BIGINT))"
 )
 
 
 def _seed_count(emb) -> int:
     import math
 
-    return max(8, math.ceil(emb.count() / _SEED_TARGET))
+    return max(8, math.ceil(math.sqrt(emb.count()) / _SEED_SQRT_DIV))
 
 
 _COS_SQL = (
@@ -466,7 +470,7 @@ _D2_SQL = (
 KMEANS_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE)) / 6.0) AS BIGINT))
 ), scored AS (
   SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
   FROM embeddings e CROSS JOIN seeds s
@@ -529,7 +533,7 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_UPDATE_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE)) / 6.0) AS BIGINT))
 ), scored AS (
   SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
   FROM embeddings e CROSS JOIN seeds s
@@ -667,7 +671,7 @@ _SEMDEDUP_TAU = 0.4
 _MEMBERS_CTE = f"""
 seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE)) / 6.0) AS BIGINT))
 ), scored AS (
   SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
   FROM embeddings e CROSS JOIN seeds s
@@ -1710,7 +1714,7 @@ _KNNG_K = 5
 KNNG_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE)) / 6.0) AS BIGINT))
 ), best AS (
   SELECT vec_id, cluster_id FROM (
     SELECT e.vec_id, s.cluster_id,
@@ -1742,7 +1746,7 @@ WHERE x.src < x.dst
 
 def _knng_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster_id, embedding) under the same deterministic
-    k = max(8, ceil(n/250)) quantizer ann_kmeans_assign uses (smallest-md5 seeds, d² rounded
+    k = max(8, ceil(√n/6)) quantizer ann_kmeans_assign uses (smallest-md5 seeds, d² rounded
     before the argmin so ties cut identically cross-engine)."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
@@ -2762,7 +2766,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 SILHOUETTE_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS cluster_id, embedding AS ce
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT greatest(8, CAST(ceil(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE)) / 6.0) AS BIGINT))
 ), scored AS (
   SELECT e.vec_id, s.cluster_id, round({_D2_SQL}, 6) AS d2
   FROM embeddings e CROSS JOIN seeds s
