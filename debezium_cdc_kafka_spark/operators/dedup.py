@@ -604,14 +604,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[dedup_minhash_lsh]] for text — at a near-dup τ the banding math
     works and those are the operators a 100 TB run uses."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # squared norm once per vector pre-join (bit-identical: same fold
+    # values inside the same sqrt(n1*n2)), so the pair scan runs one
+    # 64-element fold per pair instead of three
     a = emb.select(
-        F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("embedding").alias("e1")
+        F.col("vec_id").alias("v1"),
+        F.col("label").alias("l1"),
+        F.col("embedding").alias("e1"),
+        sq_norm_expr("embedding").alias("n1"),
     )
     b = emb.select(
-        F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("embedding").alias("e2")
+        F.col("vec_id").alias("v2"),
+        F.col("label").alias("l2"),
+        F.col("embedding").alias("e2"),
+        sq_norm_expr("embedding").alias("n2"),
     )
     pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
-    cos = dot_expr("e1", "e2") / F.sqrt(sq_norm_expr("e1") * sq_norm_expr("e2"))
+    cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     return pairs.filter(cos >= 0.4).select("v1", "v2", F.round(cos, 3).alias("cosine"))
 
 

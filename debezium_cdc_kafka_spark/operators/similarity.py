@@ -101,20 +101,41 @@ def _cosine(e1: str, e2: str):
     return dot_expr(e1, e2) / F.sqrt(sq_norm_expr(e1) * sq_norm_expr(e2))
 
 
+def _cos_pre():
+    """Cosine over pre-joined frames carrying precomputed squared norms
+    n1/n2 (one 64-element fold per PAIR instead of three; bit-identical
+    to _cosine because the same fold values meet inside the same
+    sqrt(n1*n2))."""
+    return dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
+
+
+def _with_sqn(df: DataFrame, emb_col: str, out: str) -> DataFrame:
+    """Squared L2 norm computed once per VECTOR, before a pair join."""
+    return df.withColumn(out, sq_norm_expr(emb_col))
+
+
 @query("ann_bruteforce_topk", BRUTE_ORACLE)
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN (k=5, cosine): broadcast queries × full corpus scan +
     per-query top-k window. The baseline every ANN variant is measured
     against. Rank tiebreaks on cand_id for cross-engine determinism."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.expr(_QUERY_PRED)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    q = _with_sqn(
+        emb.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+        ),
+        "e1",
+        "n1",
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2"))
+    c = _with_sqn(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2")),
+        "e2",
+        "n2",
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
+        .select("query_id", "cand_id", _cos_pre().alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -148,16 +169,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a probe reads one partition — this is the 100 TB layout (nprobe > 1 =
     union over the nearest cells)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.expr(_QUERY_PRED)).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("ql"), F.col("embedding").alias("e1")
+    q = _with_sqn(
+        emb.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("ql"), F.col("embedding").alias("e1")
+        ),
+        "e1",
+        "n1",
     )
-    c = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("label").alias("cl"), F.col("embedding").alias("e2")
+    c = _with_sqn(
+        emb.select(
+            F.col("vec_id").alias("cand_id"), F.col("label").alias("cl"), F.col("embedding").alias("e2")
+        ),
+        "e2",
+        "n2",
     )
     scored = (
         F.broadcast(q)
         .join(c, (F.col("cl") == F.col("ql")) & (F.col("cand_id") != F.col("query_id")))
-        .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
+        .select("query_id", "cand_id", _cos_pre().alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -198,21 +227,26 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored results (post-filtering loses recall at fixed k)."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    q = emb.filter(F.expr(_QUERY_PRED)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    q = _with_sqn(
+        emb.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+        ),
+        "e1",
+        "n1",
     )
-    c = (
-        emb.join(docs, emb.vec_id == docs.doc_id)
-        .select(
+    c = _with_sqn(
+        emb.join(docs, emb.vec_id == docs.doc_id).select(
             F.col("vec_id").alias("cand_id"),
             F.col("lang").alias("cand_lang"),
             F.col("embedding").alias("e2"),
-        )
+        ),
+        "e2",
+        "n2",
     )
     scored = (
         F.broadcast(q)
         .join(c, F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", "cand_lang", _cosine("e1", "e2").alias("cos"))
+        .select("query_id", "cand_id", "cand_lang", _cos_pre().alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -310,22 +344,26 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe (flip low-margin bits) to recover recall (see
     ann_lsh_multiprobe)."""
     buckets = _sign_buckets(_plane_projections(spark, sf_dir))
-    q = (
+    q = _with_sqn(
         load_table(spark, sf_dir, "embeddings")
         .filter(F.expr(_QUERY_PRED))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1"))
-        .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id"),
+        "e1",
+        "n1",
     )
-    c = (
+    c = _with_sqn(
         load_table(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2"))
         .join(buckets.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-        .withColumnRenamed("bucket", "cbucket")
+        .withColumnRenamed("bucket", "cbucket"),
+        "e2",
+        "n2",
     )
     scored = (
         F.broadcast(q)
         .join(c, (F.col("cbucket") == F.col("bucket")) & (F.col("cand_id") != F.col("query_id")))
-        .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
+        .select("query_id", "cand_id", _cos_pre().alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -429,24 +467,30 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("probe"),
     )
-    q = (
+    q = _with_sqn(
         load_table(spark, sf_dir, "embeddings")
         .filter(F.expr(_QUERY_PRED))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1"))
-        .join(probes.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .join(probes.withColumnRenamed("vec_id", "query_id"), "query_id"),
+        "e1",
+        "n1",
     )
-    c = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2")
-    ).join(
-        buckets.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(
-            "bucket", "cbucket"
+    c = _with_sqn(
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2"))
+        .join(
+            buckets.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(
+                "bucket", "cbucket"
+            ),
+            "cand_id",
         ),
-        "cand_id",
+        "e2",
+        "n2",
     )
     scored = (
         F.broadcast(q)
         .join(c, (F.col("cbucket") == F.col("probe")) & (F.col("cand_id") != F.col("query_id")))
-        .select("query_id", "cand_id", _cosine("e1", "e2").alias("cos"))
+        .select("query_id", "cand_id", _cos_pre().alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -730,23 +774,31 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
     )
     wm = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    # members feeds three consumers, but measured at sf0.1 a persist is a
-    # wash: the pair join's cosine folds dominate, and the cache barrier
-    # costs what the assignment recompute saves — the plan stays lazy
+    # members feeds three consumers, but a persist is STILL a wash after
+    # the r6 norm precompute (re-measured: localCheckpoint 7.8-8.9s vs
+    # lazy 5.8-7.1s at sf0.1) — the barrier costs more than the
+    # assignment recompute saves, so the plan stays lazy
     members = (
         scored.withColumn("rk", F.row_number().over(wm))
         .filter(F.col("rk") == 1)
         .select("vec_id", "cluster_id")
     )
+    # squared norm once per vector, not per pair: cos = dot / sqrt(n1*n2)
+    # is bit-identical to the inline per-pair form (same fold values),
+    # but the in-cell pair scan drops from three 64-element folds to one
     a = members.join(emb, "vec_id").select(
-        "cluster_id", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")
+        "cluster_id",
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        sq_norm_expr("embedding").alias("n1"),
     )
     b = members.join(emb, "vec_id").select(
         F.col("cluster_id").alias("c2"),
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("e2"),
+        sq_norm_expr("embedding").alias("n2"),
     )
-    cos = _cosine("e1", "e2")
+    cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     removed = (
         a.join(b, (F.col("cluster_id") == F.col("c2")) & (F.col("v1") < F.col("v2")))
         .filter(cos >= _SEMDEDUP_TAU)
@@ -1766,7 +1818,16 @@ def _knng_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster_id", "embedding", F.round(d2, 6).alias("d2"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "cluster_id", "embedding")
+        # squared norm computed ONCE per vector here (and materialized by
+        # the caller's localCheckpoint) instead of per candidate pair —
+        # cos = dot / sqrt(n1*n2) is bit-identical to the inline form,
+        # but the pair stage runs one 64-element fold instead of three
+        .select(
+            "vec_id",
+            "cluster_id",
+            "embedding",
+            sq_norm_expr("embedding").alias("sqn"),
+        )
     )
 
 
@@ -1797,15 +1858,18 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"),
         F.col("cluster_id").alias("ca"),
         F.col("embedding").alias("e1"),
+        F.col("sqn").alias("n1"),
     )
     b = cell.select(
         F.col("vec_id").alias("dst"),
         F.col("cluster_id").alias("cb"),
         F.col("embedding").alias("e2"),
+        F.col("sqn").alias("n2"),
     )
+    cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     scored = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst", F.round(_cosine("e1", "e2"), 6).alias("cos6"))
+        .select("src", "dst", F.round(cos, 6).alias("cos6"))
     )
     w = W.partitionBy("src").orderBy(F.col("cos6").desc(), F.col("dst"))
     directed = (
@@ -2177,19 +2241,21 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations. Edges/core/cedges localCheckpoint eagerly, so the pair
     join runs exactly once for the loop AND the final assembly."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # squared norm once per vector pre-join (bit-identical inside the
+    # same sqrt(n1*n2)) — one fold per pair instead of three
     a = emb.select(
         F.col("vec_id").alias("v1"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("e1"),
+        sq_norm_expr("embedding").alias("n1"),
     )
     b = emb.select(
         F.col("vec_id").alias("v2"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("e2"),
+        sq_norm_expr("embedding").alias("n2"),
     )
-    cos = dot_expr("e1", "e2") / F.sqrt(
-        sq_norm_expr("e1") * sq_norm_expr("e2")
-    )
+    cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     pairs = (
         a.join(b, "lbl")
         .filter((F.col("v1") < F.col("v2")) & (cos >= _DB_TAU))
