@@ -106,6 +106,12 @@ def _modules():
 #     q_price_volume_mix
 # (2+12+6+12+1+1+1+12 = 47; reconciled against CORRECTNESS_r01..r05 +
 # the r6 window below via tools/never_gated.py-style recount.)
+# GATE_SLOTS is 50, so the r7 window needs 3 deliberate re-verifications
+# on top of the 47: use the r1-gated headline trio q01_pricing_summary,
+# q03_shipping_priority, q06_forecast_revenue (oldest green rows —
+# re-gating them doubles as a stability re-check after two rounds of
+# perf work) and add all three to REGATE_OK in
+# tests/test_driver_canon.py when rotating.
 GATE_ORDER: list[str] = [
     # Round-6 window: exactly the r6 plan recorded last round (comment
     # above) — whole never-gated families in module order. Every name is
