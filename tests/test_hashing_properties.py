@@ -94,3 +94,35 @@ def test_minhash_perm_column_matches_sql_rendering(spark):
                 f"SELECT {minhash_perm_sql(f'CAST({x} AS BIGINT)', i)}"
             ).fetchone()[0]
             assert got[x] == want, (x, i)
+
+
+def test_seed_count_python_matches_oracle_limit_expression():
+    """The quantizer seed count exists in two places that must never
+    drift: Python `_seed_count` (drives every Spark-side md5 seed draw)
+    and the literal SQL in `_SEEDS_LIMIT_SQL` (drives every oracle's
+    LIMIT). Evaluate the SQL arithmetic in DuckDB for a spread of corpus
+    sizes — including every checked-in fixture size, the k=8 plateau
+    edge (n = 2304 is the last 8; 2305 the first 9), and large n — and
+    pin it to the Python formula."""
+    import math
+
+    import duckdb
+
+    from debezium_cdc_kafka_spark.operators.similarity import (
+        _SEED_SQRT_DIV,
+        _SEEDS_LIMIT_SQL,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 2, 7, 8, 9, 100, 500, 2000, 2303, 2304, 2305, 8000,
+              50_000, 1_000_000, 10_000_000_000]:
+        sql = _SEEDS_LIMIT_SQL.replace(
+            "(SELECT count(*) FROM embeddings)", str(n)
+        )
+        (sql_k,) = con.sql(f"SELECT {sql}").fetchone()
+        py_k = max(8, math.ceil(math.sqrt(n) / _SEED_SQRT_DIV))
+        assert sql_k == py_k, (n, sql_k, py_k)
+    # the checked-in fixtures (500 / 500 / 2000 vectors) must all sit on
+    # the k = 8 plateau so oracle hashes are SF-stable
+    for n in (500, 2000):
+        assert max(8, math.ceil(math.sqrt(n) / _SEED_SQRT_DIV)) == 8
