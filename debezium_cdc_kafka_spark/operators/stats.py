@@ -1261,7 +1261,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy key, nothing else."""
     from ..functions.hashing import md5_long
 
-    orders = load_table(spark, sf_dir, "orders")
+    # orders is deliberately NOT in catalog.CPU_HEAVY_TABLES (light work
+    # everywhere else), but here the 32x explode + per-row md5 IS the
+    # heavy case that policy exists for: the fixture parquet is one row
+    # group, so without a spread the whole B-fold runs on ONE task.
+    # Project to the two needed columns first so the spread shuffles
+    # ~16 bytes/row, then explode in full parallelism.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
     draw = orders.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
