@@ -905,6 +905,17 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOCSIM_TAU = 0.3
 
+# Absolute posting-list bound on the stop-term cap. The fractional n/5 cap
+# alone leaves the term self-join's fanout at Σ df² ≤ V·(n/5)² = O(n²) —
+# measured r6 on a ×16 fixture: 1.2s → 288s (236×), the quadratic hiding
+# under the ×4 sweep's noise floor. min(n/5, 1000) keeps every checked-in
+# fixture's kept-term set IDENTICAL (the min engages only beyond n = 5,000
+# docs, the largest fixture) and bounds per-term fanout at C(1000,2) at any
+# corpus size — the sklearn max_df=int convention; at 100 TB the dropped
+# head terms are exactly the ones a banded path (dedup_minhash_lsh) or a
+# BM25 impact-ordered index would prune anyway.
+_DOCSIM_MAX_DF = 1000
+
 DOCSIM_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents
@@ -916,7 +927,7 @@ wts AS (
   SELECT tf.doc_id, tf.term,
          round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS w
   FROM tf JOIN df ON tf.term = df.term, n
-  WHERE df.df <= greatest(n.n_docs // 5, 2)
+  WHERE df.df <= least(greatest(n.n_docs // 5, 2), {_DOCSIM_MAX_DF})
 ),
 nrm AS (
   SELECT doc_id, CAST(sum(CAST(round(w * w * 1000000) AS BIGINT)) AS BIGINT) AS n6
@@ -944,9 +955,10 @@ def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-sharing pairs, never the all-pairs cross product. The lexical
     complement of [[dedup_embedding_cosine]]: catches near-identical
     wording that different embeddings may score apart, and vice versa.
-    Terms appearing in more than 1/5 of docs are dropped (stop-term cap,
-    same guard as [[dedup_ngram_jaccard_capped]]) — they add join fanout
-    but no discriminative weight.
+    Terms appearing in more than min(n/5, 1000) docs are dropped (the
+    fractional stop-term guard of [[dedup_ngram_jaccard_capped]] PLUS an
+    absolute posting-list bound — a fractional cap alone leaves the term
+    self-join at Σ df² = O(n²); see _DOCSIM_MAX_DF, measured ×16).
 
     Exactness: weights round to 1e-6 first; dot products and norms are
     µ-unit integer sums; the final cosine divides once and rounds.
@@ -978,7 +990,7 @@ def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf has one row per (doc, term): df == count(*) == countDistinct(doc_id).
     wts = (
         tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
-        .filter(F.col("df") <= max(n_docs // 5, 2))
+        .filter(F.col("df") <= min(max(n_docs // 5, 2), _DOCSIM_MAX_DF))
         .select(
             "doc_id",
             "term",
