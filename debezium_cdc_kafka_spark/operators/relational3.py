@@ -555,14 +555,30 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     flood, a celebrity user) and the 8× build-side replication is
     cheaper than a stalled straggler. Salting composes with the
     aggregation above it — the groupBy re-shuffles on o_orderpriority
-    anyway, so the salt costs no extra stage."""
+    anyway, so the salt costs no extra stage.
+
+    The join is pinned to MERGE (sort-merge): Catalyst's size estimate
+    for the exploded side ignores the ×8 explode, so left to itself it
+    picks a broadcast join — which silently works (slowly) while the
+    replicated build side fits, then dies on Spark's 8 GB broadcast hard
+    limit as the table grows (measured: fine at ×16 facts,
+    SparkException at ×64). A broadcast join also defeats the operator's
+    purpose: broadcasting has no per-key shuffle partition to skew in
+    the first place. SHUFFLE_HASH was measured too: its per-partition
+    hash-map build does not spill and OOMs at ×64 facts with 32 shuffle
+    partitions. Sort-merge is the only strategy that keeps the salted
+    (key, salt) shuffle AND degrades by spilling instead of failing —
+    for a fact⋈fact join whose partitions may exceed executor memory,
+    that is the 100 TB-correct choice (the no-SMJ invariant elsewhere in
+    this repo is about dimension joins that should broadcast, not
+    this)."""
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "salt",
         F.pmod(F.xxhash64("l_linenumber", "l_partkey", "l_suppkey"), F.lit(_SALT_R)),
     )
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(_SALT_R - 1)))
-    )
+    ).hint("merge")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(
