@@ -161,3 +161,18 @@ def test_similarity_histogram_probe_is_constant_size(spark):
     assert total_pairs == _SIMH_TARGET * (_SIMH_TARGET - 1) // 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_is_sort_merge_never_broadcast(spark):
+    """The salted skew join must keep its (key, salt) SHUFFLE at every
+    scale. Catalyst's explode-blind size estimate picks a broadcast here
+    on its own (measured: ~1 GB silently at x16 facts, hard
+    SparkException past the 8 GB limit at x64), and a broadcast join has
+    no shuffle partition to salt in the first place; SHUFFLE_HASH OOMs
+    at x64 because its hash-map build cannot spill. Sort-merge is the
+    pinned strategy — salted shuffle plus spill-instead-of-fail."""
+    from debezium_cdc_kafka_spark.operators import relational3
+
+    facts = plan_facts(relational3.q_salted_skew_join(spark, SF_SMOKE))
+    assert facts.sort_merge_joins >= 1, facts
+    assert facts.broadcast_joins == 0, facts
