@@ -577,7 +577,7 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "AUTOMOBILE"
     )
     members = orders.join(
-        F.broadcast(cust.select("c_custkey")),
+        cust.select("c_custkey"),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey")
 

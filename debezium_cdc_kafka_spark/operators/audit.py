@@ -135,11 +135,11 @@ def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     forget = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
     o = orders.join(
-        F.broadcast(forget), orders.o_custkey == forget.c_custkey
+        forget, orders.o_custkey == forget.c_custkey
     ).select("o_orderkey", "o_custkey")
     oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_o"))
     lic = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_l"))
     )

@@ -1593,7 +1593,7 @@ def q_engagement_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     v_c = F.round(F.col("value") * 100).cast("long")
-    j = ev.join(F.broadcast(cust), "user_id").select(
+    j = ev.join(cust, "user_id").select(
         "segment", "user_id", "event_type", v_c.alias("v_c")
     )
     is_p = (F.col("event_type") == "purchase").cast("int")

@@ -470,7 +470,7 @@ def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cents = F.round(F.col("v") * 100).cast("long")
     return (
-        deltas.join(F.broadcast(dim), deltas.id == F.col("c_custkey"))
+        deltas.join(dim, deltas.id == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.sum("wgt").cast("long").alias("n_live"),

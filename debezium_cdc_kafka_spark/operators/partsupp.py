@@ -127,8 +127,8 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     joined = (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
-        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
@@ -176,7 +176,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     value = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("ps_partkey")
@@ -227,8 +227,8 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), ps.ps_suppkey == bad_supp.s_suppkey, "left_anti")
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(bad_supp, ps.ps_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -277,7 +277,7 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     qualifying = (
-        ps.join(F.broadcast(part_bolt), ps.ps_partkey == part_bolt.p_partkey)
+        ps.join(part_bolt, ps.ps_partkey == part_bolt.p_partkey)
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),

@@ -176,7 +176,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -227,7 +227,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey) & (cust.c_nationkey == supplier.s_nationkey),
         )
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
@@ -464,7 +464,7 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     per_part = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -503,7 +503,7 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
     )
     supp = load_table(spark, sf_dir, "supplier")
-    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    joined = li.join(supp, li.l_suppkey == supp.s_suppkey)
     order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
     w = W.partitionBy("s_suppkey").orderBy(*order_cols)
     return joined.select(
@@ -598,7 +598,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
     )
 

@@ -74,7 +74,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
     ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -129,7 +129,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(german) / F.sum(volume), 4).alias("mkt_share"))
@@ -166,8 +166,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year"))
@@ -470,7 +470,7 @@ def _bloom_prefiltered_lineitem(spark: SparkSession, sf_dir: str):
         (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 5000)
     )
     keys = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey")
     )
     pos_rows = keys.select(
@@ -1023,7 +1023,7 @@ def q_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long"),
         )
         .filter(F.col("gap_days").isNotNull())
-        .join(F.broadcast(cust), "o_custkey")
+        .join(cust, "o_custkey")
     )
     gaps = seq.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_gaps"),
