@@ -485,6 +485,20 @@ def sq_norm_expr(a: str):
     )
 
 
+def pair_fanout(spark: SparkSession) -> int:
+    """Explicit partition count for blocked PAIR joins (label blocks here,
+    k-means cells in similarity.py). AQE coalesces post-shuffle partitions
+    by shuffle BYTES, which is blind to the |block|x row expansion and the
+    per-pair 64-element fold behind the join — measured at sf0.1 it fused
+    q_knn_graph's whole pair scan into ONE task (4.6 s of the 5.5 s wall).
+    An explicit repartition(N, key) is REPARTITION_BY_NUM, which AQE never
+    coalesces, and because it hash-partitions on the join key with the
+    session's shuffle-partition count, sort-merge's ENSURE_REQUIREMENTS
+    adds no second exchange — at scale it is the same single shuffle the
+    join needed anyway."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
 # ---------------------------------------------------------------------------
 # Duplicate clusters: connected components over the near-dup pair graph.
 # ---------------------------------------------------------------------------
@@ -606,14 +620,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # squared norm once per vector pre-join (bit-identical: same fold
     # values inside the same sqrt(n1*n2)), so the pair scan runs one
-    # 64-element fold per pair instead of three
-    a = emb.select(
+    # 64-element fold per pair instead of three. pair_fanout pins the
+    # join-key exchange so AQE's byte-based coalescing can't serialize
+    # the in-label pair scan onto one task.
+    fan = pair_fanout(spark)
+    a = emb.repartition(fan, "label").select(
         F.col("vec_id").alias("v1"),
         F.col("label").alias("l1"),
         F.col("embedding").alias("e1"),
         sq_norm_expr("embedding").alias("n1"),
     )
-    b = emb.select(
+    b = emb.repartition(fan, "label").select(
         F.col("vec_id").alias("v2"),
         F.col("label").alias("l2"),
         F.col("embedding").alias("e2"),

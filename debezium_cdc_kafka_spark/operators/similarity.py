@@ -33,7 +33,7 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 from ..functions.hashing import md5_long, md5_long_sql
-from .dedup import EMB_DOT_SQL, EMB_NORM_SQL, dot_expr, sq_norm_expr
+from .dedup import EMB_DOT_SQL, EMB_NORM_SQL, dot_expr, pair_fanout, sq_norm_expr
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -76,6 +76,9 @@ def _seed_count(emb) -> int:
     import math
 
     return max(8, math.ceil(math.sqrt(emb.count()) / _SEED_SQRT_DIV))
+
+
+_pair_fanout = pair_fanout
 
 
 _COS_SQL = (
@@ -785,14 +788,18 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # squared norm once per vector, not per pair: cos = dot / sqrt(n1*n2)
     # is bit-identical to the inline per-pair form (same fold values),
-    # but the in-cell pair scan drops from three 64-element folds to one
-    a = members.join(emb, "vec_id").select(
+    # but the in-cell pair scan drops from three 64-element folds to one.
+    # _pair_fanout pins the pair join's exchanges (join key, explicit N):
+    # AQE's byte-based coalescing otherwise fuses the whole n^2/k pair
+    # scan into one task (see q_knn_graph).
+    fan = _pair_fanout(spark)
+    a = members.join(emb, "vec_id").repartition(fan, "cluster_id").select(
         "cluster_id",
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
         sq_norm_expr("embedding").alias("n1"),
     )
-    b = members.join(emb, "vec_id").select(
+    b = members.join(emb, "vec_id").repartition(fan, "cluster_id").select(
         F.col("cluster_id").alias("c2"),
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("e2"),
@@ -1854,13 +1861,19 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization the assignment subtree executes 4x and the pair
     # scoring 2x (measured: over half this query's wall time).
     cell = _knng_cells(spark, sf_dir).localCheckpoint(eager=True)
-    a = cell.select(
+    # The checkpoint scan reports no partitioning, so the pair join's
+    # exchanges are ENSURE_REQUIREMENTS and AQE coalesced them to ONE
+    # task by bytes (the 64-float rows are small; the n^2/k pair work is
+    # not). _pair_fanout pins the join-key exchange instead — measured
+    # 4.3 s -> 1.5 s for this stage at sf0.1, values bit-identical.
+    fan = _pair_fanout(spark)
+    a = cell.repartition(fan, "cluster_id").select(
         F.col("vec_id").alias("src"),
         F.col("cluster_id").alias("ca"),
         F.col("embedding").alias("e1"),
         F.col("sqn").alias("n1"),
     )
-    b = cell.select(
+    b = cell.repartition(fan, "cluster_id").select(
         F.col("vec_id").alias("dst"),
         F.col("cluster_id").alias("cb"),
         F.col("embedding").alias("e2"),
