@@ -176,3 +176,23 @@ def test_salted_join_is_sort_merge_never_broadcast(spark):
     facts = plan_facts(relational3.q_salted_skew_join(spark, SF_SMOKE))
     assert facts.sort_merge_joins >= 1, facts
     assert facts.broadcast_joins == 0, facts
+
+
+def test_pair_joins_pin_fanout_against_aqe_coalescing(spark):
+    """The blocked pair scans must keep their REPARTITION_BY_NUM exchange
+    on the join key. AQE coalesces post-shuffle partitions by shuffle
+    BYTES, which is blind to the |block|x row expansion and the per-pair
+    64-element fold behind these joins — profiled at sf0.1, it fused
+    q_knn_graph's whole pair scan into ONE task (4.6 s of a 5.5 s wall,
+    31 cores idle). Explicit repartition(N, key) is exempt from
+    coalescing and satisfies sort-merge's distribution requirement, so
+    it costs no extra shuffle at scale (SCALE.md r6 fan-out section).
+    q_knn_graph/q_label_propagation share the same pin but hide it
+    behind a localCheckpoint barrier; the two plans visible end-to-end
+    are asserted here as the pattern's tripwire."""
+    from debezium_cdc_kafka_spark.operators import dedup, similarity
+
+    for fn in (dedup.dedup_embedding_cosine, similarity.semdedup_survivors):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        n_pins = plan.count("REPARTITION_BY_NUM")
+        assert n_pins >= 2, (fn.__name__, n_pins)
