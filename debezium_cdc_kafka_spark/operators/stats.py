@@ -283,22 +283,49 @@ SELECT '{child}.{ck}→{parent}' AS fk,
 def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across every foreign key of the star
     schema: child row count + orphan count (children whose key has no
-    parent) per edge. Each orphan check is a LEFT ANTI join with the
-    parent's key column broadcast (a parent key set is always small
-    relative to its fact children), so the whole audit costs one scan
-    per child table and shuffles nothing. This is the ingest gate a
-    CDC-fed warehouse runs before publishing a snapshot — the reference
-    trusts Postgres constraints for this (postgres.py:100–107); an
-    object-store lakehouse has to CHECK it."""
-    out = None
+    parent) per edge. One scan per child TABLE, not per edge: all of a
+    child's FK edges ride the same pass as broadcast LEFT joins against
+    the parents' distinct key sets (≤1 match per row, so the row count
+    is preserved), orphans fall out as conditional sums in a single
+    aggregate, and the per-edge rows unpack from that 1-row aggregate
+    with stack(). The earlier per-edge form (anti-join + count per edge)
+    executed lineitem's count subtree three times and scanned it six —
+    caught by tools/exchange_audit.py (r6); at 100 TB this audit must
+    cost exactly one pass over each fact table. This is the ingest gate
+    a CDC-fed warehouse runs before publishing a snapshot — the
+    reference trusts Postgres constraints for this
+    (postgres.py:100–107); an object-store lakehouse has to CHECK it."""
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, ck, parent, pk in _FK_EDGES:
+        by_child.setdefault(child, []).append((ck, parent, pk))
+    out = None
+    for child, edges in by_child.items():
         c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(pk).distinct()
-        orphans = c.join(F.broadcast(p), c[ck] == p[pk], "left_anti")
-        row = c.agg(
-            F.lit(f"{child}.{ck}→{parent}").alias("fk"),
+        for i, (ck, parent, pk) in enumerate(edges):
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
+            )
+            c = c.join(F.broadcast(p), F.col(ck) == F.col(f"__pk{i}"), "left")
+        agg = c.agg(
             F.count(F.lit(1)).alias("n_child_rows"),
-        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col(f"__pk{i}").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).cast("bigint").alias(f"__orph{i}")
+                for i in range(len(edges))
+            ],
+        )
+        pairs = ", ".join(
+            f"'{child}.{ck}→{parent}', __orph{i}"
+            for i, (ck, parent, _pk) in enumerate(edges)
+        )
+        row = agg.select(
+            F.expr(f"stack({len(edges)}, {pairs}) AS (fk, n_orphans)"),
+            "n_child_rows",
+        ).select("fk", "n_child_rows", "n_orphans")
         out = row if out is None else out.unionByName(row)
     return out
 

@@ -1,0 +1,123 @@
+"""Duplicate-shuffle audit: find plans that materialize the same exchange twice.
+
+Run: python tools/exchange_audit.py [sf_dir] [--json OUT]
+
+At 100 TB the shuffle is the dominant I/O cost, so a plan that computes the
+SAME shuffle twice — where Spark's exchange reuse should have collapsed the
+two — wastes a full pass over the data. Reuse can silently break: AQE caches
+shuffle stages by canonicalized subtree, and a small alias/ordering
+difference between two logically-identical subtrees (or a localCheckpoint /
+ExistingRDD boundary that re-materializes per reference) defeats it.
+
+Method: each registered query RUNS to a noop sink first, so AQE finalizes
+the plan and runtime stage reuse gets its chance; then the FINAL adaptive
+plan is walked (the `== Initial Plan ==` section is cut off — it would
+double-count every node). Every materialized shuffle node (`Exchange
+hashpartitioning/rangepartitioning/SinglePartition`, excluding
+`ReusedExchange` / reused query stages) has its subtree extracted by tree
+depth and normalized — expression ids `#123`, `plan_id=`/`id=#` tags and
+stage annotations stripped — and fingerprinted. Two identical fingerprints
+inside one plan mean the same shuffle executed twice.
+
+Output: per-query shuffle count + duplicate groups, worst offenders first.
+Single-session, execution-order warmth — a structural audit, not a
+benchmark (pair with tools/sweep_timings.py for wall numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from debezium_cdc_kafka_spark import registry  # noqa: E402
+from debezium_cdc_kafka_spark.session import get_spark  # noqa: E402
+
+SHUFFLE = re.compile(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)")
+REUSED = re.compile(r"ReusedExchange|ReusedQueryStage|TableCacheQueryStage")
+# Run-specific noise inside plan strings: expression ids, plan/stage ids,
+# shuffle ids, memory sizes reported by finalized stages.
+NOISE = re.compile(
+    r"#\d+[A-Z]*|\[plan_id=\d+\]|\[id=#?\d+\]|, \[id=#?\d+\]"
+    r"|ShuffleQueryStage \d+|QueryStage \d+|Statistics\([^)]*\)"
+)
+
+
+def _depth(line: str) -> int:
+    return len(line) - len(line.lstrip(" +-:*"))
+
+
+def _subtree(lines: list[str], i: int) -> str:
+    d = _depth(lines[i])
+    out = [NOISE.sub("", lines[i]).strip()]
+    for ln in lines[i + 1 :]:
+        if ln.strip() and _depth(ln) <= d:
+            break
+        out.append(NOISE.sub("", ln).strip())
+    return "\n".join(out)
+
+
+def audit_plan(plan: str) -> tuple[int, list[list[str]]]:
+    """Return (materialized shuffle count, duplicate fingerprint groups)."""
+    # The final adaptive plan ends where the pre-AQE snapshot begins.
+    cut = plan.find("== Initial Plan ==")
+    if cut != -1:
+        plan = plan[:cut]
+    lines = plan.splitlines()
+    seen: dict[str, list[str]] = {}
+    count = 0
+    for i, ln in enumerate(lines):
+        if not SHUFFLE.search(ln) or REUSED.search(ln):
+            continue
+        count += 1
+        fp = _subtree(lines, i)
+        seen.setdefault(fp, []).append(NOISE.sub("", ln).strip()[:120])
+    dups = [v for v in seen.values() if len(v) > 1]
+    return count, dups
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+    spark = get_spark("exchange_audit")
+    rows: dict[str, dict] = {}
+    for name, fn in registry.all_queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — audit must finish
+            print(f"ERR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            rows[name] = {"error": type(e).__name__}
+            continue
+        n, dups = audit_plan(plan)
+        rows[name] = {"shuffles": n, "dup_groups": len(dups), "dups": dups}
+        if dups:
+            print(f"DUP {name}: {n} shuffles, {len(dups)} duplicated subtree(s)")
+            for g in dups:
+                print(f"    x{len(g)}: {g[0]}")
+        spark.catalog.clearCache()
+    ok = [r for r in rows.values() if "error" not in r]
+    ok_sorted = sorted(
+        ((n, r) for n, r in rows.items() if "error" not in r),
+        key=lambda kv: -kv[1]["shuffles"],
+    )
+    print(f"\n{len(ok)} queries audited; total materialized shuffles "
+          f"{sum(r['shuffles'] for r in ok)}; "
+          f"{sum(1 for r in ok if r['dup_groups'])} queries with duplicate shuffles")
+    print("top shuffle counts:")
+    for n, r in ok_sorted[:15]:
+        print(f"  {r['shuffles']:3d}  {n}")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(rows, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
