@@ -42,6 +42,10 @@ REUSED = re.compile(r"ReusedExchange|ReusedQueryStage|TableCacheQueryStage")
 NOISE = re.compile(
     r"#\d+[A-Z]*|\[plan_id=\d+\]|\[id=#?\d+\]|, \[id=#?\d+\]"
     r"|ShuffleQueryStage \d+|QueryStage \d+|Statistics\([^)]*\)"
+    # lambda variable names are numbered per-plan-instance (x_1 vs x_7 for
+    # the same higher-order function) — a pure rename must not defeat the
+    # duplicate fingerprint
+    r"|\bx_\d+"
 )
 
 
@@ -59,23 +63,44 @@ def _subtree(lines: list[str], i: int) -> str:
     return "\n".join(out)
 
 
-def audit_plan(plan: str) -> tuple[int, list[list[str]]]:
-    """Return (materialized shuffle count, duplicate fingerprint groups)."""
+SCAN_LOC = re.compile(r"/(\w+)\.parquet")
+
+
+def audit_plan(plan: str) -> tuple[int, int, list[list[str]], dict[str, int]]:
+    """Return (materialized shuffles, reused markers, duplicate groups,
+    per-table FileScan counts).
+
+    The scan census is the recompute signal the shuffle fingerprint can't
+    see: a lazy frame with three consumers re-executes its whole subtree —
+    including the base table scan — once per consumer. Locally that's
+    often the right trade (recompute beats materializing); at 100 TB a
+    fact table scanned 4× in one query is 300 TB of extra I/O, so every
+    entry here with a high count on a FACT table needs a documented
+    recompute-over-materialize rationale or a persist."""
     # The final adaptive plan ends where the pre-AQE snapshot begins.
     cut = plan.find("== Initial Plan ==")
     if cut != -1:
         plan = plan[:cut]
     lines = plan.splitlines()
+    scans: dict[str, int] = {}
+    for ln in lines:
+        if "FileScan parquet" in ln:
+            m = SCAN_LOC.search(ln)
+            key = m.group(1) if m else "?"
+            scans[key] = scans.get(key, 0) + 1
     seen: dict[str, list[str]] = {}
-    count = 0
+    count = reused = 0
     for i, ln in enumerate(lines):
-        if not SHUFFLE.search(ln) or REUSED.search(ln):
+        if REUSED.search(ln):
+            reused += 1
+            continue
+        if not SHUFFLE.search(ln):
             continue
         count += 1
         fp = _subtree(lines, i)
         seen.setdefault(fp, []).append(NOISE.sub("", ln).strip()[:120])
     dups = [v for v in seen.values() if len(v) > 1]
-    return count, dups
+    return count, reused, dups, scans
 
 
 def main() -> int:
@@ -95,8 +120,14 @@ def main() -> int:
             print(f"ERR {name}: {type(e).__name__}: {e}", file=sys.stderr)
             rows[name] = {"error": type(e).__name__}
             continue
-        n, dups = audit_plan(plan)
-        rows[name] = {"shuffles": n, "dup_groups": len(dups), "dups": dups}
+        n, reused, dups, scans = audit_plan(plan)
+        rows[name] = {
+            "shuffles": n,
+            "reused": reused,
+            "dup_groups": len(dups),
+            "dups": dups,
+            "scans": scans,
+        }
         if dups:
             print(f"DUP {name}: {n} shuffles, {len(dups)} duplicated subtree(s)")
             for g in dups:
@@ -108,11 +139,20 @@ def main() -> int:
         key=lambda kv: -kv[1]["shuffles"],
     )
     print(f"\n{len(ok)} queries audited; total materialized shuffles "
-          f"{sum(r['shuffles'] for r in ok)}; "
+          f"{sum(r['shuffles'] for r in ok)} "
+          f"(+{sum(r['reused'] for r in ok)} reused); "
           f"{sum(1 for r in ok if r['dup_groups'])} queries with duplicate shuffles")
-    print("top shuffle counts:")
+    print("top shuffle counts (materialized/reused):")
     for n, r in ok_sorted[:15]:
-        print(f"  {r['shuffles']:3d}  {n}")
+        print(f"  {r['shuffles']:3d}/{r['reused']:<3d}  {n}")
+    by_scans = sorted(
+        ((n, r) for n, r in rows.items() if "error" not in r),
+        key=lambda kv: -max(kv[1]["scans"].values() or [0]),
+    )
+    print("top repeated-scan counts (max scans of one table):")
+    for n, r in by_scans[:20]:
+        worst = max(r["scans"], key=r["scans"].get)
+        print(f"  {r['scans'][worst]:3d}x {worst:12s}  {n}")
     if out_json:
         with open(out_json, "w") as f:
             json.dump(rows, f, indent=1)
