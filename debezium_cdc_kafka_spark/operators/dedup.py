@@ -674,22 +674,32 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the guard that makes the inverted-index join survive 100 TB:
     a boilerplate shingle shared by 10% of a web crawl would otherwise
     put 1% of all candidate pairs in one reducer (df² pair blowup). The
-    stop list is tiny by construction (only hot shingles qualify), so it
-    broadcasts, and the cap is enforced with a broadcast anti-join — the
-    big table never reshuffles. The 5%-of-n threshold is compared as
-    df·20 > n in exact integers, never a double."""
-    sh = doc_shingles(spark, sf_dir)
+    5%-of-n threshold is compared as df·20 > n in exact integers, never
+    a double.
+
+    The cap rides the pair join's OWN partitioning: the shingle index is
+    hash-partitioned on sh (pair_fanout — an explicit REPARTITION_BY_NUM
+    the pair join reuses, so this adds no exchange), df is a window
+    count over that same partitioning, and hot shingles filter inline.
+    The earlier broadcast-anti-join form re-executed a separate df
+    aggregate subtree per consumer of `capped` (3 consumers: counts +
+    both join sides) — the r6 scan census (tools/exchange_audit.py)
+    measured 12 document scans per run, and the inline form won the
+    ×16-docs A/B at 43s vs 78s (lazy) vs 52s (localCheckpoint of the
+    index — materializing a shingle index costs more than re-deriving
+    it, at every measured scale)."""
+    fan = pair_fanout(spark)
+    sh = doc_shingles(spark, sf_dir).repartition(fan, "sh")
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    drop_sh = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    hot = (F.col("df") * 20 > F.col("n_docs")) & (F.col("df") > 5)
+    capped = (
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
         .crossJoin(F.broadcast(n_docs))
-        .filter((F.col("df") * 20 > F.col("n_docs")) & (F.col("df") > 5))
-        .select("sh")
+        .filter(~hot)
+        .select("doc_id", "sh")
     )
-    capped = sh.join(F.broadcast(drop_sh), "sh", "left_anti")
     cnt = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
@@ -1048,14 +1058,21 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("sh")
     )
     n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # Same inline window-df cap as [[dedup_ngram_jaccard_capped]]: df rides
+    # the pair join's own sh-partitioning (pair_fanout pin, no extra
+    # exchange) instead of a separate aggregate subtree that re-executed
+    # per consumer — the r6 scan census measured the anti-join form at 24
+    # document scans per run (2 corpus scans × {df-agg, counts, join a,
+    # join b} × re-execution); this form is 3 consumers × 2 scans.
+    fan = pair_fanout(spark)
+    sh = sh.repartition(fan, "sh")
+    hot = (F.col("df") * 20 > F.col("n_docs")) & (F.col("df") > 5)
+    capped = (
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
         .crossJoin(F.broadcast(n_docs))
-        .filter((F.col("df") * 20 > F.col("n_docs")) & (F.col("df") > 5))
-        .select("sh")
+        .filter(~hot)
+        .select("doc_id", "sh")
     )
-    capped = sh.join(F.broadcast(hot), "sh", "left_anti")
     cnt = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
