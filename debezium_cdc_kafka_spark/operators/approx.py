@@ -428,10 +428,16 @@ def q_kmv_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = hashed.join(F.broadcast(thr), "yr").filter(F.col("h") <= F.col("thr"))
     w = W.partitionBy("yr").orderBy("h")
+    # The sketch is ≤ 2k rows and feeds six consumers (per-set stats ×2,
+    # union sketch, both semi-join probes) — lazy, each consumer re-ran
+    # the full scan + distinct + prefilter (r6 scan census: 13 lineitem
+    # scans per run). A bounded checkpoint pins it at one sketch build
+    # plus the exact-truth pass.
     sk = (
         pruned.select("yr", "h", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= _KMV_K)
         .drop("rn")
+        .localCheckpoint(eager=True)
     )
     stats = sk.groupBy("yr").agg(
         F.count(F.lit(1)).alias("m"), F.max("h").alias("kth")
@@ -586,6 +592,11 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_long(F.concat(col.cast("string"), F.lit(f":{seed}"))) % _BF_M
         )
 
+    # The bit set is bounded by m and IS the filter — but lazy it
+    # re-executed the member build (orders⋈customer) once per probe
+    # semi-join seed plus once for occupancy (r6 scan census: 9 orders
+    # scans per run). A real pipeline materializes the built bloom by
+    # definition; the bounded checkpoint is that materialization.
     bits = (
         members.select(
             F.explode(
@@ -593,6 +604,7 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     probes = orders.join(
         members.withColumnRenamed("o_orderkey", "mk"),

@@ -1139,9 +1139,19 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     on pair keys over pair-sized tables. The exhaustive side exists at
     eval scale only — production samples a verification stratum instead,
     same plan."""
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    lsh = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("d1").alias("l1"), F.col("d2").alias("l2")
+    # Both pair views feed two consumers (the hit join + their size
+    # count) — lazy, the full exhaustive-jaccard and LSH pipelines each
+    # executed twice (r6 scan census: 8 document scans per run, 4 after
+    # checkpointing the two pair-sized results).
+    exact = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("d1").alias("l1"), F.col("d2").alias("l2"))
+        .localCheckpoint(eager=True)
     )
     hit = exact.join(
         lsh, (exact.d1 == F.col("l1")) & (exact.d2 == F.col("l2"))
@@ -1285,9 +1295,16 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ns = spans.groupBy("h").agg(F.count(F.lit(1)).alias("ns"))
+    # Same inline window-df cap as [[dedup_ngram_jaccard_capped]] (r6):
+    # the span-frequency count rides the self-join's own h-partitioning
+    # (pair_fanout pin) instead of a separate aggregate + semi-join whose
+    # subtree re-executed per consumer of `kept` (scan census: 8 document
+    # scans per run; 3 with the inline form).
+    spans = spans.repartition(pair_fanout(spark), "h")
     kept = (
-        spans.join(ns.filter(F.col("ns") <= _OVL_MAX_SRC), "h", "left_semi")
+        spans.withColumn("ns", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("ns") <= _OVL_MAX_SRC)
+        .select("source", "h")
     )
     per_source = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
     a = kept.select(F.col("h"), F.col("source").alias("source_a"))

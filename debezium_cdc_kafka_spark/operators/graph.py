@@ -407,6 +407,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = li.distinct()
     a = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = d.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # The support-pruned edge set is SMALL by construction and feeds ten
+    # plan consumers (und×6 via deg/na/nb, cn, the final join) — lazy, the
+    # basket self-join re-executed ten times (r6 scan census: 20 lineitem
+    # scans; AQE stage reuse did NOT collapse them here, unlike
+    # [[graph_triangle_count]] where it does and a checkpoint measured
+    # slower). Measured: first call 16.0s → 11.8s, warm 2.4s → 2.2s at
+    # sf0.1; at 100 TB this is nine avoided fact⋈fact passes.
     pairs = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
@@ -414,6 +421,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pn"))
         .filter(F.col("pn") >= _min_support(spark, sf_dir, _JN_MIN_PAIR))
         .drop("pn")
+        .localCheckpoint(eager=True)
     )
     und = pairs.select("u", F.col("v").alias("w")).unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("w"))

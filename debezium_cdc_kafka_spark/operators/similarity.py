@@ -2750,10 +2750,17 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     — margins, entropies, argmax, all windows over that bounded frame."""
     assign = ann_kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # The contingency table is k·|labels| rows and feeds six consumers
+    # (MI, both entropies, majority rows, totals) — lazy, each one
+    # re-executed the full broadcast-seed assignment scan (r6 scan
+    # census: 15 embeddings scans per run). Checkpointing a bounded
+    # frame costs nothing at any SF and pins the scan count at the one
+    # assignment pass.
     cells = (
         assign.join(emb, "vec_id")
         .groupBy("cluster_id", "label")
         .agg(F.count(F.lit(1)).alias("n_cl"))
+        .localCheckpoint(eager=True)
     )
     margins = cells.select(
         "cluster_id",

@@ -666,8 +666,14 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = day.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
-    dev = day.crossJoin(F.broadcast(tot)).select(
-        "d", (F.col("x") * F.col("n") - F.col("s")).alias("e")
+    # The deviation table is calendar-bounded (one row per day) and feeds
+    # three consumers (denominator, lag explode, shifted side) — lazy,
+    # each re-ran the corpus groupBy (r6 scan census: 6 events scans per
+    # run; 2 with this bounded checkpoint).
+    dev = (
+        day.crossJoin(F.broadcast(tot))
+        .select("d", (F.col("x") * F.col("n") - F.col("s")).alias("e"))
+        .localCheckpoint(eager=True)
     )
     denom = dev.agg(
         F.sum((F.col("e") * F.col("e")).cast("decimal(38,0)"))
