@@ -970,12 +970,18 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "j", F.col("cid").alias("code"))
     )
     # one Lloyd step: (subspace, code) centroid <- mean of member subvectors
+    # The refined codebook is M×K rows (bounded by construction) and
+    # feeds two broadcast consumers (re-encode + query distance table) —
+    # lazy, each re-ran the whole train pipeline (r6 scan census: 8
+    # embeddings scans per run). A trained codebook is materialized by
+    # definition; the bounded checkpoint is that materialization.
     cent = (
         codes0.join(emb, "vec_id")
         .withColumn("sub", _subvec("embedding"))
         .groupBy("j", F.col("code").alias("cid"))
         .agg(*[F.round(F.avg(F.col("sub")[i]), 6).alias(f"c{i}") for i in range(_PQ_SUB)])
         .select("j", "cid", F.array(*[f"c{i}" for i in range(_PQ_SUB)]).alias("ce8"))
+        .localCheckpoint(eager=True)
     )
     enc = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "j", "cid", F.round(_sub_d2c("embedding"), 6).alias("d2")
