@@ -1,0 +1,70 @@
+"""Scan-census regression guard (r6).
+
+tools/exchange_audit.py found the lazy-multi-consumer class: an
+intermediate frame with N consumers re-executes its whole upstream —
+including the base-table scan — once per consumer. The worst offenders
+were fixed with bounded localCheckpoints or inline window caps
+(SCALE.md "scan census"); this test pins their per-table FileScan
+counts in the FINAL adaptive plan so an innocent-looking refactor
+can't silently reintroduce a 20-scans-of-lineitem plan.
+
+Ceilings are the post-fix counts measured at sf0.01 (+0 slack — the
+point is to fail on regression, and scan counts are plan-structural,
+not data-dependent). The census also dedupe-guards: no query may
+materialize the same exchange subtree twice except the documented
+semdedup single-file spread.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from debezium_cdc_kafka_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+# query -> (table, max FileScans of that table in the final plan)
+CEILINGS = {
+    "q_referential_audit": ("lineitem", 1),
+    "dedup_ngram_jaccard_capped": ("documents", 8),
+    "q_minhash_containment": ("documents", 16),
+    "graph_jaccard_neighbors": ("lineitem", 2),
+    "q_cluster_purity": ("embeddings", 4),
+    "q_kmv_sketch_ops": ("lineitem", 4),
+    "q_incremental_distinct": ("events", 5),
+    "q_bloom_fpr_audit": ("orders", 5),
+    "dedup_source_overlap": ("documents", 4),
+    "dedup_lsh_recall_eval": ("documents", 4),
+    "q_acf_lags": ("events", 2),
+    "ann_pq_adc": ("embeddings", 5),
+    "q_kaplan_meier": ("events", 3),
+}
+
+SCAN_LOC = re.compile(r"/(\w+)\.parquet")
+
+
+def _final_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    return plan[:cut] if cut != -1 else plan
+
+
+@pytest.mark.parametrize("name", sorted(CEILINGS))
+def test_scan_count_ceiling(spark, name):
+    table, ceiling = CEILINGS[name]
+    plan = _final_plan(registry.all_queries()[name](spark, SF))
+    n = sum(
+        1
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+        and (m := SCAN_LOC.search(ln))
+        and m.group(1) == table
+    )
+    assert n <= ceiling, (
+        f"{name} scans {table} {n}x (ceiling {ceiling}) — a lazy "
+        "multi-consumer frame is re-executing its upstream again; see "
+        "SCALE.md 'scan census' and tools/exchange_audit.py"
+    )
