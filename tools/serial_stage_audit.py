@@ -40,6 +40,12 @@ def main() -> int:
     spark = get_spark("serial_audit", ui=True)
     sc = spark.sparkContext
     queries = registry.all_queries()
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = sorted(set(wanted) - set(queries))
+        if unknown:
+            raise SystemExit(f"--only names not in the registry: {unknown}")
+        queries = {n: queries[n] for n in wanted}
 
     # warm the JVM once so first-query JIT doesn't masquerade as compute
     next(iter(queries.values()))(spark, sf_dir).count()
