@@ -407,8 +407,16 @@ def q_kmv_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     yr = F.year("l_shipdate")
+    # Range form, not year(..) IN (..): the expression wrapper defeats
+    # parquet pushdown (the predicate showed up in DataFilters only —
+    # tools/pushdown_audit.py, r6), while the equivalent half-open range
+    # on the raw column reaches PushedFilters and row-group stats skip
+    # the other years' chunks at scale.
     base = (
-        li.filter(yr.isin(1996, 1997))
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
         .select(yr.alias("yr"), "l_partkey")
         .distinct()
     )

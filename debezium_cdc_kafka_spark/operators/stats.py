@@ -642,7 +642,14 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
-    pop = orders.filter(yr.isin(1996, 1997)).select(
+    # Range form, not year(..) IN (..): the wrapper defeated parquet
+    # pushdown on all four scans of this plan (tools/pushdown_audit.py,
+    # r6); the half-open range on the raw column pushes and row-group
+    # stats skip the other years at scale.
+    pop = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
         F.col("o_totalprice").alias("x"), (yr == 1996).cast("int").alias("is_base")
     )
     rng = pop.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
