@@ -5,8 +5,13 @@ intermediate frame with N consumers re-executes its whole upstream —
 including the base-table scan — once per consumer. The worst offenders
 were fixed with bounded localCheckpoints or inline window caps
 (SCALE.md "scan census"); this test pins their per-table FileScan
-counts in the FINAL adaptive plan so an innocent-looking refactor
-can't silently reintroduce a 20-scans-of-lineitem plan.
+counts in the INITIAL adaptive plan (the noop-sink write below runs a
+separate QueryExecution, so the audited frame's plan stays pre-reuse —
+deliberate here: the initial plan is a deterministic structural ceiling,
+unaffected by AQE's runtime stage-reuse variance; see SCALE.md
+"Correction: the audit now reads the EXECUTED plan") so an
+innocent-looking refactor can't silently reintroduce a
+20-scans-of-lineitem plan.
 
 Ceilings are the post-fix counts measured at sf0.01 (+0 slack — the
 point is to fail on regression, and scan counts are plan-structural,

@@ -9,10 +9,13 @@ shuffle stages by canonicalized subtree, and a small alias/ordering
 difference between two logically-identical subtrees (or a localCheckpoint /
 ExistingRDD boundary that re-materializes per reference) defeats it.
 
-Method: each registered query RUNS to a noop sink first, so AQE finalizes
-the plan and runtime stage reuse gets its chance; then the FINAL adaptive
-plan is walked (the `== Initial Plan ==` section is cut off — it would
-double-count every node). Every materialized shuffle node (`Exchange
+Method: each registered query RUNS via collect() — an action on the
+DataFrame's OWN QueryExecution, so AQE finalizes that instance in place
+(a noop-sink write executes a separate QueryExecution and leaves this
+one at isFinalPlan=false, which silently reports the pre-reuse initial
+plan — the audit's first version had exactly that bug); then the FINAL
+adaptive plan is walked (the `== Initial Plan ==` section is cut off —
+it would double-count every node). Every materialized shuffle node (`Exchange
 hashpartitioning/rangepartitioning/SinglePartition`, excluding
 `ReusedExchange` / reused query stages) has its subtree extracted by tree
 depth and normalized — expression ids `#123`, `plan_id=`/`id=#` tags and
@@ -54,12 +57,16 @@ def _depth(line: str) -> int:
 
 
 def _subtree(lines: list[str], i: int) -> str:
+    # strip the tree-prefix characters too: two identical subtrees sitting
+    # at different branch positions render different ':'/'+' gutters, and
+    # a fingerprint that keeps them misses the duplicate (caught by
+    # tests/test_audit_tools.py)
     d = _depth(lines[i])
-    out = [NOISE.sub("", lines[i]).strip()]
+    out = [NOISE.sub("", lines[i]).lstrip(" :+-*")]
     for ln in lines[i + 1 :]:
         if ln.strip() and _depth(ln) <= d:
             break
-        out.append(NOISE.sub("", ln).strip())
+        out.append(NOISE.sub("", ln).lstrip(" :+-*").rstrip())
     return "\n".join(out)
 
 
@@ -114,7 +121,7 @@ def main() -> int:
     for name, fn in registry.all_queries().items():
         try:
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — audit must finish
             print(f"ERR {name}: {type(e).__name__}: {e}", file=sys.stderr)
