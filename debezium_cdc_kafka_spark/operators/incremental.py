@@ -323,21 +323,13 @@ def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
-    # state is ≤ k rows and delta is the distinct-hash working set a real
-    # incremental pipeline materializes anyway; both feed two consumers
-    # each (sizes + the merge), and ksmall() reads its input twice
-    # (n_est + prefilter) — lazy, the whole pre/post-split scan stack
-    # re-executed per consumer (r6 scan census: 11 events scans per run;
-    # 5 after these two bounded checkpoints).
-    state = ksmall(
-        ev.filter(F.col("ts") < split).select(h.alias("h")).distinct()
-    ).localCheckpoint(eager=True)
-    delta = (
-        ev.filter(F.col("ts") >= split)
-        .select(h.alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # state/delta each feed two consumers and ksmall() reads its input
+    # twice (n_est + prefilter); the static plan duplicates the scan
+    # stack accordingly, but AQE stage reuse collapses the duplicates at
+    # runtime (executed-plan audit) — eager checkpoints here measured
+    # SLOWER (1.5-1.7s → 2.1-2.2s warm at sf0.1), so both stay lazy.
+    state = ksmall(ev.filter(F.col("ts") < split).select(h.alias("h")).distinct())
+    delta = ev.filter(F.col("ts") >= split).select(h.alias("h")).distinct()
     merged = ksmall(state.unionAll(delta).distinct())
     fullk = ksmall(ev.select(h.alias("h")).distinct())
 

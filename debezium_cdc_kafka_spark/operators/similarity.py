@@ -970,18 +970,18 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "j", F.col("cid").alias("code"))
     )
     # one Lloyd step: (subspace, code) centroid <- mean of member subvectors
-    # The refined codebook is M×K rows (bounded by construction) and
-    # feeds two broadcast consumers (re-encode + query distance table) —
-    # lazy, each re-ran the whole train pipeline (r6 scan census: 8
-    # embeddings scans per run). A trained codebook is materialized by
-    # definition; the bounded checkpoint is that materialization.
+    # The refined codebook is M×K rows and feeds two broadcast consumers
+    # (re-encode + query distance table). The static plan duplicates the
+    # train subtree, but AQE reuses the broadcast at runtime
+    # (executed-plan audit) — an eager checkpoint measured SLOWER
+    # (4.8-5.2s → 5.9-9.4s at sf0.1, barrier cost with no reuse to buy),
+    # so the codebook stays lazy.
     cent = (
         codes0.join(emb, "vec_id")
         .withColumn("sub", _subvec("embedding"))
         .groupBy("j", F.col("code").alias("cid"))
         .agg(*[F.round(F.avg(F.col("sub")[i]), 6).alias(f"c{i}") for i in range(_PQ_SUB)])
         .select("j", "cid", F.array(*[f"c{i}" for i in range(_PQ_SUB)]).alias("ce8"))
-        .localCheckpoint(eager=True)
     )
     enc = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "j", "cid", F.round(_sub_d2c("embedding"), 6).alias("d2")
@@ -2757,16 +2757,16 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ann_kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     # The contingency table is k·|labels| rows and feeds six consumers
-    # (MI, both entropies, majority rows, totals) — lazy, each one
-    # re-executed the full broadcast-seed assignment scan (r6 scan
-    # census: 15 embeddings scans per run). Checkpointing a bounded
-    # frame costs nothing at any SF and pins the scan count at the one
-    # assignment pass.
+    # (MI, both entropies, majority rows, totals). The static plan shows
+    # the assignment subtree six times, but AQE stage reuse collapses
+    # the duplicates at runtime (executed-plan audit,
+    # tools/exchange_audit.py) — an eager checkpoint here measured a
+    # wash-to-slower (1.4 → 1.7s warm at sf0.1), so the frame stays
+    # lazy and reuse carries the dedup.
     cells = (
         assign.join(emb, "vec_id")
         .groupBy("cluster_id", "label")
         .agg(F.count(F.lit(1)).alias("n_cl"))
-        .localCheckpoint(eager=True)
     )
     margins = cells.select(
         "cluster_id",

@@ -36,14 +36,17 @@ CEILINGS = {
     "dedup_ngram_jaccard_capped": ("documents", 8),
     "q_minhash_containment": ("documents", 16),
     "graph_jaccard_neighbors": ("lineitem", 2),
-    "q_cluster_purity": ("embeddings", 4),
+    # purity/incremental/bloom/pq keep their LAZY initial-plan counts:
+    # checkpoints there measured slower because AQE stage reuse already
+    # collapses the duplicates at runtime (SCALE.md correction section)
+    "q_cluster_purity": ("embeddings", 15),
     "q_kmv_sketch_ops": ("lineitem", 4),
-    "q_incremental_distinct": ("events", 5),
-    "q_bloom_fpr_audit": ("orders", 5),
+    "q_incremental_distinct": ("events", 11),
+    "q_bloom_fpr_audit": ("orders", 9),
     "dedup_source_overlap": ("documents", 4),
     "dedup_lsh_recall_eval": ("documents", 4),
     "q_acf_lags": ("events", 2),
-    "ann_pq_adc": ("embeddings", 5),
+    "ann_pq_adc": ("embeddings", 8),
     "q_kaplan_meier": ("events", 3),
 }
 
