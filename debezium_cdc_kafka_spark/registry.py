@@ -73,109 +73,77 @@ def _modules():
 # longer rotate it out of the gate as a side effect; changing the window is
 # an explicit edit to this list.
 #
-# Round-6 window (per VERDICT.md r5 "Next round" item 1): exactly the r6
-# rotation plan recorded in round 5 — whole never-gated families in module
-# order. Every name below is first-time (no green row in
-# CORRECTNESS_r01..r05), enforced by tests/test_driver_canon.py. Additions
-# remain FROZEN at 292, so the never-gated pool strictly decreases:
-# 97 → 47 once the r6 gate runs (q_pca_top2_project already has its
-# rows-only driver row from r3 — no oracle by design — so it is not
-# re-gated).
-# r7 window plan (the remaining 47, clearing the pool; do NOT apply
-# before the r6 driver gate has run) — full explicit list, module order:
-#   timeseries(2): q_weekday_effect, q_mann_kendall
-#   behavior(12): q_kaplan_meier, q_dau_mau_stickiness,
-#     q_next_event_accuracy, q_user_concentration, q_new_vs_returning,
-#     q_interarrival_burstiness, q_window_funnel, q_attribution_linear,
-#     q_attribution_time_decay, q_ltv_cohort_curve,
-#     q_engagement_by_segment, q_conversion_cdf
-#   approx(6): q_bloom_fpr_audit, q_ams_f2_sketch, q_join_size_sketch,
-#     q_spacesaving_heavy_hitters, q_hll_time_rollup,
-#     q_bitmap_distinct_users
-#   stats(12): q_psi_drift, q_classifier_auc, q_decision_stump,
-#     q_calibration_curve, q_mutual_information, q_anova_oneway,
-#     q_weighted_median_udaf, q_winsorized_stats, q_cuped_adjustment,
-#     q_diff_in_diff, q_quantile_treatment_effect, q_power_analysis
-#   asof(1): q_asof_nearest_tolerance
-#   reshape(1): q_equidepth_histogram
-#   windows(1): q_windowed_topk_types
-#   relational3(12): q_variant_props, q_order_cycle_time,
-#     q_abc_classification, q_supplier_hhi, q_reorder_interval,
-#     q_basket_profile, q_unit_price_dispersion, q_discount_band_mix,
-#     q_churn_flags, q_laspeyres_price_index, q_fisher_price_index,
-#     q_price_volume_mix
-# (2+12+6+12+1+1+1+12 = 47; reconciled against CORRECTNESS_r01..r05 +
-# the r6 window below via tools/never_gated.py-style recount.)
-# GATE_SLOTS is 50, so the r7 window needs 3 deliberate re-verifications
-# on top of the 47: use the r1-gated headline trio q01_pricing_summary,
-# q03_shipping_priority, q06_forecast_revenue (oldest green rows —
-# re-gating them doubles as a stability re-check after two rounds of
-# perf work) and add all three to REGATE_OK in
-# tests/test_driver_canon.py when rotating.
+# Round-7 window (per VERDICT.md r6 "Next round" item 1): exactly the r7
+# plan recorded last round — the complete remaining never-gated pool (47
+# names, reconciled against CORRECTNESS_r01..r06: 244 green union + these
+# 47 + q_pca_top2_project's rows-only r3 row = 292) plus 3 deliberate
+# re-verifications to fill the 50 slots (the r1-gated headline trio,
+# listed in tests/test_driver_canon.py REGATE_OK). After this gate runs,
+# every oracle-able query in the engine has a hard driver row and the
+# never-gated pool is 0.
 GATE_ORDER: list[str] = [
-    # Round-6 window: exactly the r6 plan recorded last round (comment
-    # above) — whole never-gated families in module order. Every name is
-    # first-time vs CORRECTNESS_r01..r05 (enforced by test_driver_canon).
-    # cdc (3)
-    "cdc_op_mix_drift",
-    "cdc_hot_keys",
-    "cdc_key_lifecycle",
-    # dedup (4)
-    "dedup_exact_substring",
-    "q_minhash_containment",
-    "dedup_cluster_histogram",
-    "dedup_source_overlap",
-    # similarity (16)
-    "q_rrf_hybrid_search",
-    "q_knn_graph",
-    "ann_recall_eval",
-    "q_embedding_health",
-    "q_kcenter_coreset",
-    "q_dbscan_clusters",
-    "q_label_propagation",
-    "q_matryoshka_recall",
-    "q_retrieval_mrr",
-    "q_cluster_purity",
-    "q_simplified_silhouette",
-    "q_ndcg_eval",
-    "q_embedding_norm_audit",
-    "q_embedding_dim_variance",
-    "q_cluster_quality_profile",
-    "q_embedding_similarity_histogram",
-    # text (4)
-    "q_feature_hashing",
-    "q_langid_confusion",
-    "text_lexical_diversity",
-    "text_readability",
-    # curation (1)
-    "q_split_leakage_report",
-    # corpus (7)
-    "text_bpe_train",
-    "text_bpe_apply",
-    "q_ngram_novelty",
-    "q_gini_source_tokens",
-    "q_tokenizer_fertility",
-    "q_zipf_fit",
-    "q_pmi_collocations",
-    # multimodal (3)
-    "multimodal_patch_grid",
-    "multimodal_audio_chunks",
-    "multimodal_aspect_buckets",
-    # graph (3)
-    "graph_jaccard_neighbors",
-    "graph_assortativity",
-    "graph_degree_distribution",
-    # audit (3)
-    "q_l_diversity",
-    "q_qi_generalize",
-    "q_srm_check",
-    # timeseries (6)
-    "q_cusum_changepoint",
-    "q_sax_symbolize",
-    "q_rolling_wau",
-    "q_mom_growth",
-    "q_theil_sen_trend",
-    "q_seasonal_naive_backtest",
+    # --- the 47 remaining never-gated queries, module order ---
+    # timeseries (2)
+    "q_weekday_effect",
+    "q_mann_kendall",
+    # behavior (12)
+    "q_kaplan_meier",
+    "q_dau_mau_stickiness",
+    "q_next_event_accuracy",
+    "q_user_concentration",
+    "q_new_vs_returning",
+    "q_interarrival_burstiness",
+    "q_window_funnel",
+    "q_attribution_linear",
+    "q_attribution_time_decay",
+    "q_ltv_cohort_curve",
+    "q_engagement_by_segment",
+    "q_conversion_cdf",
+    # approx (6)
+    "q_bloom_fpr_audit",
+    "q_ams_f2_sketch",
+    "q_join_size_sketch",
+    "q_spacesaving_heavy_hitters",
+    "q_hll_time_rollup",
+    "q_bitmap_distinct_users",
+    # stats (12)
+    "q_psi_drift",
+    "q_classifier_auc",
+    "q_decision_stump",
+    "q_calibration_curve",
+    "q_mutual_information",
+    "q_anova_oneway",
+    "q_weighted_median_udaf",
+    "q_winsorized_stats",
+    "q_cuped_adjustment",
+    "q_diff_in_diff",
+    "q_quantile_treatment_effect",
+    "q_power_analysis",
+    # asof (1)
+    "q_asof_nearest_tolerance",
+    # reshape (1)
+    "q_equidepth_histogram",
+    # windows (1)
+    "q_windowed_topk_types",
+    # relational3 (12)
+    "q_variant_props",
+    "q_order_cycle_time",
+    "q_abc_classification",
+    "q_supplier_hhi",
+    "q_reorder_interval",
+    "q_basket_profile",
+    "q_unit_price_dispersion",
+    "q_discount_band_mix",
+    "q_churn_flags",
+    "q_laspeyres_price_index",
+    "q_fisher_price_index",
+    "q_price_volume_mix",
+    # --- 3 deliberate re-gates (REGATE_OK in test_driver_canon.py):
+    # the oldest green rows (r1) double as a stability re-check after
+    # three rounds of perf work on the headline queries.
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
 ]
 
 GATE_SLOTS = 50

@@ -74,8 +74,15 @@ def test_gate_window_spends_no_slot_on_already_green_rows():
         )
 
 
-# Deliberate re-verifications (red rows being fixed) go here.
-REGATE_OK: set[str] = set()
+# Deliberate re-verifications go here. r7: the never-gated pool is 47
+# names but the window has 50 slots, so the r1-gated headline trio is
+# re-gated on purpose — oldest green rows, re-verified after three rounds
+# of perf work (registry.py GATE_ORDER comment).
+REGATE_OK: set[str] = {
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
+}
 
 
 def _CORRECTNESS_GLOB() -> list[str]:
