@@ -1295,16 +1295,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy key, nothing else."""
     from ..functions.hashing import md5_long
 
-    # orders is deliberately NOT in catalog.CPU_HEAVY_TABLES (light work
-    # everywhere else), but here the 32x explode + per-row md5 IS the
-    # heavy case that policy exists for: the fixture parquet is one row
-    # group, so without a spread the whole B-fold runs on ONE task.
-    # Project to the two needed columns first so the spread shuffles
-    # ~16 bytes/row, then explode in full parallelism.
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    orders = orders.repartition(spark.sparkContext.defaultParallelism)
+    # r6 added a repartition(defaultParallelism) here to spread the
+    # explode off the fixture's single row group; the r7 interleaved A/B
+    # (reps=10, same session, sf0.1 — SCALE.md "q_bootstrap_ci A/B")
+    # measured that spread 2.0x SLOWER warm (min 0.543s vs 0.274s): the
+    # extra full-table shuffle costs more than the single-task explode
+    # saves at this size, and at real scale the concern vanishes on its
+    # own — a 100 TB orders table scans as many thousands of row groups,
+    # so the B-fold explode is already spread across tasks with zero
+    # added shuffle. Map-local form restored.
+    orders = load_table(spark, sf_dir, "orders")
     draw = orders.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
