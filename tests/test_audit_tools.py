@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
 
-from exchange_audit import NOISE, audit_plan  # noqa: E402
+from exchange_audit import _norm, audit_plan  # noqa: E402
 from pushdown_audit import _cols, _split_preds  # noqa: E402
 
 
@@ -83,10 +83,16 @@ def test_initial_plan_section_is_cut():
     assert scans == {"events": 1}
 
 
-def test_noise_strips_ids_and_lambda_names():
-    s = "aggregate(zip_with(e#1, lambdafunction(lambda x_1#18, lambda x_7#19)))"
-    t = "aggregate(zip_with(e#9, lambdafunction(lambda x_3#52, lambda x_9#53)))"
-    assert NOISE.sub("", s) == NOISE.sub("", t)
+def test_norm_strips_ids_and_lambda_instance_numbers():
+    s = "aggregate(zip_with(e#1, lambdafunction(lambda x_1#18, lambda y_7#19)))"
+    t = "aggregate(zip_with(e#9, lambdafunction(lambda x_3#52, lambda y_9#53)))"
+    assert _norm(s) == _norm(t)
+    # anchored to the `lambda ` prefix: a genuine column named x_1 must
+    # survive normalization (ADVICE r6) ...
+    assert "x_1" in _norm("Project [x_1#4 AS out#5]")
+    # ... and distinct lambda vars must stay distinct (x vs y), so two
+    # different two-arg lambdas can't false-fingerprint as duplicates
+    assert _norm("lambda x_1#4") != _norm("lambda y_1#4")
 
 
 def test_split_preds_respects_nesting():
@@ -106,3 +112,40 @@ def test_cols_extracts_catalyst_column_refs():
     }
     assert _cols("((vec_id#1035L % 100) = 0)") == {"vec_id"}
     assert _cols("(1 = 1)") == set()
+
+
+def test_residual_preds_catches_mixed_wrapper(monkeypatch=None):
+    from pushdown_audit import residual_preds
+
+    # ADVICE r6 blind spot: pushed range + unpushed year() wrapper on the
+    # SAME column must still flag the wrapper
+    data = [
+        "(o_orderdate#5 >= 1996-01-01 00:00:00)",
+        "(year(cast(o_orderdate#5 as date)) = 1996)",
+    ]
+    pushed = (
+        "IsNotNull(o_orderdate), "
+        "GreaterThanOrEqual(o_orderdate,1996-01-01 00:00:00.0)"
+    )
+    assert residual_preds(data, pushed) == [
+        "(year(cast(o_orderdate#5 as date)) = 1996)"
+    ]
+    # fully-pushed range pair: two pushed filters fund two data predicates
+    assert residual_preds(
+        ["(o_orderdate#5 >= X)", "(o_orderdate#5 < Y)"],
+        "GreaterThanOrEqual(o_orderdate,X), LessThan(o_orderdate,Y)",
+    ) == []
+    # wrapper-shaped but genuinely pushed (constructor filter)
+    assert residual_preds(
+        ["StartsWith(p_type#9, PROMO)"],
+        "IsNotNull(p_type), StringStartsWith(p_type,PROMO)",
+    ) == []
+    # IN rewritten as Or(): one pushed filter funds one data predicate
+    assert residual_preds(
+        ["n_name#2 IN (FRANCE,GERMANY)"],
+        "Or(EqualTo(n_name,FRANCE),EqualTo(n_name,GERMANY))",
+    ) == []
+    # nothing pushed at all
+    assert residual_preds(["(year(ts#1) = 1996)"], "") == [
+        "(year(ts#1) = 1996)"
+    ]

@@ -5,15 +5,18 @@ intermediate frame with N consumers re-executes its whole upstream —
 including the base-table scan — once per consumer. The worst offenders
 were fixed with bounded localCheckpoints or inline window caps
 (SCALE.md "scan census"); this test pins their per-table FileScan
-counts in the INITIAL adaptive plan (the noop-sink write below runs a
-separate QueryExecution, so the audited frame's plan stays pre-reuse —
-deliberate here: the initial plan is a deterministic structural ceiling,
-unaffected by AQE's runtime stage-reuse variance; see SCALE.md
-"Correction: the audit now reads the EXECUTED plan") so an
-innocent-looking refactor can't silently reintroduce a
-20-scans-of-lineitem plan.
+counts in the INITIAL adaptive plan — deliberate here: the initial plan
+is a deterministic structural ceiling, unaffected by AQE's runtime
+stage-reuse variance (the EXECUTED-plan numbers live in
+tools/exchange_audit.py; see SCALE.md "Correction: the audit now reads
+the EXECUTED plan") — so an innocent-looking refactor can't silently
+reintroduce a 20-scans-of-lineitem plan. No action is run: the initial
+plan is readable straight off the unexecuted QueryExecution (the r6
+version executed a noop-sink write first, which runs a SEPARATE
+QueryExecution and so never affected the audited plan anyway — ADVICE
+r6; dropped as pure waste).
 
-Ceilings are the post-fix counts measured at sf0.01 (+0 slack — the
+Ceilings are the post-fix counts measured at sf0.001 (+0 slack — the
 point is to fail on regression, and scan counts are plan-structural,
 not data-dependent). The census also dedupe-guards: no query may
 materialize the same exchange subtree twice except the documented
@@ -30,7 +33,7 @@ from debezium_cdc_kafka_spark import registry
 
 SF = "/root/testdata/sf0.001"
 
-# query -> (table, max FileScans of that table in the final plan)
+# query -> (table, max FileScans of that table in the INITIAL plan)
 CEILINGS = {
     "q_referential_audit": ("lineitem", 1),
     "dedup_ngram_jaccard_capped": ("documents", 8),
@@ -53,8 +56,7 @@ CEILINGS = {
 SCAN_LOC = re.compile(r"/(\w+)\.parquet")
 
 
-def _final_plan(df) -> str:
-    df.write.format("noop").mode("overwrite").save()
+def _initial_plan(df) -> str:
     plan = df._jdf.queryExecution().executedPlan().toString()
     cut = plan.find("== Initial Plan ==")
     return plan[:cut] if cut != -1 else plan
@@ -63,7 +65,7 @@ def _final_plan(df) -> str:
 @pytest.mark.parametrize("name", sorted(CEILINGS))
 def test_scan_count_ceiling(spark, name):
     table, ceiling = CEILINGS[name]
-    plan = _final_plan(registry.all_queries()[name](spark, SF))
+    plan = _initial_plan(registry.all_queries()[name](spark, SF))
     n = sum(
         1
         for ln in plan.splitlines()

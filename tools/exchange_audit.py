@@ -45,11 +45,19 @@ REUSED = re.compile(r"ReusedExchange|ReusedQueryStage|TableCacheQueryStage")
 NOISE = re.compile(
     r"#\d+[A-Z]*|\[plan_id=\d+\]|\[id=#?\d+\]|, \[id=#?\d+\]"
     r"|ShuffleQueryStage \d+|QueryStage \d+|Statistics\([^)]*\)"
-    # lambda variable names are numbered per-plan-instance (x_1 vs x_7 for
-    # the same higher-order function) — a pure rename must not defeat the
-    # duplicate fingerprint
-    r"|\bx_\d+"
 )
+# Lambda variable names are numbered per-plan-instance (x_1 vs x_7 for the
+# same higher-order function) — a pure rename must not defeat the duplicate
+# fingerprint. Anchored to the `lambda ` prefix (every occurrence renders
+# with it, declaration and body alike) so a real column that happens to be
+# named x_1 is NOT normalized away, and group-preserving so `lambda x_1` and
+# `lambda y_3` stay distinct vars (the earlier bare `\bx_\d+` rule erased
+# x-vars anywhere in the line and missed y-vars entirely).
+_LAMBDA_VAR = re.compile(r"\blambda (\w+?)_\d+\b")
+
+
+def _norm(line: str) -> str:
+    return _LAMBDA_VAR.sub(r"lambda \1", NOISE.sub("", line))
 
 
 def _depth(line: str) -> int:
@@ -62,11 +70,11 @@ def _subtree(lines: list[str], i: int) -> str:
     # a fingerprint that keeps them misses the duplicate (caught by
     # tests/test_audit_tools.py)
     d = _depth(lines[i])
-    out = [NOISE.sub("", lines[i]).lstrip(" :+-*")]
+    out = [_norm(lines[i]).lstrip(" :+-*")]
     for ln in lines[i + 1 :]:
         if ln.strip() and _depth(ln) <= d:
             break
-        out.append(NOISE.sub("", ln).lstrip(" :+-*").rstrip())
+        out.append(_norm(ln).lstrip(" :+-*").rstrip())
     return "\n".join(out)
 
 
@@ -105,17 +113,22 @@ def audit_plan(plan: str) -> tuple[int, int, list[list[str]], dict[str, int]]:
             continue
         count += 1
         fp = _subtree(lines, i)
-        seen.setdefault(fp, []).append(NOISE.sub("", ln).strip()[:120])
+        seen.setdefault(fp, []).append(_norm(ln).strip()[:120])
     dups = [v for v in seen.values() if len(v) > 1]
     return count, reused, dups, scans
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
     out_json = None
-    if "--json" in sys.argv:
-        out_json = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        i = argv.index("--json")
+        out_json = argv[i + 1]
+        # drop the flag AND its value — otherwise the value is taken as the
+        # positional sf_dir and every query errors (ADVICE r6)
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("exchange_audit")
     rows: dict[str, dict] = {}
     for name, fn in registry.all_queries().items():

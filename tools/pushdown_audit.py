@@ -77,31 +77,7 @@ def main() -> int:
             pushed = mp.group(1) if mp else ""
             locm = LOC.search(ln)
             table = locm.group(1) if locm else "?"
-            # DataFilters print as Catalyst expressions, PushedFilters as
-            # source-filter constructors — textual equality never holds.
-            # Heuristic: a data filter counts as pushed if its column
-            # appears in ANY pushed filter beyond IsNotNull (Catalyst
-            # pushes the comparison alongside); a residual expression
-            # (year(ts)=…, cast, arithmetic) leaves its column with no
-            # non-IsNotNull pushed entry.
-            # columns mentioned anywhere in a non-IsNotNull pushed filter,
-            # including nested constructors (Or(EqualTo(n_name,..),..))
-            pushed_cols = set(
-                re.findall(
-                    r"\(([a-z]\w*)[,)]",
-                    ",".join(
-                        f
-                        for f in _split_preds(pushed)
-                        if f and not f.startswith("IsNotNull")
-                    ),
-                )
-            )
-            resid = [
-                p
-                for p in data
-                if not p.startswith("isnotnull")
-                and not (_cols(p) and _cols(p) <= pushed_cols)
-            ]
+            resid = residual_preds(data, pushed)
             if resid:
                 n_flagged += 1
                 print(f"RESID {name} [{table}]: {resid[:3]}")
@@ -110,12 +86,51 @@ def main() -> int:
     return 0
 
 
+
 COL = re.compile(r"\b([a-z]\w*)#\d+")
+# a "plain-shaped" predicate starts with the bare column reference
+# (optionally negated/parenthesised) — no function wrapper around it
+PLAIN = re.compile(r"^[(\s]*(NOT[ (]+)?[a-z]\w*#\d+")
 
 
 def _cols(pred: str) -> set[str]:
     """Column names referenced by a Catalyst predicate string."""
     return set(COL.findall(pred))
+
+
+def residual_preds(data: list[str], pushed: str) -> list[str]:
+    """Data-filter predicates with no funding pushed filter.
+
+    DataFilters print as Catalyst expressions, PushedFilters as
+    source-filter constructors — textual equality never holds, so this
+    is per-predicate COUNT accounting by column (ADVICE r6: the earlier
+    any-column-match rule let mixed filters like
+    ``ts >= X AND year(ts) = 1996`` escape because the pushed range
+    predicate "covered" the column). Each non-IsNotNull pushed filter
+    funds one data predicate per column it mentions. Plain-shaped data
+    predicates (bare column at the head — the class Catalyst pushes
+    as-is) consume budget first; wrapper-shaped ones (StartsWith(col,..)
+    and friends, which DO push as constructor filters) consume what
+    remains; anything left unfunded is flagged."""
+    budget: dict[str, int] = {}
+    for f in _split_preds(pushed):
+        if not f or f.startswith("IsNotNull"):
+            continue
+        # distinct columns per pushed filter: Or(EqualTo(c,..),EqualTo(c,..))
+        # is ONE filter funding ONE data predicate on c
+        for c in set(re.findall(r"\(([a-z]\w*)[,)]", f)):
+            budget[c] = budget.get(c, 0) + 1
+    cand = [p for p in data if not p.startswith("isnotnull")]
+    ordered = sorted(range(len(cand)), key=lambda i: 0 if PLAIN.match(cand[i]) else 1)
+    flagged: set[int] = set()
+    for i in ordered:
+        cols = _cols(cand[i])
+        if cols and all(budget.get(c, 0) > 0 for c in cols):
+            for c in cols:
+                budget[c] -= 1
+        else:
+            flagged.add(i)
+    return [p for i, p in enumerate(cand) if i in flagged]
 
 
 if __name__ == "__main__":
