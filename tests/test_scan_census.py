@@ -51,6 +51,11 @@ CEILINGS = {
     "q_acf_lags": ("events", 2),
     "ann_pq_adc": ("embeddings", 8),
     "q_kaplan_meier": ("events", 3),
+    # r7 banded companion: bw-count + proj scans duplicate across the two
+    # sig self-join sides (identical REPARTITION_BY_NUM subtrees — AQE
+    # exchange reuse collapses them at runtime) + the two verify
+    # join-backs. 6 is the lazy initial-plan ceiling.
+    "dedup_embedding_cosine_banded": ("embeddings", 6),
 }
 
 SCAN_LOC = re.compile(r"/(\w+)\.parquet")
