@@ -33,7 +33,14 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 from ..functions.hashing import md5_long, md5_long_sql
-from .dedup import EMB_DOT_SQL, EMB_NORM_SQL, dot_expr, pair_fanout, sq_norm_expr
+from .dedup import (
+    _BAND_W_SQL,
+    EMB_DOT_SQL,
+    EMB_NORM_SQL,
+    dot_expr,
+    pair_fanout,
+    sq_norm_expr,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -963,12 +970,20 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(seeds))
         .select("vec_id", "j", "cid", F.round(_sub_d2("embedding"), 6).alias("d2"))
     )
-    w_enc = W.partitionBy("vec_id", "j").orderBy("d2", "cid")
-    codes0 = (
-        enc0.withColumn("rk", F.row_number().over(w_enc))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "j", F.col("cid").alias("code"))
-    )
+    # argmin via min_by over a (d2, cid) struct, not a row_number window
+    # (r7): the encode frame is n*M*K rows, and all K candidate rows of a
+    # (vec, j) group are produced in the SAME task (explode + broadcast),
+    # so min_by's partial aggregate collapses K->1 map-side and the
+    # shuffle carries n*M rows instead of n*M*K — the window form
+    # shuffled all 131M rows at x64. Same winner: lexicographic struct
+    # order == orderBy(d2, cid) rank 1.
+    def _argmin_code(enc_frame):
+        return (
+            enc_frame.groupBy("vec_id", "j")
+            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("code"))
+        )
+
+    codes0 = _argmin_code(enc0)
     # one Lloyd step: (subspace, code) centroid <- mean of member subvectors
     # The refined codebook is M×K rows and feeds two broadcast consumers
     # (re-encode + query distance table). The static plan duplicates the
@@ -986,11 +1001,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "j", "cid", F.round(_sub_d2c("embedding"), 6).alias("d2")
     )
-    codes = (
-        enc.withColumn("rk", F.row_number().over(w_enc))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "j", F.col("cid").alias("code"))
-    )
+    codes = _argmin_code(enc)
     qd = (
         emb.filter(F.expr(_QUERY_PRED))
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -1002,15 +1013,63 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_sub_d2c("embedding") * 1000000).cast("long").alias("qd6"),
         )
     )
-    adc = (
-        codes.join(
-            F.broadcast(qd),
-            (F.col("qj") == F.col("j"))
-            & (F.col("qcid") == F.col("code"))
-            & (F.col("vec_id") != F.col("query_id")),
+    # ADC as an array fold, not a row join (r7, found by the x64 sweep):
+    # the earlier form joined codes against qd on (subspace, code) and
+    # partial-aggregated — one ROW per (candidate, query, subspace), i.e.
+    # q*n*M rows = 5.2 BILLION at x64, 32x the bruteforce pair count and
+    # 16x slower than the exact scan PQ exists to beat (1160s vs 71s).
+    # Pivoting codes to a 32-byte array per vector and the query table to
+    # a 1024-entry array per query makes the join one row per
+    # (candidate, query) with an M-lookup in-row fold — the actual ADC
+    # memory story. Values are the identical integer sums (oracle and
+    # output hash unchanged); measured x64: 1160s -> see SCALE.md r7.
+    seed_idx = seeds.select("cid").withColumn(
+        "cidx", F.row_number().over(W.orderBy("cid")) - 1
+    )
+    codes_arr = (
+        codes.join(F.broadcast(seed_idx), codes.code == seed_idx.cid)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cidx"))),
+                lambda x: x["cidx"],
+            ).alias("carr")
         )
-        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
-        .agg(F.sum("qd6").alias("adc6"))
+    )
+    qtab = (
+        qd.join(F.broadcast(seed_idx), qd.qcid == seed_idx.cid)
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("qj") * _PQ_K + F.col("cidx")).alias("k"),
+                            F.col("qd6"),
+                        )
+                    )
+                ),
+                lambda x: x["qd6"],
+            ).alias("qarr")
+        )
+    )
+    adc = (
+        codes_arr.join(F.broadcast(qtab), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("carr"),
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    lambda c, j: F.element_at(
+                        F.col("qarr"), (j * _PQ_K + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc6"),
+        )
     )
     w = W.partitionBy("query_id").orderBy("adc6", "cand_id")
     return (
@@ -2193,6 +2252,20 @@ ORACLES["q_kcenter_coreset"] = _kcenter_oracle()
 
 _DB_TAU = 0.2      # cosine >= tau  <=>  within-epsilon neighbor
 _DB_MINPTS = 5     # core iff >= 5 neighbors (excluding self)
+# Banded-blocking knob (r7): the candidate space is (label, band, bits)
+# instead of bare label once any label holds more than _DB_BLOCK_CAP
+# vectors — b = ceil(log2(max_label_n / 1024)) SimHash bits per band,
+# 4 bands. At every checked-in SF (max 218/label) b = 0 and the single
+# zero-bit band IS bare label blocking, so oracle hashes are unchanged;
+# past the cap the per-bucket pair space stays ~n*1024 per label per
+# band. Without this the in-label pair scan is n^2/|labels| with a FIXED
+# label count: at the x64 sweep fixture (12.8k/label) the 1.6B-pair scan
+# crashed the 16g JVM outright (GCLocker allocation-retry death) — the
+# first hard failure the x-sweeps found. Same engage-past-checked-in
+# pattern as the tfidf _DOCSIM_MAX_DF cap and the k-means seed rule.
+_DB_BLOCK_CAP = 1024
+_DB_BAND_R = 4
+_DB_BAND_MAXB = 16
 
 _DB_COS_SQL = (
     f"{EMB_DOT_SQL} / sqrt(({EMB_NORM_SQL.format(t='a')})"
@@ -2200,10 +2273,50 @@ _DB_COS_SQL = (
 )
 
 DBSCAN_ORACLE = f"""
-WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+WITH RECURSIVE mx AS (
+  SELECT max(cnt) AS mx
+  FROM (SELECT count(*) AS cnt FROM embeddings GROUP BY label) t
+),
+bw AS (
+  SELECT GREATEST(0, LEAST({_DB_BAND_MAXB},
+         CAST(ceil(log2(mx / {_DB_BLOCK_CAP}.0)) AS INT))) AS b
+  FROM mx
+),
+bands AS (
+  SELECT unnest(range(0, CASE WHEN b > 0 THEN {_DB_BAND_R} ELSE 1 END)) AS band
+  FROM bw
+),
+planes AS (
+  SELECT p, b, list_transform(range(1, 65), d -> {_BAND_W_SQL}) AS w
+  FROM (SELECT unnest(range(0, {_DB_BAND_R * _DB_BAND_MAXB})) AS p), bw
+  WHERE p < {_DB_BAND_R} * b
+),
+proj AS (
+  SELECT e.vec_id, CAST(pl.p AS INT) AS p, pl.b,
+         list_sum(list_transform(range(1, 65),
+                  i -> pl.w[i] * CAST(e.embedding[i] AS DOUBLE))) AS dot
+  FROM embeddings e JOIN planes pl ON true
+),
+bitsreal AS (
+  SELECT vec_id, p // b AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % b) ELSE 0 END) AS BIGINT) AS bits
+  FROM proj GROUP BY vec_id, p // b
+),
+sig AS (
+  SELECT e.vec_id, e.label, bd.band, COALESCE(br.bits, 0) AS bits
+  FROM embeddings e CROSS JOIN bands bd
+  LEFT JOIN bitsreal br ON br.vec_id = e.vec_id AND br.band = bd.band
+),
+cand AS (
+  SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+  FROM sig s1 JOIN sig s2
+    ON s1.label = s2.label AND s1.band = s2.band AND s1.bits = s2.bits
+   AND s1.vec_id < s2.vec_id
+),
+pairs AS (
+  SELECT c.v1, c.v2
+  FROM cand c JOIN embeddings a ON a.vec_id = c.v1
+              JOIN embeddings b ON b.vec_id = c.v2
   WHERE {_DB_COS_SQL} >= {_DB_TAU}
 ),
 edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION SELECT v2, v1 FROM pairs),
@@ -2260,25 +2373,118 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations. Edges/core/cedges localCheckpoint eagerly, so the pair
     join runs exactly once for the loop AND the final assembly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # squared norm once per vector pre-join (bit-identical inside the
-    # same sqrt(n1*n2)) — one fold per pair instead of three
-    a = emb.select(
+    # Banded candidate blocking (see _DB_BLOCK_CAP above): at the
+    # checked-in SFs b = 0 and this is EXACTLY bare label blocking (one
+    # zero-bit band), so the output is unchanged; past the cap each
+    # label splits into 2^b sign-buckets per band and the pair scan
+    # stays ~n*cap per label per band instead of n^2/|labels|.
+    bw = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(_DB_BAND_MAXB),
+                    F.ceil(
+                        F.log2(F.max("cnt") / F.lit(float(_DB_BLOCK_CAP)))
+                    ).cast("int"),
+                ),
+            ).alias("b")
+        )
+    )
+    planes = (
+        spark.range(_DB_BAND_R * _DB_BAND_MAXB)
+        .select(F.col("id").cast("int").alias("p"))
+        .join(F.broadcast(bw))
+        .filter(F.col("p") < _DB_BAND_R * F.col("b"))
+        .select(
+            "p",
+            "b",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: (
+                    (
+                        md5_long(
+                            F.concat(
+                                F.col("p").cast("string"), F.lit(":"), d.cast("string")
+                            )
+                        )
+                        % 2001
+                    )
+                    - 1000
+                )
+                / 1000.0,
+            ).alias("w"),
+        )
+    )
+    bits_real = (
+        emb.join(F.broadcast(planes))
+        .select("vec_id", "p", "b", dot_expr("w", "embedding").alias("dot"))
+        # greatest(b,1): ANSI div/mod must not see a 0 divisor even though
+        # the b=0 plan carries zero rows (codegen can evaluate the
+        # expression speculatively); when b>0 it is exactly b
+        .groupBy("vec_id", F.expr("p div greatest(b, 1)").alias("band"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0, F.expr("shiftleft(1, p % greatest(b, 1))")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("bits")
+        )
+    )
+    bands = bw.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("b") > 0, F.lit(_DB_BAND_R - 1)).otherwise(F.lit(0)),
+            )
+        ).alias("band")
+    )
+    sig = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(bands))
+        .join(bits_real, ["vec_id", "band"], "left")
+        .select(
+            "vec_id", "label", "band", F.coalesce("bits", F.lit(0)).alias("bits")
+        )
+    )
+    fan = pair_fanout(spark)
+    s1 = sig.repartition(fan, "label", "band", "bits").select(
+        F.col("vec_id").alias("v1"), "label", "band", "bits"
+    )
+    s2 = sig.repartition(fan, "label", "band", "bits").select(
+        F.col("vec_id").alias("v2"),
+        F.col("label").alias("l2"),
+        F.col("band").alias("band2"),
+        F.col("bits").alias("bits2"),
+    )
+    cand = (
+        s1.join(
+            s2,
+            (F.col("label") == F.col("l2"))
+            & (F.col("band") == F.col("band2"))
+            & (F.col("bits") == F.col("bits2"))
+            & (F.col("v1") < F.col("v2")),
+        )
+        .select("v1", "v2")
+        .distinct()
+    )
+    va = emb.select(
         F.col("vec_id").alias("v1"),
-        F.col("label").alias("lbl"),
         F.col("embedding").alias("e1"),
         sq_norm_expr("embedding").alias("n1"),
     )
-    b = emb.select(
+    vb = emb.select(
         F.col("vec_id").alias("v2"),
-        F.col("label").alias("lbl"),
         F.col("embedding").alias("e2"),
         sq_norm_expr("embedding").alias("n2"),
     )
     cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     pairs = (
-        a.join(b, "lbl")
-        .filter((F.col("v1") < F.col("v2")) & (cos >= _DB_TAU))
-        .select("v1", "v2")
+        cand.join(va, "v1").join(vb, "v2").filter(cos >= _DB_TAU).select("v1", "v2")
     )
     edges = (
         pairs.union(pairs.select(F.col("v2"), F.col("v1")))

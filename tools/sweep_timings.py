@@ -1,6 +1,9 @@
 """Full-registry timing sweep: every registered query, one timed run.
 
-Run: python tools/sweep_timings.py [sf_dir] [--json OUT]
+Run: python tools/sweep_timings.py [sf_dir] [--json OUT] [--skip n1,n2]
+
+--skip names are NOT run; they are listed in the output and recorded in
+the JSON so a bounded sweep can never silently read as full coverage.
 
 Executes each query with the `noop` sink (full plan runs, nothing
 collects to the driver) and prints queries sorted slowest-first. This is
@@ -25,11 +28,23 @@ from debezium_cdc_kafka_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
     out_json = None
-    if "--json" in sys.argv:
-        out_json = sys.argv[sys.argv.index("--json") + 1]
+    skip: list[str] = []
+    # drop each flag AND its value from the positional scan (the value
+    # would otherwise be taken as sf_dir — the exchange_audit ADVICE r6
+    # bug, fixed here too)
+    for flag in ("--json", "--skip"):
+        if flag in argv:
+            i = argv.index(flag)
+            val = argv[i + 1]
+            del argv[i : i + 2]
+            if flag == "--json":
+                out_json = val
+            else:
+                skip = [n for n in val.split(",") if n]
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     spark = get_spark("sweep")
     queries = registry.all_queries()
@@ -39,12 +54,19 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    unknown = [n for n in skip if n not in queries]
+    if unknown:
+        raise SystemExit(f"--skip names not in registry: {unknown}")
     times: dict[str, float] = {}
     for name, fn in queries.items():
+        if name in skip:
+            print(f"SKIP {name} (--skip)", file=sys.stderr)
+            continue
         t0 = time.monotonic()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.monotonic() - t0, 3)
+            print(f"done {name}: {times[name]}s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — sweep must finish
             times[name] = -1.0
             print(f"ERROR {name}: {e}", file=sys.stderr)
@@ -52,13 +74,14 @@ def main() -> int:
 
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
     total = sum(t for _, t in ranked if t > 0)
-    print(f"# {len(ranked)} queries, total {total:.1f}s at {sf_dir}")
+    print(f"# {len(ranked)} queries run ({len(skip)} skipped: "
+          f"{','.join(skip) or 'none'}), total {total:.1f}s at {sf_dir}")
     for name, t in ranked:
         print(f"{t:8.3f}  {name}")
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"sf_dir": sf_dir, "total_s": round(total, 1),
-                       "times": dict(ranked)}, f, indent=1)
+                       "skipped": skip, "times": dict(ranked)}, f, indent=1)
     return 0
 
 
