@@ -49,7 +49,11 @@ CEILINGS = {
     "dedup_source_overlap": ("documents", 4),
     "dedup_lsh_recall_eval": ("documents", 4),
     "q_acf_lags": ("events", 2),
-    "ann_pq_adc": ("embeddings", 8),
+    # 8 -> 10 in r7: the ADC array-fold rewrite adds the seed_idx remap
+    # as a consumer of the seeds subtree (runtime exchange reuse
+    # collapses the duplicates — the EXECUTED plan is in the r7 exchange
+    # audit; the rewrite cut x64 wall 1160s -> 205s, SCALE.md r7)
+    "ann_pq_adc": ("embeddings", 10),
     "q_kaplan_meier": ("events", 3),
     # r7 banded companion: bw-count + proj scans duplicate across the two
     # sig self-join sides (identical REPARTITION_BY_NUM subtrees — AQE
