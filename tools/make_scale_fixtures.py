@@ -63,7 +63,7 @@ def main() -> int:
       SELECT e.vec_id + 2000*i.i AS vec_id,
              list_transform(e.embedding, x -> CAST(x + i.i*0.001 AS FLOAT)) AS embedding,
              e.label
-      FROM '{base}/embeddings.parquet', {rep}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+      FROM '{base}/embeddings.parquet' e, {rep}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     for t in ("orders", "lineitem", "events", "documents", "embeddings"):
         n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n}")
