@@ -8,8 +8,10 @@ The driver records this as BENCH_r{N}.json and grades against BASELINE.md.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,9 +60,28 @@ EXTENDED = [
 ]
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        description="headline bench; prints one BENCH-format JSON line"
+    )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "10"))),
+        help="timed reps per HEADLINE query; value = sum of per-query MINs "
+        "(VERDICT r7 item 4: reps=10-min canonical mode — the min over 10 "
+        "reps strips the ±10%% cross-session scheduler/GC envelope that "
+        "dominated the r6→r7 total comparison at identical HEAD)",
+    )
+    ap.add_argument("--sf", default=None, help="override $SPARK_GRAFT_SF_DIR")
+    args = ap.parse_args(argv)
+    sf_dir = args.sf or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, args.reps)
+    # the extended set's members run 5-20x longer per rep than headline
+    # queries; 3 reps keeps their min stable enough (they are tail
+    # visibility, not the BASELINE-comparable total) without doubling
+    # total bench wall time
+    ext_reps = min(reps, 3)
     spark = get_spark("bench")
     queries = registry.all_queries()
 
@@ -77,7 +98,12 @@ def main() -> int:
     # the steady-state cost. Cache is cleared after every run so a query's
     # internal persist() neither leaks into its neighbours nor lets a
     # repeat ride the previous rep's cache.
-    def run_set(set_names: list[str], times: dict[str, float]) -> None:
+    def run_set(
+        set_names: list[str],
+        times: dict[str, float],
+        medians: dict[str, float],
+        n_reps: int,
+    ) -> None:
         found = [n for n in set_names if n in queries]
         for name in found:
             queries[name](spark, "/root/testdata/sf0.001").count()
@@ -86,16 +112,20 @@ def main() -> int:
             queries[name](spark, sf_dir).count()
             spark.catalog.clearCache()
         for name in found:
-            best = None
-            for _ in range(reps):
+            samples: list[float] = []
+            for _ in range(n_reps):
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)
                 n = df.count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                samples.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
-            times[name] = round(best, 3)
-            print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+            times[name] = round(min(samples), 3)
+            medians[name] = round(statistics.median(samples), 3)
+            print(
+                f"# {name}: min={times[name]}s median={medians[name]}s "
+                f"rows={n}",
+                file=sys.stderr,
+            )
 
     # The HEADLINE warm+time cycle runs COMPLETELY BEFORE the extended set
     # touches the JVM: warming the extended set's giant plans (the
@@ -103,11 +133,13 @@ def main() -> int:
     # code cache and inflated every headline rep ~2-4x when measured after
     # them — which would break comparability with BENCH_r01..r04.
     times: dict[str, float] = {}
-    run_set(HEADLINE, times)
+    medians: dict[str, float] = {}
+    run_set(HEADLINE, times, medians, reps)
     headline = set(HEADLINE) & set(times)
-    run_set(EXTENDED, times)
+    run_set(EXTENDED, times, medians, ext_reps)
 
     total = round(sum(t for n, t in times.items() if n in headline), 3)
+    total_median = round(sum(m for n, m in medians.items() if n in headline), 3)
     total_ext = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -117,13 +149,19 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_median": medians,
+                "value_median": total_median,
                 "value_ext26": total_ext,
                 "n_headline": len(headline),
                 "n_extended": len([n for n in times if n not in headline]),
+                "stat": "min",
                 "reps": reps,
+                "reps_extended": ext_reps,
                 "notes": (
                     "CANONICAL timing source for round-over-round deltas "
-                    "(incl. the 5 extended entries): this file, reps-mean, "
+                    "(incl. the 5 extended entries): this file; value = sum "
+                    "of per-query MIN over `reps` timed reps (r8: default "
+                    "10, was 3 - VERDICT r7 item 4), medians alongside; "
                     "extended phase after headline. SCALE.md sweep numbers "
                     "(single rep, shared warm session) differ by harness - "
                     "e.g. r5 q_knn_graph 11.97s bench vs 9.4s sweep; compare "

@@ -726,8 +726,27 @@ def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame
     AQE byte-coalescing can't serialize the bucket scans; candidates are
     deduped across bands BEFORE the verify joins back to the vectors —
     the 64-float arrays never ride the banded explosion."""
+    cand = _banded_candidates(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    bw = (
+    a = emb.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        sq_norm_expr("embedding").alias("n1"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        sq_norm_expr("embedding").alias("n2"),
+    )
+    pairs = cand.join(a, "v1").join(b, "v2")
+    cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
+    return pairs.filter(cos >= 0.4).select("v1", "v2", F.round(cos, 3).alias("cosine"))
+
+
+def _banded_width(emb: DataFrame) -> DataFrame:
+    """1-row frame with the solved band width b (shared by the banded
+    dedup and its width-audit companion)."""
+    return (
         emb.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .agg(
@@ -740,6 +759,14 @@ def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("b")
         )
     )
+
+
+def _banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (v1 < v2) candidate pairs from adaptive-width SimHash
+    banding — the generation stage shared by
+    [[dedup_embedding_cosine_banded]] and [[dedup_banded_width_audit]]."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bw = _banded_width(emb)
     planes = (
         spark.range(_BAND_R * _BAND_MAX_BITS)
         .select(F.col("id").cast("int").alias("p"))
@@ -785,7 +812,7 @@ def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("band").alias("band2"),
         F.col("bits").alias("bits2"),
     )
-    cand = (
+    return (
         s1.join(
             s2,
             (F.col("label") == F.col("l2"))
@@ -796,19 +823,113 @@ def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("v1", "v2")
         .distinct()
     )
-    a = emb.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("e1"),
-        sq_norm_expr("embedding").alias("n1"),
+
+
+BANDED_AUDIT_ORACLE = f"""
+WITH lc AS (SELECT count(*) AS cnt FROM embeddings GROUP BY label),
+mx AS (SELECT max(cnt) AS mx, CAST(count(*) AS BIGINT) AS n_labels FROM lc),
+bw AS (
+  SELECT GREATEST(1, LEAST({_BAND_MAX_BITS},
+         CAST(ceil(log2(mx / {_BAND_TARGET}.0)) AS INT))) AS b
+  FROM mx
+),
+planes AS (
+  SELECT p, b, list_transform(range(1, 65), d -> {_BAND_W_SQL}) AS w
+  FROM (SELECT unnest(range(0, {_BAND_R * _BAND_MAX_BITS})) AS p), bw
+  WHERE p < {_BAND_R} * b
+),
+proj AS (
+  SELECT e.vec_id, e.label, CAST(pl.p AS INT) AS p, pl.b,
+         list_sum(list_transform(range(1, 65),
+                  i -> pl.w[i] * CAST(e.embedding[i] AS DOUBLE))) AS dot
+  FROM embeddings e JOIN planes pl ON true
+),
+sig AS (
+  SELECT vec_id, label, p // b AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % b) ELSE 0 END) AS BIGINT) AS bits
+  FROM proj GROUP BY vec_id, label, p // b
+),
+cand AS (
+  SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+  FROM sig s1 JOIN sig s2
+    ON s1.label = s2.label AND s1.band = s2.band AND s1.bits = s2.bits
+   AND s1.vec_id < s2.vec_id
+),
+surv AS (
+  SELECT c.v1
+  FROM cand c JOIN embeddings a ON a.vec_id = c.v1
+              JOIN embeddings b ON b.vec_id = c.v2
+  WHERE {EMB_DOT_SQL} / sqrt(({EMB_NORM_SQL.format(t="a")}) * ({EMB_NORM_SQL.format(t="b")})) >= 0.4
+)
+SELECT CAST(bw.b AS INT) AS band_bits,
+       {_BAND_R} AS n_bands,
+       CAST(mx.mx AS BIGINT) AS max_label_n,
+       mx.n_labels,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_survivors,
+       round(1 - pow(1 - pow(1 - acos(0.4) / pi(), bw.b), {_BAND_R}), 4)
+         AS recall_floor_tau
+FROM bw, mx
+"""
+
+
+@query("dedup_banded_width_audit", BANDED_AUDIT_ORACLE)
+def dedup_banded_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability companion to [[dedup_embedding_cosine_banded]]
+    (ADVICE r7): the banded dedup's recall is a FUNCTION of the solved
+    band width b — per-band collision probability for a pair at exactly
+    τ = 0.4 is (1 − acos(0.4)/π)^b ≈ 0.633^b, OR'd over {_BAND_R} bands —
+    and b grows with max-label population, so recall silently degrades
+    at new scales. This query makes that observable: one row with the
+    solved width, the population that drove it, candidate/survivor
+    counts, and the theoretical recall floor for threshold pairs. A
+    pipeline owner alerts on band_bits changing between runs (a width
+    step = a recall step) instead of discovering it in downstream dup
+    rates.
+
+    Scale: everything here is the banded pipeline's own aggregates —
+    the width agg is label-cardinality-sized, candidates are the linear
+    banded volume, survivors the verified output; the final row is a
+    crossJoin of four 1-row frames (the scalar-join idiom)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bw = _banded_width(emb)
+    label_stats = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.max("cnt").alias("max_label_n"),
+            F.count(F.lit(1)).alias("n_labels"),
+        )
     )
-    b = emb.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("e2"),
-        sq_norm_expr("embedding").alias("n2"),
+    n_cand = _banded_candidates(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_candidates")
     )
-    pairs = cand.join(a, "v1").join(b, "v2")
-    cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
-    return pairs.filter(cos >= 0.4).select("v1", "v2", F.round(cos, 3).alias("cosine"))
+    n_surv = dedup_embedding_cosine_banded(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_survivors")
+    )
+    import math
+
+    p_tau = 1.0 - math.acos(0.4) / math.pi
+    return (
+        bw.crossJoin(F.broadcast(label_stats))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_surv))
+        .select(
+            F.col("b").cast("int").alias("band_bits"),
+            F.lit(_BAND_R).alias("n_bands"),
+            F.col("max_label_n").cast("bigint").alias("max_label_n"),
+            F.col("n_labels").cast("bigint").alias("n_labels"),
+            "n_candidates",
+            "n_survivors",
+            F.round(
+                1
+                - F.pow(
+                    1 - F.pow(F.lit(p_tau), F.col("b")), F.lit(_BAND_R)
+                ),
+                4,
+            ).alias("recall_floor_tau"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -927,7 +927,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     are {_PQ_M} bytes per vector (vs 256 bytes raw), so the candidate
     scan reads 30x less. The encode pass expands each vector by
     {_PQ_M}x{_PQ_K} inside one codegen'd stage (codebook broadcast, argmin
-    via bounded window); the search joins codes against the broadcast
+    via a min_by partial aggregate that collapses K->1 map-side, so the
+    shuffle carries n*{_PQ_M} rows); the search joins codes against the broadcast
     distance table on (subspace, code) - narrow ints - and the per-pair
     {_PQ_M}-row sum is partial-aggregatable. In production the codes are
     materialized once and reused per query batch; IVF cells
@@ -1002,15 +1003,39 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "j", "cid", F.round(_sub_d2c("embedding"), 6).alias("d2")
     )
     codes = _argmin_code(enc)
+    seed_idx = seeds.select("cid").withColumn(
+        "cidx", F.row_number().over(W.orderBy("cid")) - 1
+    )
+    # The query distance table must be STRUCTURALLY DENSE over all M*K
+    # (subspace, seed) slots (r8, ADVICE): `cent` only holds (j, cid)
+    # pairs that won >=1 argmin in codes0, and seeds CAN lose everywhere
+    # (two seeds with 1e-6-identical subvectors tie; the higher cid never
+    # wins). qarr below is indexed POSITIONALLY as j*K + cidx, so a
+    # missing slot would shift every later entry and silently corrupt
+    # distances. Left-joining the full seeds x subspaces grid fills
+    # absent slots with sentinel 0 — safe because a slot absent from
+    # `cent` can never be a candidate's code (codes are argmins against
+    # `cent`), so sentinel slots are never read; they only keep the
+    # array aligned. The encode passes (enc/enc0) keep the SPARSE cent:
+    # argmin semantics must not see phantom centroids.
+    cent_dense = (
+        F.broadcast(seed_idx)
+        .crossJoin(
+            spark.range(_PQ_M).select(F.col("id").cast("int").alias("j"))
+        )
+        .join(F.broadcast(cent), ["j", "cid"], "left")
+    )
     qd = (
         emb.filter(F.expr(_QUERY_PRED))
         .select(F.col("vec_id").alias("query_id"), "embedding")
-        .crossJoin(F.broadcast(cent))
+        .crossJoin(F.broadcast(cent_dense))
         .select(
             "query_id",
-            F.col("j").alias("qj"),
-            F.col("cid").alias("qcid"),
-            F.round(_sub_d2c("embedding") * 1000000).cast("long").alias("qd6"),
+            (F.col("j") * _PQ_K + F.col("cidx")).alias("k"),
+            F.when(F.col("ce8").isNull(), F.lit(0))
+            .otherwise(F.round(_sub_d2c("embedding") * 1000000))
+            .cast("long")
+            .alias("qd6"),
         )
     )
     # ADC as an array fold, not a row join (r7, found by the x64 sweep):
@@ -1023,9 +1048,6 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (candidate, query) with an M-lookup in-row fold — the actual ADC
     # memory story. Values are the identical integer sums (oracle and
     # output hash unchanged); measured x64: 1160s -> see SCALE.md r7.
-    seed_idx = seeds.select("cid").withColumn(
-        "cidx", F.row_number().over(W.orderBy("cid")) - 1
-    )
     codes_arr = (
         codes.join(F.broadcast(seed_idx), codes.code == seed_idx.cid)
         .groupBy("vec_id")
@@ -1036,22 +1058,12 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("carr")
         )
     )
-    qtab = (
-        qd.join(F.broadcast(seed_idx), qd.qcid == seed_idx.cid)
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (F.col("qj") * _PQ_K + F.col("cidx")).alias("k"),
-                            F.col("qd6"),
-                        )
-                    )
-                ),
-                lambda x: x["qd6"],
-            ).alias("qarr")
-        )
+    # dense by construction: exactly M*K structs per query, k = 0..M*K-1
+    qtab = qd.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "qd6"))),
+            lambda x: x["qd6"],
+        ).alias("qarr")
     )
     adc = (
         codes_arr.join(F.broadcast(qtab), F.col("vec_id") != F.col("query_id"))
@@ -2766,21 +2778,21 @@ FROM hits
 """
 
 
-@query("q_matryoshka_recall", MATRYOSHKA_ORACLE)
-def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka truncation eval (Kusupati et al. 2022): retrieve top-5
-    by cosine over only the FIRST {_MAT_DIM} of 64 dimensions and measure
-    per-query overlap with the full-dimension top-5 — the quality gate
-    run before shipping truncated embeddings (4× less storage/bandwidth,
-    cf. [[q_jl_projection]] which reduces by random projection instead of
-    prefix truncation; this measures what that buys back in retrieval).
-
-    Scale: both retrievals are the bounded broadcast-probe scans of
-    [[ann_bruteforce_topk]] (probe set: every 100th vector); the overlap
-    join touches k × queries rows and the macro average is an integer-sum
-    window over that tiny frame."""
+def _matryoshka_overlap(
+    spark: SparkSession, sf_dir: str, query_cap: int | None
+) -> DataFrame:
+    """Shared plan for [[q_matryoshka_recall]] (probe set: every 100th
+    vector, q ∝ n) and [[q_matryoshka_recall_capped]] (fixed md5-ordered
+    budget of `query_cap` probes, q = O(1))."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.expr(_QUERY_PRED)).select(
+    probes = emb.filter(F.expr(_QUERY_PRED))
+    if query_cap is not None:
+        # deterministic fixed budget — the same md5-order LIMIT rule as
+        # the PQ/k-means seed picks, so any engine reproduces the sample
+        probes = probes.orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        ).limit(query_cap)
+    q = probes.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("e1"),
         F.slice(F.col("embedding"), 1, _MAT_DIM).alias("t1"),
@@ -2827,6 +2839,89 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_overlap").over(wg) / (5.0 * F.count(F.lit(1)).over(wg)), 6
         ).alias("macro_overlap"),
     )
+
+
+@query("q_matryoshka_recall", MATRYOSHKA_ORACLE)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022): retrieve top-5
+    by cosine over only the FIRST {_MAT_DIM} of 64 dimensions and measure
+    per-query overlap with the full-dimension top-5 — the quality gate
+    run before shipping truncated embeddings (4× less storage/bandwidth,
+    cf. [[q_jl_projection]] which reduces by random projection instead of
+    prefix truncation; this measures what that buys back in retrieval).
+
+    Scale: both retrievals are the bounded broadcast-probe scans of
+    [[ann_bruteforce_topk]] (probe set: every 100th vector); the overlap
+    join touches k × queries rows and the macro average is an integer-sum
+    window over that tiny frame. The probe COUNT grows with the corpus
+    (q ∝ n), so the exact eval reads O(q·n) = O(n²/100) total — this is
+    the deliberately-exact baseline; the fixed-budget scale path is
+    [[q_matryoshka_recall_capped]]."""
+    return _matryoshka_overlap(spark, sf_dir, query_cap=None)
+
+
+_MAT_CAP = 256
+
+
+def _matryoshka_capped_oracle(cap: int) -> str:
+    """Oracle for a given probe budget — tests pin the cap-ENGAGED path
+    with a small budget at sf0.1 (the registered {_MAT_CAP} only engages
+    past n = 100·cap)."""
+    return f"""
+WITH probe AS (
+  SELECT vec_id FROM embeddings WHERE {_QUERY_PRED}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {cap}
+), fullk AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM (SELECT e.* FROM embeddings e JOIN probe p ON p.vec_id = e.vec_id) a
+  JOIN embeddings b ON b.vec_id <> a.vec_id
+), trunck AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_TRUNC_COS_SQL} DESC, b.vec_id
+         ) AS rk
+  FROM (SELECT e.* FROM embeddings e JOIN probe p ON p.vec_id = e.vec_id) a
+  JOIN embeddings b ON b.vec_id <> a.vec_id
+), hits AS (
+  SELECT f.query_id, CAST(count(t.cand_id) AS BIGINT) AS n_overlap
+  FROM (SELECT * FROM fullk WHERE rk <= 5) f
+  LEFT JOIN (SELECT * FROM trunck WHERE rk <= 5) t
+    ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+  GROUP BY f.query_id
+)
+SELECT query_id, n_overlap,
+       round(n_overlap / 5.0, 6) AS overlap_at_5,
+       round(sum(n_overlap) OVER () / (5.0 * count(*) OVER ()), 6)
+         AS macro_overlap
+FROM hits
+"""
+
+
+MATRYOSHKA_CAPPED_ORACLE = _matryoshka_capped_oracle(_MAT_CAP)
+
+
+@query("q_matryoshka_recall_capped", MATRYOSHKA_CAPPED_ORACLE)
+def q_matryoshka_recall_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-BUDGET companion to [[q_matryoshka_recall]] (VERDICT r7
+    item 6, the [[dedup_embedding_cosine_banded]] pattern): the exact
+    eval's probe set is every 100th vector, so q ∝ n and the eval reads
+    O(n²/100) — 170.7 s at ×64 and quadrupling per step (SCALE.md r7),
+    the slowest member of the exact-eval family. Statistical quality
+    gates don't need the probe count to track the corpus: a fixed sample
+    estimates macro overlap with the same confidence interval at every
+    scale. This companion caps the probe set at {_MAT_CAP} queries chosen
+    by the md5-order LIMIT rule (deterministic, engine-reproducible — the
+    PQ/k-means seed pick), making the whole eval O({_MAT_CAP}·n) = O(n).
+
+    At the checked-in SFs the probe pool (n/100 ≤ 20) is under the cap,
+    so output ≡ the exact baseline and the hash gate pins the LIMIT
+    plumbing; the cap engages from n > {_MAT_CAP * 100} (×16 on the sf0.1
+    fixture), where tests/test_matryoshka_capped.py pins cap-engaged
+    parity against the DuckDB oracle at a test-sized budget."""
+    return _matryoshka_overlap(spark, sf_dir, query_cap=_MAT_CAP)
 
 
 # ---------------------------------------------------------------------------

@@ -73,77 +73,72 @@ def _modules():
 # longer rotate it out of the gate as a side effect; changing the window is
 # an explicit edit to this list.
 #
-# Round-7 window (per VERDICT.md r6 "Next round" item 1): exactly the r7
-# plan recorded last round — the complete remaining never-gated pool (47
-# names, reconciled against CORRECTNESS_r01..r06: 244 green union + these
-# 47 + q_pca_top2_project's rows-only r3 row = 292) plus 3 deliberate
-# re-verifications to fill the 50 slots (the r1-gated headline trio,
-# listed in tests/test_driver_canon.py REGATE_OK). After this gate runs,
-# every oracle-able query in the engine has a hard driver row and the
-# never-gated pool is 0.
+# Round-8 window (per VERDICT.md r7 "Next round" item 1): the r7 gate
+# completed the verification program — union of green driver rows r1–r7
+# is 291/293, the only gaps being q_pca_top2_project (rows-only by
+# documented design) and dedup_embedding_cosine_banded (registered after
+# the r7 gate ran). This window leads with that last ungated query plus
+# the round's two new companions, then fills the 50 slots with
+# deliberate re-gates (REGATE_OK in tests/test_driver_canon.py):
+# first the three queries whose code changed AFTER their last driver row
+# (ann_pq_adc — r7 ADC rewrite + r8 dense-qtab fix; q_dbscan_clusters —
+# r7 adaptive blocking fix; q_matryoshka_recall — r8 shared-plan
+# refactor), then 44 of the 45 oldest rows (r2) as a stability re-check;
+# q_math_functions is the one r2 row deferred to the next rotation.
 GATE_ORDER: list[str] = [
-    # --- the 47 remaining never-gated queries, module order ---
-    # timeseries (2)
-    "q_weekday_effect",
-    "q_mann_kendall",
-    # behavior (12)
-    "q_kaplan_meier",
-    "q_dau_mau_stickiness",
-    "q_next_event_accuracy",
-    "q_user_concentration",
-    "q_new_vs_returning",
-    "q_interarrival_burstiness",
-    "q_window_funnel",
-    "q_attribution_linear",
-    "q_attribution_time_decay",
-    "q_ltv_cohort_curve",
-    "q_engagement_by_segment",
-    "q_conversion_cdf",
-    # approx (6)
-    "q_bloom_fpr_audit",
-    "q_ams_f2_sketch",
-    "q_join_size_sketch",
-    "q_spacesaving_heavy_hitters",
-    "q_hll_time_rollup",
-    "q_bitmap_distinct_users",
-    # stats (12)
-    "q_psi_drift",
-    "q_classifier_auc",
-    "q_decision_stump",
-    "q_calibration_curve",
-    "q_mutual_information",
-    "q_anova_oneway",
-    "q_weighted_median_udaf",
-    "q_winsorized_stats",
-    "q_cuped_adjustment",
-    "q_diff_in_diff",
-    "q_quantile_treatment_effect",
-    "q_power_analysis",
-    # asof (1)
-    "q_asof_nearest_tolerance",
-    # reshape (1)
-    "q_equidepth_histogram",
-    # windows (1)
-    "q_windowed_topk_types",
-    # relational3 (12)
-    "q_variant_props",
-    "q_order_cycle_time",
-    "q_abc_classification",
-    "q_supplier_hhi",
-    "q_reorder_interval",
-    "q_basket_profile",
-    "q_unit_price_dispersion",
-    "q_discount_band_mix",
-    "q_churn_flags",
-    "q_laspeyres_price_index",
-    "q_fisher_price_index",
-    "q_price_volume_mix",
-    # --- 3 deliberate re-gates (REGATE_OK in test_driver_canon.py):
-    # the oldest green rows (r1) double as a stability re-check after
-    # three rounds of perf work on the headline queries.
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q06_forecast_revenue",
+    # --- first-time rows: the 3 queries with no driver row yet ---
+    "dedup_embedding_cosine_banded",
+    "q_matryoshka_recall_capped",
+    "dedup_banded_width_audit",
+    # --- changed-code re-gates (code changed after last driver row) ---
+    "ann_pq_adc",
+    "q_dbscan_clusters",
+    "q_matryoshka_recall",
+    # --- oldest-row re-gates: 44 of the 45 r2 rows ---
+    "q04_order_priority_semi",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q21_suppliers_kept_waiting",
+    "q22_customers_without_orders",
+    "q_argmax_order_per_customer",
+    "q_array_agg_ordered",
+    "q_array_functions",
+    "q_bloom_semi_join",
+    "q_case_projection",
+    "q_correlated_above_avg",
+    "q_cube_orders",
+    "q_date_functions",
+    "q_deterministic_sample",
+    "q_distinct_agg",
+    "q_explode_word_freq",
+    "q_grouping_sets",
+    "q_having_expensive_types",
+    "q_json_props",
+    "q_lateral_top_orders",
+    "q_not_in_null_aware",
+    "q_pareto_frontier",
+    "q_pivot_status_by_segment",
+    "q_quantiles_per_segment",
+    "q_range_join_price_bands",
+    "q_region_segment_matrix",
+    "q_rollup_sales",
+    "q_running_total",
+    "q_salted_aggregation",
+    "q_salted_skew_join",
+    "q_setops_repeat_customers",
+    "q_string_functions",
+    "q_topk_parts_per_brand",
+    "q_window_frames",
 ]
 
 GATE_SLOTS = 50

@@ -149,3 +149,22 @@ def test_residual_preds_catches_mixed_wrapper(monkeypatch=None):
     assert residual_preds(["(year(ts#1) = 1996)"], "") == [
         "(year(ts#1) = 1996)"
     ]
+
+
+def test_trailing_flag_without_value_exits_with_usage(monkeypatch):
+    """`--json` as the last argument (or followed by another flag) must
+    exit with a usage message, not IndexError, and must not silently
+    consume a flag as its value (ADVICE r7)."""
+    import pytest
+
+    import exchange_audit
+    import sweep_timings
+
+    for tool, bad in [
+        (exchange_audit, ["exchange_audit.py", "--json"]),
+        (sweep_timings, ["sweep_timings.py", "--json"]),
+        (sweep_timings, ["sweep_timings.py", "--skip", "--json", "out"]),
+    ]:
+        monkeypatch.setattr(sys, "argv", bad)
+        with pytest.raises(SystemExit, match="usage"):
+            tool.main()

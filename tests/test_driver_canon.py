@@ -74,14 +74,62 @@ def test_gate_window_spends_no_slot_on_already_green_rows():
         )
 
 
-# Deliberate re-verifications go here. r7: the never-gated pool is 47
-# names but the window has 50 slots, so the r1-gated headline trio is
-# re-gated on purpose — oldest green rows, re-verified after three rounds
-# of perf work (registry.py GATE_ORDER comment).
+# Deliberate re-verifications go here. r8: only 3 first-time queries
+# exist (the banded companion registered after the r7 gate + this
+# round's two new companions), so 47 slots are deliberate re-gates —
+# the 3 queries whose code changed after their last driver row, then 44
+# of the 45 oldest (r2) rows as a stability re-check (registry.py
+# GATE_ORDER comment).
 REGATE_OK: set[str] = {
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q06_forecast_revenue",
+    # code changed after last driver row
+    "ann_pq_adc",
+    "q_dbscan_clusters",
+    "q_matryoshka_recall",
+    # oldest driver rows (r2)
+    "q04_order_priority_semi",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q21_suppliers_kept_waiting",
+    "q22_customers_without_orders",
+    "q_argmax_order_per_customer",
+    "q_array_agg_ordered",
+    "q_array_functions",
+    "q_bloom_semi_join",
+    "q_case_projection",
+    "q_correlated_above_avg",
+    "q_cube_orders",
+    "q_date_functions",
+    "q_deterministic_sample",
+    "q_distinct_agg",
+    "q_explode_word_freq",
+    "q_grouping_sets",
+    "q_having_expensive_types",
+    "q_json_props",
+    "q_lateral_top_orders",
+    "q_not_in_null_aware",
+    "q_pareto_frontier",
+    "q_pivot_status_by_segment",
+    "q_quantiles_per_segment",
+    "q_range_join_price_bands",
+    "q_region_segment_matrix",
+    "q_rollup_sales",
+    "q_running_total",
+    "q_salted_aggregation",
+    "q_salted_skew_join",
+    "q_setops_repeat_customers",
+    "q_string_functions",
+    "q_topk_parts_per_brand",
+    "q_window_frames",
 }
 
 

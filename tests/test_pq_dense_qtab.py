@@ -1,0 +1,126 @@
+"""Regression: ann_pq_adc must survive a SPARSE refined codebook.
+
+`cent` (the Lloyd-refined codebook) only contains (subspace, code) pairs
+that won at least one argmin in the initial encode. Seeds are corpus
+vectors, so a seed normally wins at least itself — but two seeds with
+identical subvectors tie on distance 0 and the HIGHER cid loses every
+tie, vanishing from `cent` entirely. The r7 ADC array fold indexed the
+query distance table POSITIONALLY (j*K + cidx), so each missing slot
+shifted every later entry and silently corrupted distances (ADVICE r7,
+medium). The r8 fix densifies the table over the full seeds x subspaces
+grid; this test pins it with a corpus engineered to produce the
+sparsity: the second seed (md5 order) is an exact copy of the first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_cdc_kafka_spark.operators.similarity import (
+    _PQ_K,
+    _PQ_M,
+    PQ_ORACLE,
+    ann_pq_adc,
+)
+from debezium_cdc_kafka_spark.oracle_check import compare_one
+
+N_VECS = 300  # 3 query rows under vec_id % 100 = 0
+
+
+def _md5_order(vid: int) -> tuple[str, int]:
+    return hashlib.md5(str(vid).encode()).hexdigest(), vid
+
+
+@pytest.fixture(scope="module")
+def sparse_seed_dir(tmp_path_factory):
+    rng = np.random.default_rng(4242)
+    emb = rng.normal(size=(N_VECS, 64)).astype(np.float32) * 0.15
+    seeds = sorted(range(N_VECS), key=_md5_order)[:_PQ_K]
+    # duplicate seed: seeds[1] := seeds[0] (identical in EVERY subspace,
+    # so whichever has the higher cid loses all ties and leaves `cent`)
+    emb[seeds[1]] = emb[seeds[0]]
+    d = tmp_path_factory.mktemp("pq_sparse")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            "label": pa.array([int(i % 10) for i in range(N_VECS)], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_duplicate_seed_produces_sparse_codebook(sparse_seed_dir):
+    """Sanity: the engineered corpus actually exercises the hazard — the
+    refined codebook is missing at least one (subspace, seed) slot
+    (otherwise this file pins nothing). Checked third-engine (DuckDB)
+    with the oracle's own encode CTEs."""
+    from debezium_cdc_kafka_spark.operators.similarity import _PQ_D2_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sparse_seed_dir}/embeddings.parquet'"
+    )
+    n_slots = con.execute(
+        f"""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {_PQ_K}
+        ), sub AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+        enc0 AS (
+          SELECT e.vec_id, s.j, m.cid,
+                 round({_PQ_D2_SQL.format(a="e")}, 6) AS d2
+          FROM embeddings e CROSS JOIN sub s CROSS JOIN seeds m
+        ), codes0 AS (
+          SELECT vec_id, j, cid AS code,
+                 row_number() OVER (
+                   PARTITION BY vec_id, j ORDER BY d2, cid) AS rk
+          FROM enc0 QUALIFY rk = 1
+        )
+        SELECT count(*) FROM (SELECT DISTINCT j, code FROM codes0)
+        """
+    ).fetchone()[0]
+    assert n_slots < _PQ_M * _PQ_K, (
+        "corpus failed to produce a sparse codebook; the regression "
+        f"tests below would pin nothing (slots={n_slots})"
+    )
+
+
+def test_pq_adc_matches_oracle_on_sparse_codebook(spark, sparse_seed_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sparse_seed_dir}/embeddings.parquet'"
+    )
+    r = compare_one(
+        spark, con, sparse_seed_dir, "ann_pq_adc", ann_pq_adc, PQ_ORACLE
+    )
+    assert r["ok"], r
+    assert r["spark_rows"] > 0
+
+
+def test_qtab_is_dense_over_all_slots(spark, sparse_seed_dir):
+    """Structural pin: every query's distance array has exactly M*K
+    entries even when the refined codebook is sparse."""
+    df = ann_pq_adc(spark, sparse_seed_dir)
+    # the query table is internal; recheck via the public output instead:
+    # with a dense table the ADC fold never reads past the array end, so
+    # no adc_d2 is NULL and every query emits a full top-k
+    rows = df.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("adc_d2").isNull().cast("int")).alias("nulls"),
+    ).collect()
+    assert rows, "no query rows produced"
+    for r in rows:
+        assert r["nulls"] == 0
+    assert _PQ_M * _PQ_K == 1024

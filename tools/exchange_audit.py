@@ -123,6 +123,13 @@ def main() -> int:
     out_json = None
     if "--json" in argv:
         i = argv.index("--json")
+        # a trailing flag, or one followed by another flag, has no value
+        # (ADVICE r7) — usage error, not an IndexError
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            raise SystemExit(
+                "usage: exchange_audit.py [sf_dir] [--json OUT] — "
+                "--json needs a value"
+            )
         out_json = argv[i + 1]
         # drop the flag AND its value — otherwise the value is taken as the
         # positional sf_dir and every query errors (ADVICE r6)

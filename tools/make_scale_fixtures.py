@@ -24,8 +24,8 @@ import sys
 import duckdb
 
 
-def main() -> int:
-    argv = sys.argv[1:]
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
     base = "/root/testdata/sf0.1"
     if "--base" in argv:
         i = argv.index("--base")

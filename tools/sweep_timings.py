@@ -31,32 +31,46 @@ def main() -> int:
     argv = sys.argv[1:]
     out_json = None
     skip: list[str] = []
+    only: list[str] = []
     # drop each flag AND its value from the positional scan (the value
     # would otherwise be taken as sf_dir — the exchange_audit ADVICE r6
     # bug, fixed here too)
-    for flag in ("--json", "--skip"):
+    for flag in ("--json", "--skip", "--only"):
         if flag in argv:
             i = argv.index(flag)
+            # a trailing flag, or one followed by another flag, has no
+            # value (ADVICE r7) — usage error, not an IndexError
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                raise SystemExit(
+                    f"usage: sweep_timings.py [sf_dir] [--json OUT] "
+                    f"[--skip n1,n2,...] [--only n1,n2,...] — {flag} needs a value"
+                )
             val = argv[i + 1]
             del argv[i : i + 2]
             if flag == "--json":
                 out_json = val
-            else:
+            elif flag == "--skip":
                 skip = [n for n in val.split(",") if n]
+            else:
+                only = [n for n in val.split(",") if n]
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     spark = get_spark("sweep")
     queries = registry.all_queries()
+    unknown = [n for n in skip + only if n not in queries]
+    if unknown:
+        raise SystemExit(f"--skip/--only names not in registry: {unknown}")
+    if only:
+        # filter BEFORE the warm run: an --only sweep may target a
+        # partial fixture dir (e.g. embeddings-only x256) where other
+        # registry queries' tables don't exist
+        queries = {n: queries[n] for n in only}
     # warm the session + parquet footers so query 1 isn't charged for JVM
     # startup
     next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-
-    unknown = [n for n in skip if n not in queries]
-    if unknown:
-        raise SystemExit(f"--skip names not in registry: {unknown}")
     times: dict[str, float] = {}
     for name, fn in queries.items():
         if name in skip:
