@@ -39,6 +39,7 @@ import time
 
 from debezium_cdc_kafka_spark.session import get_spark
 from debezium_cdc_kafka_spark.sources.cdc_events import derive_change_events
+from debezium_cdc_kafka_spark.streaming.bucketed import BucketedSnapshotTarget
 from debezium_cdc_kafka_spark.streaming.cdc_stream import (
     ParquetSnapshotTarget,
     file_change_stream,
@@ -74,6 +75,119 @@ def _drain(spark, env_dir: str, target_path: str, ckpt: str) -> tuple[float, lis
 def _link_files(src: str, dst: str, names: list[str]) -> None:
     for n in names:
         os.link(os.path.join(src, n), os.path.join(dst, n))
+
+
+IH_MULT = 4  # insert-heavy stream volume: events × this
+
+
+def _insert_heavy_ab(spark, work: str, sf_dir: str, reps: int) -> dict:
+    """Flat vs range-bucketed snapshot target under the autoincrement-PK
+    INSERT-heavy workload (key = event_id, keys monotone with offset,
+    files staged in offset order): the flat target rewrites the FULL
+    accumulated state every epoch (O(N·|state|) total over a backfill),
+    the range-bucketed one only its batch's tail buckets (O(|stream|)).
+
+    The stream is events × IH_MULT (the make_scale_fixtures event_id
+    construction, so keys stay unique and monotone): the flat target's
+    per-epoch cost is proportional to ACCUMULATED state, so the gap vs
+    the bucketed target is a function of stream length — ×{IH_MULT}
+    makes the crossover visible at local scale (at sf0.01-sized state
+    the flat rewrite is cheaper than the bucketed bookkeeping; that
+    break-even is part of the measurement, not noise)."""
+    ih_dir = os.path.join(work, "ih_src")
+    os.makedirs(ih_dir)
+    import duckdb
+
+    duckdb.connect().execute(
+        f"""COPY (
+          SELECT event_id + 100000*i.i AS event_id, ts, user_id,
+                 event_type, value, props
+          FROM '{sf_dir}/events.parquet',
+               (SELECT unnest(range(0,{IH_MULT})) AS i) i
+        ) TO '{ih_dir}/events.parquet' (FORMAT PARQUET)"""
+    )
+    src = os.path.join(work, "staged_insert_heavy")
+    (
+        derive_change_events(spark, ih_dir, key_col="event_id")
+        .repartitionByRange(CANONICAL_FILES, "offset")
+        .write.parquet(src)
+    )
+    parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    # distinct mtimes in range order so the file source's (mtime, path)
+    # ordering delivers epochs offset-ordered, like a Kafka consumer would
+    base_t = time.time() - len(parts)
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(src, p), (base_t + i, base_t + i))
+    n_rows = spark.read.parquet(src).count()
+
+    out: dict[str, list] = {"flat": [], "bucketed": []}
+    for rep in range(reps):
+        for kind in ("flat", "bucketed"):
+            rd = os.path.join(work, f"ih_{kind}_{rep}")
+            env_dir = os.path.join(rd, "topic")
+            os.makedirs(env_dir)
+            _link_files(src, env_dir, parts)
+            tgt_path = os.path.join(rd, "target")
+            target = (
+                ParquetSnapshotTarget(tgt_path)
+                if kind == "flat"
+                else BucketedSnapshotTarget(
+                    tgt_path, mode="range", range_width=4096
+                )
+            )
+            t0 = time.perf_counter()
+            q = run_cdc_stream(
+                spark,
+                file_change_stream(spark, env_dir),
+                tgt_path,
+                os.path.join(rd, "ckpt"),
+                target=target,
+            )
+            if not q.awaitTermination(1800):
+                q.stop()
+                raise SystemExit("insert-heavy stream did not drain")
+            wall = time.perf_counter() - t0
+            final = target.read_view(spark).count()
+            # total bytes on disk across ALL versions = cumulative write
+            # I/O of the backfill (neither target auto-compacts) — the
+            # quantity the bucketed layout exists to shrink; at local
+            # state sizes wall time is floored by per-epoch fixed costs
+            # (decode/plan/checkpoint ~0.5 s), so the I/O ratio is the
+            # scale-faithful signal
+            written = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(tgt_path)
+                for f in files
+            )
+            out[kind].append(
+                {"drain_sec": round(wall, 3), "final_rows": final,
+                 "events_per_sec": round(n_rows / wall, 1),
+                 "bytes_written": written}
+            )
+            print(f"# insert_heavy {kind} rep={rep}: {out[kind][-1]}",
+                  file=sys.stderr)
+            shutil.rmtree(rd, ignore_errors=True)
+    finals = {r["final_rows"] for k in out for r in out[k]}
+    if len(finals) != 1:
+        raise SystemExit(f"insert-heavy final state diverged: {finals}")
+    med = {
+        k: statistics.median(r["events_per_sec"] for r in out[k]) for k in out
+    }
+    bw = {
+        k: statistics.median(r["bytes_written"] for r in out[k]) for k in out
+    }
+    return {
+        "n_events": n_rows,
+        "events_mult": IH_MULT,
+        "final_rows": finals.pop(),
+        "reps": out,
+        "flat_events_per_sec_median": med["flat"],
+        "bucketed_events_per_sec_median": med["bucketed"],
+        "bucketed_speedup": round(med["bucketed"] / med["flat"], 2),
+        "flat_bytes_written": int(bw["flat"]),
+        "bucketed_bytes_written": int(bw["bucketed"]),
+        "write_io_reduction": round(bw["flat"] / bw["bucketed"], 1),
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -175,10 +289,13 @@ def main(argv: list[str] | None = None) -> int:
         if len(finals) != 1:
             raise SystemExit(f"final state diverged across reps: {finals}")
 
+    insert_heavy = _insert_heavy_ab(spark, work, sf_dir, args.reps)
+
     canonical = results[str(CANONICAL_FILES)]
     print(
         json.dumps(
             {
+                "insert_heavy_ab": insert_heavy,
                 "metric": "cdc_stream_events_per_sec",
                 "value": canonical["events_per_sec_median"],
                 "unit": "events/s",

@@ -74,22 +74,31 @@ def op_expr():
     )
 
 
-def derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derive_change_events(
+    spark: SparkSession, sf_dir: str, key_col: str = "user_id"
+) -> DataFrame:
     """events table → Kafka-record-shaped DataFrame:
     (key string, value string|null, topic, partition int, offset long,
     timestamp) — the exact input contract of `operators.cdc.decode_envelope`.
+
+    ``key_col`` is the replicated table's primary key. The default
+    (user_id, ~1.2k distinct at sf0.1) models the reference's
+    update-heavy customers table; ``key_col="event_id"`` models the
+    autoincrement-PK INSERT-heavy table (every event a new key, keys
+    monotone with offset) — the workload bench_stream.py uses to measure
+    the range-bucketed target. Oracles and tests all use the default.
     """
     ev = load_table(spark, sf_dir, "events")
     op = op_expr()
     after = F.when(
         op.isin("c", "u"),
         F.struct(
-            F.col("user_id").alias("id"),
+            F.col(key_col).alias("id"),
             F.col("value").alias("value"),
             F.date_format("ts", TS_FMT).alias("ts"),
         ),
     )
-    before = F.when(op == "d", F.struct(F.col("user_id").alias("id")))
+    before = F.when(op == "d", F.struct(F.col(key_col).alias("id")))
     envelope = F.to_json(
         F.struct(
             F.struct(
@@ -117,7 +126,7 @@ def derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array(record(body, F.col("event_id") * 2)))
     return ev.select(
-        F.col("user_id").cast("string").alias("key"),
+        F.col(key_col).cast("string").alias("key"),
         F.explode(records).alias("_rec"),
         F.lit(TOPIC).alias("topic"),
         F.lit(0).alias("partition"),
