@@ -1083,9 +1083,34 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc6"),
         )
     )
+    # Grouped top-k WITHOUT shuffling the pair frame (r8, found by the
+    # x256 sweep): the row_number window repartitioned the FULL q*n ADC
+    # frame — 2.6 BILLION rows (~50+ GB of shuffle files) at x256, which
+    # exhausted local disk and killed the JVM mid-shuffle-write. Fix is
+    # a two-pass exact top-k: pass 1 aggregates a percentile_approx
+    # sketch per query (GK sketches are partial-aggregatable, so the
+    # 2.6B rows reduce MAP-SIDE and the shuffle carries q sketches);
+    # pass 2 re-derives the map-side ADC frame (CPU x2 on the fold — the
+    # broadcast join never materializes), keeps rows <= the sketched
+    # threshold, and runs the exact window over the ~q*(k+2*err+5)
+    # survivors. Exactness: with accuracy a the sketch's rank error is
+    # <= n/a, so the value at requested rank k+err+5 has TRUE rank
+    # >= k+5 — every true top-k row passes the <= filter, and the final
+    # exact (adc6, cand_id) window emits the identical rows (oracle and
+    # output hash unchanged; threshold slack only pads the survivor set).
+    n_cand = emb.count()  # scalar for the rank fraction; bounded fetch
+    acc = 50_000
+    err = -(-n_cand // acc)  # ceil(n/accuracy)
+    frac = min(1.0, (_PQ_TOPK + err + 5.0) / max(1.0, float(n_cand - 1)))
+    thr = adc.groupBy("query_id").agg(
+        F.percentile_approx("adc6", F.lit(frac), F.lit(acc)).alias("thr")
+    )
+    survivors = adc.join(F.broadcast(thr), "query_id").filter(
+        F.col("adc6") <= F.col("thr")
+    )
     w = W.partitionBy("query_id").orderBy("adc6", "cand_id")
     return (
-        adc.withColumn("rk", F.row_number().over(w).cast("int"))
+        survivors.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _PQ_TOPK)
         .select(
             "query_id",

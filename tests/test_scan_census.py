@@ -52,8 +52,15 @@ CEILINGS = {
     # 8 -> 10 in r7: the ADC array-fold rewrite adds the seed_idx remap
     # as a consumer of the seeds subtree (runtime exchange reuse
     # collapses the duplicates — the EXECUTED plan is in the r7 exchange
-    # audit; the rewrite cut x64 wall 1160s -> 205s, SCALE.md r7)
-    "ann_pq_adc": ("embeddings", 10),
+    # audit; the rewrite cut x64 wall 1160s -> 205s, SCALE.md r7).
+    # 10 -> 20 in r8: the sketch-threshold top-k consumes the lazy ADC
+    # subtree twice (pass 1 percentile sketch, pass 2 filtered exact
+    # window) so the pair frame is never SHUFFLED — the x256 sweep
+    # killed the JVM on the old full-frame window shuffle (~50+ GB of
+    # shuffle files on 2.6B rows). The codes-side exchanges reuse at
+    # runtime; the doubled map-side fold is the deliberate CPU-for-
+    # shuffle trade (SCALE.md r8).
+    "ann_pq_adc": ("embeddings", 20),
     "q_kaplan_meier": ("events", 3),
     # r7 banded companion: bw-count + proj scans duplicate across the two
     # sig self-join sides (identical REPARTITION_BY_NUM subtrees — AQE
