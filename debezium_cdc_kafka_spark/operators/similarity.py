@@ -899,7 +899,9 @@ FROM adc QUALIFY rk <= {_PQ_TOPK}
 
 
 @query("ann_pq_adc", PQ_ORACLE)
-def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_adc(
+    spark: SparkSession, sf_dir: str, _topk_mode: str | None = None
+) -> DataFrame:
     """Product-quantization ANN (Jegou et al., "Product Quantization for
     Nearest Neighbor Search"): split each 64-d vector into {_PQ_M}
     8-d subvectors, encode each against a {_PQ_K}-entry per-subspace
@@ -1083,34 +1085,59 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc6"),
         )
     )
-    # Grouped top-k WITHOUT shuffling the pair frame (r8, found by the
-    # x256 sweep): the row_number window repartitioned the FULL q*n ADC
-    # frame — 2.6 BILLION rows (~50+ GB of shuffle files) at x256, which
-    # exhausted local disk and killed the JVM mid-shuffle-write. Fix is
-    # a two-pass exact top-k: pass 1 aggregates a percentile_approx
-    # sketch per query (GK sketches are partial-aggregatable, so the
-    # 2.6B rows reduce MAP-SIDE and the shuffle carries q sketches);
-    # pass 2 re-derives the map-side ADC frame (CPU x2 on the fold — the
-    # broadcast join never materializes), keeps rows <= the sketched
-    # threshold, and runs the exact window over the ~q*(k+2*err+5)
-    # survivors. Exactness: with accuracy a the sketch's rank error is
-    # <= n/a, so the value at requested rank k+err+5 has TRUE rank
-    # >= k+5 — every true top-k row passes the <= filter, and the final
-    # exact (adc6, cand_id) window emits the identical rows (oracle and
-    # output hash unchanged; threshold slack only pads the survivor set).
-    n_cand = emb.count()  # scalar for the rank fraction; bounded fetch
-    acc = 50_000
-    err = -(-n_cand // acc)  # ceil(n/accuracy)
-    frac = min(1.0, (_PQ_TOPK + err + 5.0) / max(1.0, float(n_cand - 1)))
-    thr = adc.groupBy("query_id").agg(
-        F.percentile_approx("adc6", F.lit(frac), F.lit(acc)).alias("thr")
-    )
-    survivors = adc.join(F.broadcast(thr), "query_id").filter(
-        F.col("adc6") <= F.col("thr")
+    return _pq_grouped_topk(adc, emb, force=_topk_mode)
+
+
+# Direct grouped top-k shuffles the whole q*n ADC frame; past this many
+# pairs the two-pass sketch-threshold form engages instead (see
+# _pq_grouped_topk). 1e9 pairs ≈ 24 GB of (query_id, cand_id, adc6)
+# shuffle — comfortably inside a healthy executor fleet's shuffle
+# capacity but the measured kill-point neighborhood for one local disk;
+# both paths are exact, so the cut only moves cost, never the answer.
+_PQ_DIRECT_MAX_PAIRS = 1_000_000_000
+
+
+def _pq_grouped_topk(adc: DataFrame, emb: DataFrame, force: str | None = None):
+    """Exact per-query top-{_PQ_TOPK} over the map-side ADC pair frame.
+
+    Two plans, same rows (parity pinned by tests/test_pq_dense_qtab.py):
+
+    - ``direct`` (pair count ≤ _PQ_DIRECT_MAX_PAIRS): row_number window
+      on (query_id) — one shuffle of the narrow pair rows. Fastest while
+      the shuffle fits: the r7 form, 205 s at ×64.
+    - ``twopass`` (beyond the bound; r8, found by the ×256 sweep, where
+      the direct window's 2.6B-row / 50+ GB shuffle exhausted local disk
+      and killed the JVM mid-write): pass 1 aggregates a
+      percentile_approx sketch per query (GK sketches are
+      partial-aggregatable, so pair rows reduce MAP-SIDE and the shuffle
+      carries one sketch per query); pass 2 re-derives the map-side
+      frame (CPU ×2 on the fold — the broadcast join never
+      materializes), keeps rows ≤ the sketched bound on the k-th
+      distance, and runs the exact window over the ~q·(k+2·err+5)
+      survivors. Exactness: with accuracy a the sketch's rank error is
+      ≤ n/a, so the value at requested rank k+err+5 has TRUE rank
+      ≥ k+5 — every true top-k row passes the ≤ filter and the final
+      exact (adc6, cand_id) window emits identical rows.
+    """
+    n = emb.count()  # scalar for the engage rule + rank fraction
+    n_queries = max(1, n // 100)  # _QUERY_PRED samples every 100th
+    mode = force or (
+        "direct" if n_queries * n <= _PQ_DIRECT_MAX_PAIRS else "twopass"
     )
     w = W.partitionBy("query_id").orderBy("adc6", "cand_id")
+    frame = adc
+    if mode == "twopass":
+        acc = 50_000
+        err = -(-n // acc)  # ceil(n/accuracy)
+        frac = min(1.0, (_PQ_TOPK + err + 5.0) / max(1.0, float(n - 1)))
+        thr = adc.groupBy("query_id").agg(
+            F.percentile_approx("adc6", F.lit(frac), F.lit(acc)).alias("thr")
+        )
+        frame = adc.join(F.broadcast(thr), "query_id").filter(
+            F.col("adc6") <= F.col("thr")
+        )
     return (
-        survivors.withColumn("rk", F.row_number().over(w).cast("int"))
+        frame.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _PQ_TOPK)
         .select(
             "query_id",

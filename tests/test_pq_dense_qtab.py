@@ -124,3 +124,21 @@ def test_qtab_is_dense_over_all_slots(spark, sparse_seed_dir):
     for r in rows:
         assert r["nulls"] == 0
     assert _PQ_M * _PQ_K == 1024
+
+
+def test_topk_twopass_parity_with_direct(spark, sparse_seed_dir):
+    """The sketch-threshold two-pass top-k (engaged past
+    _PQ_DIRECT_MAX_PAIRS, where the direct window's pair shuffle
+    exhausts disk — the r8 x256 finding) must emit EXACTLY the direct
+    plan's rows. Run both forms on the sparse-codebook corpus so the
+    parity also covers the densified query table."""
+    direct = {tuple(r) for r in ann_pq_adc(spark, sparse_seed_dir, _topk_mode="direct").collect()}
+    twopass = {tuple(r) for r in ann_pq_adc(spark, sparse_seed_dir, _topk_mode="twopass").collect()}
+    assert direct == twopass
+    assert len(direct) > 0
+
+
+def test_topk_twopass_parity_on_fixture(spark):
+    direct = {tuple(r) for r in ann_pq_adc(spark, "/root/testdata/sf0.01", _topk_mode="direct").collect()}
+    twopass = {tuple(r) for r in ann_pq_adc(spark, "/root/testdata/sf0.01", _topk_mode="twopass").collect()}
+    assert direct == twopass

@@ -53,14 +53,14 @@ CEILINGS = {
     # as a consumer of the seeds subtree (runtime exchange reuse
     # collapses the duplicates — the EXECUTED plan is in the r7 exchange
     # audit; the rewrite cut x64 wall 1160s -> 205s, SCALE.md r7).
-    # 10 -> 20 in r8: the sketch-threshold top-k consumes the lazy ADC
-    # subtree twice (pass 1 percentile sketch, pass 2 filtered exact
-    # window) so the pair frame is never SHUFFLED — the x256 sweep
-    # killed the JVM on the old full-frame window shuffle (~50+ GB of
-    # shuffle files on 2.6B rows). The codes-side exchanges reuse at
-    # runtime; the doubled map-side fold is the deliberate CPU-for-
-    # shuffle trade (SCALE.md r8).
-    "ann_pq_adc": ("embeddings", 20),
+    # r8: past _PQ_DIRECT_MAX_PAIRS (engages around x128 on this
+    # fixture shape) the top-k switches to the sketch-threshold
+    # two-pass, whose initial plan reads the lazy ADC subtree twice
+    # (20 scans) so the pair frame is never SHUFFLED — the x256 sweep
+    # killed the JVM on the direct window's ~50+ GB shuffle. At
+    # sf0.001 the engage rule picks the direct plan, so the ceiling
+    # stays 10; two-pass parity is pinned in test_pq_dense_qtab.py.
+    "ann_pq_adc": ("embeddings", 10),
     "q_kaplan_meier": ("events", 3),
     # r7 banded companion: bw-count + proj scans duplicate across the two
     # sig self-join sides (identical REPARTITION_BY_NUM subtrees — AQE
