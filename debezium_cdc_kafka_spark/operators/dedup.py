@@ -728,6 +728,31 @@ def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame
     the 64-float arrays never ride the banded explosion."""
     cand = _banded_candidates(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    return _cosine_verify(spark, cand, emb)
+
+
+# Broadcast the vector table into the verify joins while it fits; the
+# bound is the vector-table byte size a single executor comfortably
+# holds twice (2M x ~260B = ~520 MB/side). Beyond it the verify falls
+# back to shuffle-hash joins with a candidate-scaled fanout — still no
+# sort of the pair side, but pairs ride one shuffle per join (fine on a
+# cluster's distributed shuffle tier; the broadcast form is what a
+# single node can survive).
+_VERIFY_BROADCAST_MAX = 2_000_000
+
+
+def _cosine_verify(spark: SparkSession, cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """τ = 0.4 cosine verify of a (v1, v2) candidate frame — WITHOUT ever
+    sorting pair rows that carry embedding arrays (r8, found by the ×256
+    sweep): the naive cand⋈emb⋈emb plan sort-merge-joins the SECOND hop
+    on v2, which sorts |candidates| rows each dragging a 64-float array
+    (~58 GB of sort input at ×256 — the spill filled local disk and
+    killed the JVM in the banded companion's verify). Broadcast-hash
+    joins keep the pair frame streaming: candidates flow from the
+    distinct straight through both probes and the τ filter in one stage,
+    and only the (v1, v2, cosine) survivors ever hit a shuffle again.
+    Past _VERIFY_BROADCAST_MAX vectors, shuffle-hash joins (explicit
+    hint — never sort-merge) with the pair_fanout pin take over."""
     a = emb.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
@@ -738,7 +763,16 @@ def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("embedding").alias("e2"),
         sq_norm_expr("embedding").alias("n2"),
     )
-    pairs = cand.join(a, "v1").join(b, "v2")
+    if emb.count() <= _VERIFY_BROADCAST_MAX:
+        pairs = cand.join(F.broadcast(a), "v1").join(F.broadcast(b), "v2")
+    else:
+        fan = pair_fanout(spark)
+        pairs = (
+            cand.repartition(fan, "v1")
+            .join(a.hint("shuffle_hash"), "v1")
+            .repartition(fan, "v2")
+            .join(b.hint("shuffle_hash"), "v2")
+        )
     cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     return pairs.filter(cos >= 0.4).select("v1", "v2", F.round(cos, 3).alias("cosine"))
 
