@@ -2546,6 +2546,17 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("e2"),
         sq_norm_expr("embedding").alias("n2"),
     )
+    # BROADCAST the vector table into both verify hops (r8 — the same
+    # wide-sort defect dedup._cosine_verify fixed this round): the
+    # sort-merge form sorts |candidates| rows dragging 64-float arrays,
+    # and at x256 (~820M in-bucket candidates) the sort spill exhausted
+    # local disk twice (artifacts_r8/x256_dbscan_fail_evidence.txt).
+    # Broadcast keeps the candidate frame streaming: distinct -> two
+    # hash probes -> eps filter in one stage, and only the eps-edge
+    # survivors ever shuffle again. Same <=2M-vector bound and
+    # shuffle-hash fallback rationale as dedup._cosine_verify.
+    if emb.count() <= 2_000_000:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     pairs = (
         cand.join(va, "v1").join(vb, "v2").filter(cos >= _DB_TAU).select("v1", "v2")
