@@ -2525,17 +2525,21 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band2"),
         F.col("bits").alias("bits2"),
     )
-    cand = (
-        s1.join(
-            s2,
-            (F.col("label") == F.col("l2"))
-            & (F.col("band") == F.col("band2"))
-            & (F.col("bits") == F.col("bits2"))
-            & (F.col("v1") < F.col("v2")),
-        )
-        .select("v1", "v2")
-        .distinct()
-    )
+    # NO .distinct() here (r8, the second half of the x256 fix): deduping
+    # candidates before the verify shuffles the FULL pre-filter pair
+    # frame (~820M rows at x256 — the map spill of that exchange burned
+    # >60 GB of disk even after the broadcast-verify fix below). A pair
+    # colliding in several bands is instead verified once per collision
+    # (<=4x extra map-side dot products — CPU, not I/O) and `edges`
+    # dedups AFTER the eps filter, where the frame is the small edge
+    # set. Output unchanged: edges.distinct() was already load-bearing.
+    cand = s1.join(
+        s2,
+        (F.col("label") == F.col("l2"))
+        & (F.col("band") == F.col("band2"))
+        & (F.col("bits") == F.col("bits2"))
+        & (F.col("v1") < F.col("v2")),
+    ).select("v1", "v2")
     va = emb.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
