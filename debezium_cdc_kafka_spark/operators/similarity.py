@@ -35,6 +35,7 @@ from ..catalog import load_table
 from ..functions.hashing import md5_long, md5_long_sql
 from .dedup import (
     _BAND_W_SQL,
+    _VERIFY_BROADCAST_MAX,
     EMB_DOT_SQL,
     EMB_NORM_SQL,
     dot_expr,
@@ -1067,6 +1068,21 @@ def ann_pq_adc(
             lambda x: x["qd6"],
         ).alias("qarr")
     )
+    n = emb.count()  # scalar for the topk-mode engage rule
+    mode = _topk_mode or _pq_topk_mode(n)
+    if mode == "twopass":
+        # Pin the float-aggregation subtrees (r9, ADVICE): twopass
+        # executes the lazy ADC tree TWICE (threshold pass + filter
+        # pass), and the Lloyd-step centroid avg is a float agg whose
+        # partial-agg order can differ between executions — adc6 could
+        # flip at the rounding boundary between passes. Checkpointing
+        # the SMALL inputs (codes_arr: n rows of 32-byte code arrays;
+        # qtab: n/100 rows of 1024-long arrays) freezes every float
+        # upstream, so both passes fold identical integers; the huge
+        # pair frame itself stays unmaterialized, which is the whole
+        # point of twopass.
+        codes_arr = codes_arr.localCheckpoint(eager=True)
+        qtab = qtab.localCheckpoint(eager=True)
     adc = (
         codes_arr.join(F.broadcast(qtab), F.col("vec_id") != F.col("query_id"))
         .select(
@@ -1085,7 +1101,7 @@ def ann_pq_adc(
             ).alias("adc6"),
         )
     )
-    return _pq_grouped_topk(adc, emb, force=_topk_mode)
+    return _pq_grouped_topk(adc, n, force=mode)
 
 
 # Direct grouped top-k shuffles the whole q*n ADC frame; past this many
@@ -1097,7 +1113,13 @@ def ann_pq_adc(
 _PQ_DIRECT_MAX_PAIRS = 1_000_000_000
 
 
-def _pq_grouped_topk(adc: DataFrame, emb: DataFrame, force: str | None = None):
+def _pq_topk_mode(n: int) -> str:
+    """direct vs twopass by the pair-count bound (n vectors, n/100 queries)."""
+    n_queries = max(1, n // 100)
+    return "direct" if n_queries * n <= _PQ_DIRECT_MAX_PAIRS else "twopass"
+
+
+def _pq_grouped_topk(adc: DataFrame, n: int, force: str | None = None):
     """Exact per-query top-{_PQ_TOPK} over the map-side ADC pair frame.
 
     Two plans, same rows (parity pinned by tests/test_pq_dense_qtab.py):
@@ -1119,11 +1141,7 @@ def _pq_grouped_topk(adc: DataFrame, emb: DataFrame, force: str | None = None):
       ≥ k+5 — every true top-k row passes the ≤ filter and the final
       exact (adc6, cand_id) window emits identical rows.
     """
-    n = emb.count()  # scalar for the engage rule + rank fraction
-    n_queries = max(1, n // 100)  # _QUERY_PRED samples every 100th
-    mode = force or (
-        "direct" if n_queries * n <= _PQ_DIRECT_MAX_PAIRS else "twopass"
-    )
+    mode = force or _pq_topk_mode(n)
     w = W.partitionBy("query_id").orderBy("adc6", "cand_id")
     frame = adc
     if mode == "twopass":
@@ -2557,14 +2575,22 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local disk twice (artifacts_r8/x256_dbscan_fail_evidence.txt).
     # Broadcast keeps the candidate frame streaming: distinct -> two
     # hash probes -> eps filter in one stage, and only the eps-edge
-    # survivors ever shuffle again. Same <=2M-vector bound and
-    # shuffle-hash fallback rationale as dedup._cosine_verify.
-    if emb.count() <= 2_000_000:
-        va, vb = F.broadcast(va), F.broadcast(vb)
+    # survivors ever shuffle again. Past _VERIFY_BROADCAST_MAX vectors
+    # the fallback is dedup._cosine_verify's else-branch verbatim —
+    # candidate-fanout repartition + explicit shuffle_hash hints, never
+    # a sort-merge join whose sort drags the 64-float arrays (the very
+    # disk-exhaustion shape this comment's first paragraph documents).
     cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
-    pairs = (
-        cand.join(va, "v1").join(vb, "v2").filter(cos >= _DB_TAU).select("v1", "v2")
-    )
+    if emb.count() <= _VERIFY_BROADCAST_MAX:
+        pairs = cand.join(F.broadcast(va), "v1").join(F.broadcast(vb), "v2")
+    else:
+        pairs = (
+            cand.repartition(fan, "v1")
+            .join(va.hint("shuffle_hash"), "v1")
+            .repartition(fan, "v2")
+            .join(vb.hint("shuffle_hash"), "v2")
+        )
+    pairs = pairs.filter(cos >= _DB_TAU).select("v1", "v2")
     edges = (
         pairs.union(pairs.select(F.col("v2"), F.col("v1")))
         .toDF("src", "dst")

@@ -51,7 +51,11 @@ from ..operators.cdc import materialize, merge_states, state_view
 from .cdc_stream import STATE_SCHEMA
 
 _VERSION_RE = re.compile(r"^v=(\d+)$")
-_BUCKET_RE = re.compile(r"^b=(\d+)$")
+# range-mode bucket_expr floors negative keys to NEGATIVE bucket ids and
+# Spark's partitionBy writes them as `b=-3/` — the listing regex must
+# accept the sign or those buckets become invisible to read()/compact()
+# (silent data loss on compaction).
+_BUCKET_RE = re.compile(r"^b=(-?\d+)$")
 
 
 class BucketedSnapshotTarget:
@@ -73,6 +77,11 @@ class BucketedSnapshotTarget:
     ):
         if mode not in ("hash", "range"):
             raise ValueError(f"mode must be 'hash' or 'range', got {mode!r}")
+        if mode == "hash" and n_buckets < 1:
+            # pmod(x, 0) is null — every row would land in a phantom bucket
+            raise ValueError(f"hash mode requires n_buckets >= 1, got {n_buckets}")
+        if mode == "range" and range_width < 1:
+            raise ValueError(f"range mode requires range_width >= 1, got {range_width}")
         self.path = path
         self.schema = schema
         self.key_col = key_col
@@ -80,15 +89,19 @@ class BucketedSnapshotTarget:
         meta_path = os.path.join(path, "_meta.json")
         if os.path.exists(meta_path):
             meta = json.load(open(meta_path))
-            if (meta["mode"], meta["n_buckets"], meta["range_width"]) != (
-                mode,
-                n_buckets,
-                range_width,
-            ):
+            # key_col joined the pin after the first release; .get() keeps
+            # older targets (no key_col in meta) reopenable with the default
+            pinned = (
+                meta["mode"],
+                meta["n_buckets"],
+                meta["range_width"],
+                meta.get("key_col", key_col),
+            )
+            if pinned != (mode, n_buckets, range_width, key_col):
                 raise ValueError(
                     f"target at {path} was created with {meta}, "
                     f"reopened with mode={mode} n_buckets={n_buckets} "
-                    f"range_width={range_width}"
+                    f"range_width={range_width} key_col={key_col!r}"
                 )
         else:
             with open(meta_path, "w") as fh:
@@ -97,6 +110,7 @@ class BucketedSnapshotTarget:
                         "mode": mode,
                         "n_buckets": n_buckets,
                         "range_width": range_width,
+                        "key_col": key_col,
                     },
                     fh,
                 )

@@ -144,3 +144,49 @@ def test_meta_pin_rejects_rebucketing(tmp_path):
     BucketedSnapshotTarget(str(tmp_path / "t"), n_buckets=8, mode="hash")
     with pytest.raises(ValueError, match="created with"):
         BucketedSnapshotTarget(str(tmp_path / "t"), n_buckets=16, mode="hash")
+
+
+def test_meta_pin_rejects_key_col_change(tmp_path):
+    """Reopening with a different key_col would silently re-bucket every
+    write and corrupt per-bucket resolution — must raise (r9, ADVICE)."""
+    BucketedSnapshotTarget(str(tmp_path / "t"), key_col="id")
+    with pytest.raises(ValueError, match="created with"):
+        BucketedSnapshotTarget(str(tmp_path / "t"), key_col="offset")
+
+
+def test_hash_mode_rejects_zero_buckets(tmp_path):
+    """pmod(x, 0) is null — every row would land in a phantom bucket."""
+    with pytest.raises(ValueError, match="n_buckets"):
+        BucketedSnapshotTarget(str(tmp_path / "t"), n_buckets=0, mode="hash")
+
+
+def test_range_mode_negative_keys_survive_read_and_compact(spark, tmp_path):
+    """range-mode floors negative keys to NEGATIVE bucket ids (b=-k
+    dirs). The r8 listing regex rejected the sign, making those buckets
+    invisible to read() and deletable by compact() — silent data loss
+    (r9, ADVICE medium). Pin: negative-key rows round-trip and survive
+    compaction."""
+    t = BucketedSnapshotTarget(
+        str(tmp_path / "t"), n_buckets=0, mode="range", range_width=100
+    )
+
+    def _batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.lit(False).alias("is_malformed"),
+            F.lit("c").alias("op"),
+            F.struct(
+                (F.col("id") * 1.0).alias("value"),
+                F.lit("2024-01-01 00:00:00.000000").alias("ts"),
+            ).alias("after"),
+            (F.col("id") + 1000).alias("offset"),
+        )
+
+    t.merge_epoch(_batch(-250, -50), 0)  # buckets -3..-1
+    t.merge_epoch(_batch(-50, 150), 1)  # buckets -1..1
+    assert any(b < 0 for v in t.versions() for b in t._buckets_in(v))
+    view = {r["id"] for r in t.read_view(spark).collect()}
+    assert view == set(range(-250, 150))
+    before = _final_view(spark, t)
+    t.compact(keep_last=1)
+    assert _final_view(spark, t) == before
