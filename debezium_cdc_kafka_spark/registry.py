@@ -73,72 +73,71 @@ def _modules():
 # longer rotate it out of the gate as a side effect; changing the window is
 # an explicit edit to this list.
 #
-# Round-8 window (per VERDICT.md r7 "Next round" item 1): the r7 gate
-# completed the verification program — union of green driver rows r1–r7
-# is 291/293, the only gaps being q_pca_top2_project (rows-only by
-# documented design) and dedup_embedding_cosine_banded (registered after
-# the r7 gate ran). This window leads with that last ungated query plus
-# the round's two new companions, then fills the 50 slots with
-# deliberate re-gates (REGATE_OK in tests/test_driver_canon.py):
-# first the three queries whose code changed AFTER their last driver row
-# (ann_pq_adc — r7 ADC rewrite + r8 dense-qtab fix; q_dbscan_clusters —
-# r7 adaptive blocking fix; q_matryoshka_recall — r8 shared-plan
-# refactor), then 44 of the 45 oldest rows (r2) as a stability re-check;
-# q_math_functions is the one r2 row deferred to the next rotation.
+# Round-9 window (per VERDICT.md r8 "Next round" item 5): every
+# registered query now has a driver row (r8 closed the program at
+# 294/295, q_pca_top2_project rows-only by design), so all 50 slots are
+# deliberate re-gates (REGATE_OK in tests/test_driver_canon.py): first
+# the two queries whose code changed in r9 after their r8 rows
+# (q_dbscan_clusters — broadcast-bound shuffle_hash fallback; ann_pq_adc
+# — twopass determinism checkpoint + mode refactor), then the 46 oldest
+# rows (q_math_functions, the one r2 row the r8 rotation deferred, plus
+# all 45 r3-era first-timers never re-verified since), then the 2
+# alphabetically-first r4 rows to fill the window. Oldest-driver-row age
+# advances from r2/r3 to r4.
 GATE_ORDER: list[str] = [
-    # --- first-time rows: the 3 queries with no driver row yet ---
-    "dedup_embedding_cosine_banded",
-    "q_matryoshka_recall_capped",
-    "dedup_banded_width_audit",
     # --- changed-code re-gates (code changed after last driver row) ---
-    "ann_pq_adc",
     "q_dbscan_clusters",
-    "q_matryoshka_recall",
-    # --- oldest-row re-gates: 44 of the 45 r2 rows ---
-    "q04_order_priority_semi",
-    "q05_local_supplier_volume",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q21_suppliers_kept_waiting",
-    "q22_customers_without_orders",
-    "q_argmax_order_per_customer",
-    "q_array_agg_ordered",
-    "q_array_functions",
-    "q_bloom_semi_join",
-    "q_case_projection",
-    "q_correlated_above_avg",
-    "q_cube_orders",
-    "q_date_functions",
-    "q_deterministic_sample",
-    "q_distinct_agg",
-    "q_explode_word_freq",
-    "q_grouping_sets",
-    "q_having_expensive_types",
-    "q_json_props",
-    "q_lateral_top_orders",
-    "q_not_in_null_aware",
-    "q_pareto_frontier",
-    "q_pivot_status_by_segment",
-    "q_quantiles_per_segment",
-    "q_range_join_price_bands",
-    "q_region_segment_matrix",
-    "q_rollup_sales",
-    "q_running_total",
-    "q_salted_aggregation",
-    "q_salted_skew_join",
-    "q_setops_repeat_customers",
-    "q_string_functions",
-    "q_topk_parts_per_brand",
-    "q_window_frames",
+    "ann_pq_adc",
+    # --- oldest-row re-gates: the deferred r2 row + all 45 r3 rows ---
+    "q_math_functions",
+    "ann_bruteforce_topk",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_assign",
+    "ann_kmeans_update",
+    "ann_lsh_hyperplane",
+    "ann_lsh_multiprobe",
+    "ann_mmr_rerank",
+    "cdc_anomaly_audit",
+    "cdc_final_state",
+    "cdc_incremental_agg",
+    "cdc_incremental_merge",
+    "cdc_ivm_join_view",
+    "cdc_op_counts",
+    "cdc_scd2_history",
+    "cdc_scd2_probe",
+    "cdc_strict_replay_state",
+    "cdc_tx_consistent_state",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_fuzzy_levenshtein",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_normalized_exact",
+    "dedup_simhash",
+    "dedup_span_shingles",
+    "q_bm25_search",
+    "q_doc_chunking",
+    "q_embedding_covariance",
+    "q_label_centroid_outliers",
+    "semdedup_survivors",
+    "text_bigram_logprob",
+    "text_entropy",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_classifier",
+    "text_quality_stats",
+    "text_redact_pii",
+    "text_repetition_filter",
+    "text_tfidf_doc_similarity",
+    "text_tfidf_top_terms",
+    "text_token_counts",
+    "text_unigram_logprob",
+    # --- next-oldest (r4) rows filling the window ---
+    "graph_association_rules",
+    "graph_pagerank_copurchase",
 ]
 
 GATE_SLOTS = 50

@@ -74,62 +74,66 @@ def test_gate_window_spends_no_slot_on_already_green_rows():
         )
 
 
-# Deliberate re-verifications go here. r8: only 3 first-time queries
-# exist (the banded companion registered after the r7 gate + this
-# round's two new companions), so 47 slots are deliberate re-gates —
-# the 3 queries whose code changed after their last driver row, then 44
-# of the 45 oldest (r2) rows as a stability re-check (registry.py
-# GATE_ORDER comment).
+# Deliberate re-verifications go here. r9: every registered query has a
+# prior driver row (the r8 gate closed the program), so ALL 50 slots are
+# deliberate re-gates — the 2 queries whose code changed in r9 after
+# their r8 rows, then the 46 oldest rows (the deferred r2
+# q_math_functions + all 45 r3 first-timers), then the 2
+# alphabetically-first r4 rows (registry.py GATE_ORDER comment).
 REGATE_OK: set[str] = {
     # code changed after last driver row
-    "ann_pq_adc",
     "q_dbscan_clusters",
-    "q_matryoshka_recall",
-    # oldest driver rows (r2)
-    "q04_order_priority_semi",
-    "q05_local_supplier_volume",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q21_suppliers_kept_waiting",
-    "q22_customers_without_orders",
-    "q_argmax_order_per_customer",
-    "q_array_agg_ordered",
-    "q_array_functions",
-    "q_bloom_semi_join",
-    "q_case_projection",
-    "q_correlated_above_avg",
-    "q_cube_orders",
-    "q_date_functions",
-    "q_deterministic_sample",
-    "q_distinct_agg",
-    "q_explode_word_freq",
-    "q_grouping_sets",
-    "q_having_expensive_types",
-    "q_json_props",
-    "q_lateral_top_orders",
-    "q_not_in_null_aware",
-    "q_pareto_frontier",
-    "q_pivot_status_by_segment",
-    "q_quantiles_per_segment",
-    "q_range_join_price_bands",
-    "q_region_segment_matrix",
-    "q_rollup_sales",
-    "q_running_total",
-    "q_salted_aggregation",
-    "q_salted_skew_join",
-    "q_setops_repeat_customers",
-    "q_string_functions",
-    "q_topk_parts_per_brand",
-    "q_window_frames",
+    "ann_pq_adc",
+    # oldest driver rows (r2/r3)
+    "q_math_functions",
+    "ann_bruteforce_topk",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_assign",
+    "ann_kmeans_update",
+    "ann_lsh_hyperplane",
+    "ann_lsh_multiprobe",
+    "ann_mmr_rerank",
+    "cdc_anomaly_audit",
+    "cdc_final_state",
+    "cdc_incremental_agg",
+    "cdc_incremental_merge",
+    "cdc_ivm_join_view",
+    "cdc_op_counts",
+    "cdc_scd2_history",
+    "cdc_scd2_probe",
+    "cdc_strict_replay_state",
+    "cdc_tx_consistent_state",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_fuzzy_levenshtein",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_normalized_exact",
+    "dedup_simhash",
+    "dedup_span_shingles",
+    "q_bm25_search",
+    "q_doc_chunking",
+    "q_embedding_covariance",
+    "q_label_centroid_outliers",
+    "semdedup_survivors",
+    "text_bigram_logprob",
+    "text_entropy",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_classifier",
+    "text_quality_stats",
+    "text_redact_pii",
+    "text_repetition_filter",
+    "text_tfidf_doc_similarity",
+    "text_tfidf_top_terms",
+    "text_token_counts",
+    "text_unigram_logprob",
+    # next-oldest (r4) rows
+    "graph_association_rules",
+    "graph_pagerank_copurchase",
 }
 
 
