@@ -31,6 +31,7 @@ import pytest
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
 
 from debezium_cdc_kafka_spark import registry
+from debezium_cdc_kafka_spark.diskguard import SpillWatchdog, preflight
 
 X1 = "/root/testdata/sf0.1"
 FLOOR_SEC = 2.0
@@ -65,6 +66,9 @@ FAMILIES = [
 def x4_dir(tmp_path_factory):
     from make_scale_fixtures import main as make_fixtures
 
+    # r9: don't start a spill-heavy suite the disk can't absorb (both
+    # r8 ×256 failures burned the volume before erroring)
+    preflight(8.0)
     d = tmp_path_factory.mktemp("x4_fixture")
     assert make_fixtures([str(d), "4"]) == 0
     return str(d)
@@ -72,7 +76,12 @@ def x4_dir(tmp_path_factory):
 
 def _timed(spark, fn, sf_dir: str) -> float:
     t0 = time.monotonic()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    with SpillWatchdog(spark, min_free_gb=8.0) as wd:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    assert not wd.tripped, (
+        f"disk-budget watchdog cancelled the query at "
+        f"{wd.peak_scratch_bytes / 2**20:.0f} MB scratch — spill regression"
+    )
     dt = time.monotonic() - t0
     spark.catalog.clearCache()
     return dt

@@ -1,9 +1,18 @@
 """Full-registry timing sweep: every registered query, one timed run.
 
 Run: python tools/sweep_timings.py [sf_dir] [--json OUT] [--skip n1,n2]
+                                   [--min-free-gb G]
 
 --skip names are NOT run; they are listed in the output and recorded in
 the JSON so a bounded sweep can never silently read as full coverage.
+
+Disk budget (r9, after both ×256 DBSCAN attempts exhausted local disk):
+the sweep preflights --min-free-gb (default 8) of scratch headroom and
+runs every query under a SpillWatchdog that CANCELS the query — not the
+machine — if free scratch crosses the floor; such queries are recorded
+as DISK_BUDGET with time -2.0. Peak per-query scratch usage (free-space
+trough vs query start, exact on an idle machine) lands in the JSON as
+`scratch_peak_mb`.
 
 Executes each query with the `noop` sink (full plan runs, nothing
 collects to the driver) and prints queries sorted slowest-first. This is
@@ -24,6 +33,10 @@ import time
 sys.path.insert(0, ".")
 
 from debezium_cdc_kafka_spark import registry  # noqa: E402
+from debezium_cdc_kafka_spark.diskguard import (  # noqa: E402
+    SpillWatchdog,
+    preflight,
+)
 from debezium_cdc_kafka_spark.session import get_spark  # noqa: E402
 
 
@@ -32,10 +45,11 @@ def main() -> int:
     out_json = None
     skip: list[str] = []
     only: list[str] = []
+    min_free_gb = 8.0
     # drop each flag AND its value from the positional scan (the value
     # would otherwise be taken as sf_dir — the exchange_audit ADVICE r6
     # bug, fixed here too)
-    for flag in ("--json", "--skip", "--only"):
+    for flag in ("--json", "--skip", "--only", "--min-free-gb"):
         if flag in argv:
             i = argv.index(flag)
             # a trailing flag, or one followed by another flag, has no
@@ -43,7 +57,8 @@ def main() -> int:
             if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
                 raise SystemExit(
                     f"usage: sweep_timings.py [sf_dir] [--json OUT] "
-                    f"[--skip n1,n2,...] [--only n1,n2,...] — {flag} needs a value"
+                    f"[--skip n1,n2,...] [--only n1,n2,...] "
+                    f"[--min-free-gb G] — {flag} needs a value"
                 )
             val = argv[i + 1]
             del argv[i : i + 2]
@@ -51,10 +66,19 @@ def main() -> int:
                 out_json = val
             elif flag == "--skip":
                 skip = [n for n in val.split(",") if n]
+            elif flag == "--min-free-gb":
+                min_free_gb = float(val)
             else:
                 only = [n for n in val.split(",") if n]
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
+
+    free0 = preflight(min_free_gb)
+    print(
+        f"# preflight: {free0 / 2**30:.1f} GiB scratch free "
+        f"(floor {min_free_gb:.1f} GiB)",
+        file=sys.stderr,
+    )
 
     spark = get_spark("sweep")
     queries = registry.all_queries()
@@ -72,30 +96,52 @@ def main() -> int:
         "overwrite"
     ).save()
     times: dict[str, float] = {}
+    scratch_mb: dict[str, float] = {}
+    disk_tripped: list[str] = []
     for name, fn in queries.items():
         if name in skip:
             print(f"SKIP {name} (--skip)", file=sys.stderr)
             continue
+        wd = SpillWatchdog(spark, min_free_gb=min_free_gb)
         t0 = time.monotonic()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            with wd:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.monotonic() - t0, 3)
-            print(f"done {name}: {times[name]}s", file=sys.stderr)
+            print(
+                f"done {name}: {times[name]}s "
+                f"(scratch peak {wd.peak_scratch_bytes / 2**20:.0f} MB)",
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001 — sweep must finish
-            times[name] = -1.0
-            print(f"ERROR {name}: {e}", file=sys.stderr)
+            wd.stop()
+            if wd.tripped:
+                times[name] = -2.0
+                disk_tripped.append(name)
+                print(f"DISK_BUDGET {name}: cancelled at "
+                      f"{wd.peak_scratch_bytes / 2**20:.0f} MB scratch "
+                      f"({time.monotonic() - t0:.0f}s in)", file=sys.stderr)
+            else:
+                times[name] = -1.0
+                print(f"ERROR {name}: {e}", file=sys.stderr)
+        scratch_mb[name] = round(wd.peak_scratch_bytes / 2**20, 1)
         spark.catalog.clearCache()
 
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
     total = sum(t for _, t in ranked if t > 0)
     print(f"# {len(ranked)} queries run ({len(skip)} skipped: "
-          f"{','.join(skip) or 'none'}), total {total:.1f}s at {sf_dir}")
+          f"{','.join(skip) or 'none'}; {len(disk_tripped)} disk-budget "
+          f"aborts: {','.join(disk_tripped) or 'none'}), "
+          f"total {total:.1f}s at {sf_dir}")
     for name, t in ranked:
         print(f"{t:8.3f}  {name}")
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"sf_dir": sf_dir, "total_s": round(total, 1),
-                       "skipped": skip, "times": dict(ranked)}, f, indent=1)
+                       "skipped": skip, "min_free_gb": min_free_gb,
+                       "disk_tripped": disk_tripped,
+                       "scratch_peak_mb": scratch_mb,
+                       "times": dict(ranked)}, f, indent=1)
     return 0
 
 
