@@ -14,6 +14,13 @@ as DISK_BUDGET with time -2.0. Peak per-query scratch usage (free-space
 trough vs query start, exact on an idle machine) lands in the JSON as
 `scratch_peak_mb`.
 
+--timeout-s N (default: none) bounds each query's wall clock the same
+way: on expiry the jobs are cancelled and the query is recorded as
+TIMEOUT with time -3.0. This is what makes a large-multiple sweep
+"completed-or-classified" by construction — a known-quadratic exact
+baseline burns its budget and is CLASSIFIED, instead of either
+silently eating the sweep's wall clock or being silently skipped.
+
 Executes each query with the `noop` sink (full plan runs, nothing
 collects to the driver) and prints queries sorted slowest-first. This is
 the would-it-survive-a-scale-up audit for the WHOLE surface — bench.py
@@ -26,6 +33,7 @@ tools/profile_query.py on anything that looks wrong here.
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import sys
 import time
@@ -46,10 +54,11 @@ def main() -> int:
     skip: list[str] = []
     only: list[str] = []
     min_free_gb = 8.0
+    timeout_s: float | None = None
     # drop each flag AND its value from the positional scan (the value
     # would otherwise be taken as sf_dir — the exchange_audit ADVICE r6
     # bug, fixed here too)
-    for flag in ("--json", "--skip", "--only", "--min-free-gb"):
+    for flag in ("--json", "--skip", "--only", "--min-free-gb", "--timeout-s"):
         if flag in argv:
             i = argv.index(flag)
             # a trailing flag, or one followed by another flag, has no
@@ -68,6 +77,8 @@ def main() -> int:
                 skip = [n for n in val.split(",") if n]
             elif flag == "--min-free-gb":
                 min_free_gb = float(val)
+            elif flag == "--timeout-s":
+                timeout_s = float(val)
             else:
                 only = [n for n in val.split(",") if n]
     args = [a for a in argv if not a.startswith("--")]
@@ -98,6 +109,33 @@ def main() -> int:
     times: dict[str, float] = {}
     scratch_mb: dict[str, float] = {}
     disk_tripped: list[str] = []
+    timed_out: list[str] = []
+
+    def _save(fn, name):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    class _Timeout(Exception):
+        pass
+
+    def _run_one(fn, name):
+        if timeout_s is None:
+            _save(fn, name)
+            return
+        # the save runs in a worker thread so this thread can enforce the
+        # wall budget; on expiry cancel the session's jobs (the worker
+        # raises and exits) and classify TIMEOUT
+        with concurrent.futures.ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(_save, fn, name)
+            try:
+                fut.result(timeout=timeout_s)
+            except concurrent.futures.TimeoutError:
+                spark.sparkContext.cancelAllJobs()
+                try:
+                    fut.result(timeout=120)
+                except Exception:  # noqa: BLE001 — the cancel's raise
+                    pass
+                raise _Timeout()
+
     for name, fn in queries.items():
         if name in skip:
             print(f"SKIP {name} (--skip)", file=sys.stderr)
@@ -106,13 +144,20 @@ def main() -> int:
         t0 = time.monotonic()
         try:
             with wd:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                _run_one(fn, name)
             times[name] = round(time.monotonic() - t0, 3)
             print(
                 f"done {name}: {times[name]}s "
                 f"(scratch peak {wd.peak_scratch_bytes / 2**20:.0f} MB)",
                 file=sys.stderr,
             )
+        except _Timeout:
+            wd.stop()
+            times[name] = -3.0
+            timed_out.append(name)
+            print(f"TIMEOUT {name}: cancelled after {timeout_s:.0f}s "
+                  f"(scratch peak {wd.peak_scratch_bytes / 2**20:.0f} MB)",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — sweep must finish
             wd.stop()
             if wd.tripped:
@@ -131,7 +176,8 @@ def main() -> int:
     total = sum(t for _, t in ranked if t > 0)
     print(f"# {len(ranked)} queries run ({len(skip)} skipped: "
           f"{','.join(skip) or 'none'}; {len(disk_tripped)} disk-budget "
-          f"aborts: {','.join(disk_tripped) or 'none'}), "
+          f"aborts: {','.join(disk_tripped) or 'none'}; "
+          f"{len(timed_out)} timeouts: {','.join(timed_out) or 'none'}), "
           f"total {total:.1f}s at {sf_dir}")
     for name, t in ranked:
         print(f"{t:8.3f}  {name}")
@@ -139,7 +185,9 @@ def main() -> int:
         with open(out_json, "w") as f:
             json.dump({"sf_dir": sf_dir, "total_s": round(total, 1),
                        "skipped": skip, "min_free_gb": min_free_gb,
+                       "timeout_s": timeout_s,
                        "disk_tripped": disk_tripped,
+                       "timed_out": timed_out,
                        "scratch_peak_mb": scratch_mb,
                        "times": dict(ranked)}, f, indent=1)
     return 0
