@@ -79,8 +79,86 @@ def _link_files(src: str, dst: str, names: list[str]) -> None:
 
 IH_MULT = 4  # insert-heavy stream volume: events × this
 
+# trigger-knee sweep (VERDICT r8 item 4): the canonical 32-file /
+# maxFilesPerTrigger=1 config reports ~3.7× below the 8-file config —
+# per-batch fixed costs (plan, checkpoint commit, target version)
+# dominate at tiny per-batch state. Sweep the batch-sizing knob at a
+# FIXED staged topic (32 files) × snapshot target, and let the numbers
+# name the knee instead of guessing it.
+KNEE_TRIGGERS = (1, 2, 4, 8)
+KNEE_TARGETS = ("flat", "bucketed")  # + "delta" when delta-spark exists
 
-def _insert_heavy_ab(spark, work: str, sf_dir: str, reps: int) -> dict:
+
+def _knee_target(kind: str, path: str):
+    if kind == "flat":
+        return ParquetSnapshotTarget(path)
+    return BucketedSnapshotTarget(path, mode="hash", n_buckets=64)
+
+
+def _trigger_knee(spark, work: str, src: str, parts: list[str], reps: int) -> dict:
+    """maxFilesPerTrigger × target grid over the full 32-file staged
+    stream: events/s per cell, so the knee (where batch-cost
+    amortization stops paying) and the target crossover are read off
+    one table. Delta-if-available: recorded as unavailable when
+    delta-spark isn't importable (this container) rather than silently
+    absent."""
+    n_rows = spark.read.parquet(src).count()
+    grid: dict[str, dict] = {}
+    for mft in KNEE_TRIGGERS:
+        for kind in KNEE_TARGETS:
+            walls: list[float] = []
+            for rep in range(reps):
+                rd = os.path.join(work, f"knee_{mft}_{kind}_{rep}")
+                env_dir = os.path.join(rd, "topic")
+                os.makedirs(env_dir)
+                _link_files(src, env_dir, parts)
+                tgt_path = os.path.join(rd, "target")
+                target = _knee_target(kind, tgt_path)
+                t0 = time.perf_counter()
+                q = run_cdc_stream(
+                    spark,
+                    file_change_stream(spark, env_dir, max_files_per_trigger=mft),
+                    tgt_path,
+                    os.path.join(rd, "ckpt"),
+                    target=target,
+                )
+                if not q.awaitTermination(1800):
+                    q.stop()
+                    raise SystemExit("knee stream did not drain")
+                walls.append(time.perf_counter() - t0)
+                final = target.read_view(spark).count()
+                shutil.rmtree(rd, ignore_errors=True)
+            cell = {
+                "events_per_sec_median": round(
+                    n_rows / statistics.median(walls), 1
+                ),
+                "events_per_sec_best": round(n_rows / min(walls), 1),
+                "final_rows": final,
+                "batches": -(-len(parts) // mft),
+            }
+            grid[f"mft={mft},target={kind}"] = cell
+            print(f"# knee mft={mft} {kind}: {cell}", file=sys.stderr)
+    finals = {c["final_rows"] for c in grid.values()}
+    if len(finals) != 1:
+        raise SystemExit(f"trigger-knee final state diverged: {finals}")
+    best = max(grid, key=lambda k: grid[k]["events_per_sec_median"])
+    from debezium_cdc_kafka_spark.streaming.lakehouse import delta_available
+
+    return {
+        "n_events": n_rows,
+        "files_staged": len(parts),
+        "grid": grid,
+        "best_config": best,
+        "delta_target": (
+            "measured" if delta_available(spark) else "unavailable: delta-spark "
+            "not installed in this container (test_lakehouse gates the path)"
+        ),
+    }
+
+
+def _insert_heavy_ab(
+    spark, work: str, sf_dir: str, reps: int, ih_mult: int = IH_MULT
+) -> dict:
     """Flat vs range-bucketed snapshot target under the autoincrement-PK
     INSERT-heavy workload (key = event_id, keys monotone with offset,
     files staged in offset order): the flat target rewrites the FULL
@@ -103,7 +181,7 @@ def _insert_heavy_ab(spark, work: str, sf_dir: str, reps: int) -> dict:
           SELECT event_id + 100000*i.i AS event_id, ts, user_id,
                  event_type, value, props
           FROM '{sf_dir}/events.parquet',
-               (SELECT unnest(range(0,{IH_MULT})) AS i) i
+               (SELECT unnest(range(0,{ih_mult})) AS i) i
         ) TO '{ih_dir}/events.parquet' (FORMAT PARQUET)"""
     )
     src = os.path.join(work, "staged_insert_heavy")
@@ -178,7 +256,7 @@ def _insert_heavy_ab(spark, work: str, sf_dir: str, reps: int) -> dict:
     }
     return {
         "n_events": n_rows,
-        "events_mult": IH_MULT,
+        "events_mult": ih_mult,
         "final_rows": finals.pop(),
         "reps": out,
         "flat_events_per_sec_median": med["flat"],
@@ -195,6 +273,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf", default=None)
     ap.add_argument("--workdir", default="/tmp/bench_stream")
+    ap.add_argument(
+        "--ih-mult", type=int, default=IH_MULT,
+        help="insert-heavy stream volume multiplier (events × N); larger "
+        "values grow the accumulated state the flat target must rewrite "
+        "per epoch — the bucketed-target crossover knob",
+    )
+    ap.add_argument(
+        "--insert-heavy-only", action="store_true",
+        help="run ONLY the flat-vs-bucketed insert-heavy A/B (one JSON "
+        "line with just that section) — for crossover measurements at "
+        "large --ih-mult without re-running the drain/knee phases",
+    )
     args = ap.parse_args(argv)
     sf_dir = args.sf or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -202,6 +292,14 @@ def main(argv: list[str] | None = None) -> int:
     work = args.workdir
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
+
+    if args.insert_heavy_only:
+        insert_heavy = _insert_heavy_ab(
+            spark, work, sf_dir, args.reps, ih_mult=args.ih_mult
+        )
+        print(json.dumps({"insert_heavy_ab": insert_heavy,
+                          "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1]}))
+        return 0
 
     # stage the topic once per config: the full envelope stream split
     # into `files` parquet files (round-robin, so batch sizes are even)
@@ -289,13 +387,22 @@ def main(argv: list[str] | None = None) -> int:
         if len(finals) != 1:
             raise SystemExit(f"final state diverged across reps: {finals}")
 
-    insert_heavy = _insert_heavy_ab(spark, work, sf_dir, args.reps)
+    insert_heavy = _insert_heavy_ab(
+        spark, work, sf_dir, args.reps, ih_mult=args.ih_mult
+    )
+
+    knee_src, _ = staged[CANONICAL_FILES]
+    knee_parts = sorted(
+        f for f in os.listdir(knee_src) if f.endswith(".parquet")
+    )
+    trigger_knee = _trigger_knee(spark, work, knee_src, knee_parts, args.reps)
 
     canonical = results[str(CANONICAL_FILES)]
     print(
         json.dumps(
             {
                 "insert_heavy_ab": insert_heavy,
+                "trigger_knee": trigger_knee,
                 "metric": "cdc_stream_events_per_sec",
                 "value": canonical["events_per_sec_median"],
                 "unit": "events/s",

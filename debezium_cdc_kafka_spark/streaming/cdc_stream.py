@@ -172,9 +172,18 @@ def run_cdc_stream(
     return writer.start()
 
 
-def file_change_stream(spark: SparkSession, envelope_dir: str) -> DataFrame:
+def file_change_stream(
+    spark: SparkSession, envelope_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """Kafka-record-shaped stream from Parquet files (hermetic stand-in for
-    the broker; same schema as sources.kafka.kafka_change_stream output)."""
+    the broker; same schema as sources.kafka.kafka_change_stream output).
+
+    `max_files_per_trigger` is the micro-batch sizing knob — the file-source
+    analogue of Kafka's maxOffsetsPerTrigger. 1 maximizes per-epoch
+    isolation (the replay/retry tests' shape); larger values amortize the
+    per-batch fixed costs (plan, checkpoint commit, target version) over
+    more rows — the trigger-knee sweep in bench_stream.py measures where
+    that amortization stops paying."""
     schema = T.StructType(
         [
             T.StructField("key", T.StringType()),
@@ -187,6 +196,6 @@ def file_change_stream(spark: SparkSession, envelope_dir: str) -> DataFrame:
     )
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(envelope_dir)
     )

@@ -136,6 +136,21 @@ def main() -> int:
                     pass
                 raise _Timeout()
 
+    def _dump() -> None:
+        # incremental checkpoint after every query (r9): a multi-hour
+        # large-multiple sweep must not lose its completed rows to a
+        # session boundary; same shape as the final dump
+        if out_json:
+            with open(out_json, "w") as f:
+                json.dump(
+                    {"sf_dir": sf_dir,
+                     "total_s": round(sum(t for t in times.values() if t > 0), 1),
+                     "skipped": skip, "min_free_gb": min_free_gb,
+                     "timeout_s": timeout_s,
+                     "complete": False,
+                     "disk_tripped": disk_tripped, "timed_out": timed_out,
+                     "scratch_peak_mb": scratch_mb, "times": times}, f, indent=1)
+
     for name, fn in queries.items():
         if name in skip:
             print(f"SKIP {name} (--skip)", file=sys.stderr)
@@ -170,6 +185,7 @@ def main() -> int:
                 times[name] = -1.0
                 print(f"ERROR {name}: {e}", file=sys.stderr)
         scratch_mb[name] = round(wd.peak_scratch_bytes / 2**20, 1)
+        _dump()
         spark.catalog.clearCache()
 
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
@@ -186,6 +202,7 @@ def main() -> int:
             json.dump({"sf_dir": sf_dir, "total_s": round(total, 1),
                        "skipped": skip, "min_free_gb": min_free_gb,
                        "timeout_s": timeout_s,
+                       "complete": True,
                        "disk_tripped": disk_tripped,
                        "timed_out": timed_out,
                        "scratch_peak_mb": scratch_mb,
