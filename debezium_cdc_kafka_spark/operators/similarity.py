@@ -2433,33 +2433,12 @@ LEFT JOIN deg d ON emb.vec_id = d.n
 """
 
 
-def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN (Ester et al. 1996) in its graph formulation over the
-    blocked cosine epsilon-neighbor relation: core points have >=
-    {minPts} neighbors, clusters are connected components of the
-    core-core subgraph (min-label propagation, the [[dedup_clusters]]
-    loop), border points attach to their lowest-id core cluster, the
-    rest is noise — the density-based complement of [[ann_kmeans_assign]]
-    (no k, finds noise) used to mine coherent topic blobs / outlier
-    pockets in embedding space before curation.
-
-    Determinism: neighbor candidates are blocked by label (the IVF-cell
-    pattern of [[dedup_embedding_cosine]]); cosine is the sequential fold
-    of dedup.dot_expr, compared exactly — identical across engines — and
-    every tie-break is min(id). Oracle: recursive-CTE transitive closure
-    of the same graph.
-
-    Scale: the pair space is per-cell quadratic (never global); degree,
-    core filter and border attach are each one keyed aggregate/join;
-    label propagation localCheckpoints per round with diameter-bounded
-    iterations. Edges/core/cedges localCheckpoint eagerly, so the pair
-    join runs exactly once for the loop AND the final assembly."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Banded candidate blocking (see _DB_BLOCK_CAP above): at the
-    # checked-in SFs b = 0 and this is EXACTLY bare label blocking (one
-    # zero-bit band), so the output is unchanged; past the cap each
-    # label splits into 2^b sign-buckets per band and the pair scan
-    # stays ~n*cap per label per band instead of n^2/|labels|.
+def _db_banding(
+    spark: SparkSession, emb: DataFrame, cap: int = _DB_BLOCK_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, bits_real) for the adaptive (label, band, bits) blocking —
+    extracted from q_dbscan_clusters so tests can force the cap down and
+    exercise the b > 0 multi-band path on small fixtures."""
     bw = (
         emb.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2468,9 +2447,7 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
                 F.least(
                     F.lit(_DB_BAND_MAXB),
-                    F.ceil(
-                        F.log2(F.max("cnt") / F.lit(float(_DB_BLOCK_CAP)))
-                    ).cast("int"),
+                    F.ceil(F.log2(F.max("cnt") / F.lit(float(cap)))).cast("int"),
                 ),
             ).alias("b")
         )
@@ -2525,39 +2502,111 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band")
     )
+    return bands, bits_real
+
+
+def _db_candidates(
+    spark: SparkSession,
+    emb: DataFrame,
+    bands: DataFrame,
+    bits_real: DataFrame,
+    first_band_only: bool = True,
+) -> DataFrame:
+    """(v1 < v2) epsilon-candidate pairs from the (label, band, bits)
+    bucket join — each pair emitted EXACTLY ONCE (r9).
+
+    The r8 form emitted a pair once per colliding band and relied on
+    edges.distinct() after the eps filter to dedup. The r9 ×256 run
+    showed why that breaks at near-duplicate density: when most
+    candidates PASS the filter, the distinct's input inherits the full
+    ×{_DB_BAND_R} band multiplicity — the stage-37 shuffle wrote tens
+    of GB of duplicate survivor rows. Fix: every sig row carries the
+    vector's dense per-band bits array, and the bucket join keeps a
+    collision only in the FIRST band where the two arrays agree
+    (Broder's once-per-pair banding trick). Candidate SET unchanged —
+    a pair collides in band j iff its first-agreeing band k ≤ j exists,
+    and the pair IS generated in band k's bucket — so the verify runs
+    once per pair (not per collision) and the edge frame needs no
+    distinct at all. Parity with the multi-emission form is pinned by
+    tests/test_dbscan_banding.py with the block cap forced down.
+    """
+    # dense per-vector bits array (position = band; absent bands -> 0),
+    # then one row per (vec, band) carrying the whole array — an extra
+    # O(n)-row aggregate, amortized over the O(candidates) join it dedups
     sig = (
         emb.select("vec_id", "label")
         .join(F.broadcast(bands))
         .join(bits_real, ["vec_id", "band"], "left")
-        .select(
-            "vec_id", "label", "band", F.coalesce("bits", F.lit(0)).alias("bits")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "band", F.coalesce("bits", F.lit(0)).alias("bits")
+                        )
+                    )
+                ),
+                lambda x: x["bits"],
+            ).alias("barr")
         )
+        .selectExpr("vec_id", "label", "barr", "posexplode(barr) AS (band, bits)")
     )
     fan = pair_fanout(spark)
     s1 = sig.repartition(fan, "label", "band", "bits").select(
-        F.col("vec_id").alias("v1"), "label", "band", "bits"
+        F.col("vec_id").alias("v1"), "label", "band", "bits", "barr"
     )
     s2 = sig.repartition(fan, "label", "band", "bits").select(
         F.col("vec_id").alias("v2"),
         F.col("label").alias("l2"),
         F.col("band").alias("band2"),
         F.col("bits").alias("bits2"),
+        F.col("barr").alias("barr2"),
     )
-    # NO .distinct() here (r8, the second half of the x256 fix): deduping
-    # candidates before the verify shuffles the FULL pre-filter pair
-    # frame (~820M rows at x256 — the map spill of that exchange burned
-    # >60 GB of disk even after the broadcast-verify fix below). A pair
-    # colliding in several bands is instead verified once per collision
-    # (<=4x extra map-side dot products — CPU, not I/O) and `edges`
-    # dedups AFTER the eps filter, where the frame is the small edge
-    # set. Output unchanged: edges.distinct() was already load-bearing.
-    cand = s1.join(
-        s2,
+    on = (
         (F.col("label") == F.col("l2"))
         & (F.col("band") == F.col("band2"))
         & (F.col("bits") == F.col("bits2"))
-        & (F.col("v1") < F.col("v2")),
-    ).select("v1", "v2")
+        & (F.col("v1") < F.col("v2"))
+    )
+    if first_band_only:
+        # 1-based array_position of the first band where the two bit
+        # arrays agree; bits == bits2 guarantees it exists and is <= band
+        on = on & F.expr(
+            "band = array_position(zip_with(barr, barr2, (x, y) -> x = y), true) - 1"
+        )
+    return s1.join(s2, on).select("v1", "v2")
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) in its graph formulation over the
+    blocked cosine epsilon-neighbor relation: core points have >=
+    {minPts} neighbors, clusters are connected components of the
+    core-core subgraph (min-label propagation, the [[dedup_clusters]]
+    loop), border points attach to their lowest-id core cluster, the
+    rest is noise — the density-based complement of [[ann_kmeans_assign]]
+    (no k, finds noise) used to mine coherent topic blobs / outlier
+    pockets in embedding space before curation.
+
+    Determinism: neighbor candidates are blocked by label (the IVF-cell
+    pattern of [[dedup_embedding_cosine]]); cosine is the sequential fold
+    of dedup.dot_expr, compared exactly — identical across engines — and
+    every tie-break is min(id). Oracle: recursive-CTE transitive closure
+    of the same graph.
+
+    Scale: the pair space is per-cell quadratic (never global); degree,
+    core filter and border attach are each one keyed aggregate/join;
+    label propagation localCheckpoints per round with diameter-bounded
+    iterations. Edges/core/cedges localCheckpoint eagerly, so the pair
+    join runs exactly once for the loop AND the final assembly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Banded candidate blocking (see _DB_BLOCK_CAP above): at the
+    # checked-in SFs b = 0 and this is EXACTLY bare label blocking (one
+    # zero-bit band), so the output is unchanged; past the cap each
+    # label splits into 2^b sign-buckets per band and the pair scan
+    # stays ~n*cap per label per band instead of n^2/|labels|.
+    bands, bits_real = _db_banding(spark, emb)
+    cand = _db_candidates(spark, emb, bands, bits_real)
     va = emb.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
@@ -2573,7 +2622,7 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort-merge form sorts |candidates| rows dragging 64-float arrays,
     # and at x256 (~820M in-bucket candidates) the sort spill exhausted
     # local disk twice (artifacts_r8/x256_dbscan_fail_evidence.txt).
-    # Broadcast keeps the candidate frame streaming: distinct -> two
+    # Broadcast keeps the candidate frame streaming: bucket join -> two
     # hash probes -> eps filter in one stage, and only the eps-edge
     # survivors ever shuffle again. Past _VERIFY_BROADCAST_MAX vectors
     # the fallback is dedup._cosine_verify's else-branch verbatim —
@@ -2584,6 +2633,7 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if emb.count() <= _VERIFY_BROADCAST_MAX:
         pairs = cand.join(F.broadcast(va), "v1").join(F.broadcast(vb), "v2")
     else:
+        fan = pair_fanout(spark)
         pairs = (
             cand.repartition(fan, "v1")
             .join(va.hint("shuffle_hash"), "v1")
@@ -2591,10 +2641,14 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(vb.hint("shuffle_hash"), "v2")
         )
     pairs = pairs.filter(cos >= _DB_TAU).select("v1", "v2")
+    # no .distinct(): _db_candidates emits each pair exactly once
+    # (first-band-only), so the undirected doubling below is already
+    # duplicate-free — the r9 ×256 run showed the old post-filter
+    # distinct shuffling the survivor frame WITH its ×R band
+    # multiplicity (tens of GB of duplicate rows at near-dup density)
     edges = (
         pairs.union(pairs.select(F.col("v2"), F.col("v1")))
         .toDF("src", "dst")
-        .distinct()
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy(F.col("src").alias("n")).agg(

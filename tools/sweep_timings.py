@@ -102,10 +102,17 @@ def main() -> int:
         # registry queries' tables don't exist
         queries = {n: queries[n] for n in only}
     # warm the session + parquet footers so query 1 isn't charged for JVM
-    # startup
-    next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # startup — under the same guard as measured runs (r9: the third ×256
+    # DBSCAN attempt died in THIS line, outside the old guard, and took
+    # the JSON with it)
+    try:
+        with SpillWatchdog(spark, min_free_gb=min_free_gb):
+            next(iter(queries.values()))(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001 — query 1's own run will retime it
+        print(f"WARM-RUN failure (continuing, classified per-query): {e}",
+              file=sys.stderr)
     times: dict[str, float] = {}
     scratch_mb: dict[str, float] = {}
     disk_tripped: list[str] = []
