@@ -2645,10 +2645,19 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (first-band-only), so the undirected doubling below is already
     # duplicate-free — the r9 ×256 run showed the old post-filter
     # distinct shuffling the survivor frame WITH its ×R band
-    # multiplicity (tens of GB of duplicate rows at near-dup density)
+    # multiplicity (tens of GB of duplicate rows at near-dup density).
+    # repartition(src) BEFORE the checkpoint (r9, attempt-4 OOM): the
+    # survivor frame inherits the (label, band, bits) bucket
+    # partitioning, which at near-dup density is violently skewed —
+    # multi-GB mega-bucket partitions OOMed the block unroll while
+    # checkpointing. An even src-hash exchange right-sizes the
+    # checkpoint blocks AND pre-partitions the frame for the degree
+    # aggregate and the per-iteration dst joins that read it.
+    edge_fan = 4 * pair_fanout(spark)
     edges = (
         pairs.union(pairs.select(F.col("v2"), F.col("v1")))
         .toDF("src", "dst")
+        .repartition(edge_fan, "src")
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy(F.col("src").alias("n")).agg(
