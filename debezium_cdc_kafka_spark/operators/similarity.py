@@ -2348,6 +2348,9 @@ _DB_MINPTS = 5     # core iff >= 5 neighbors (excluding self)
 _DB_BLOCK_CAP = 1024
 _DB_BAND_R = 4
 _DB_BAND_MAXB = 16
+# past this many vectors the edge/core-edge frames stage to scratch
+# parquet instead of localCheckpoint (see _stage in q_dbscan_clusters)
+_DB_STAGE_MAX = 100_000
 
 _DB_COS_SQL = (
     f"{EMB_DOT_SQL} / sqrt(({EMB_NORM_SQL.format(t='a')})"
@@ -2630,7 +2633,8 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a sort-merge join whose sort drags the 64-float arrays (the very
     # disk-exhaustion shape this comment's first paragraph documents).
     cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
-    if emb.count() <= _VERIFY_BROADCAST_MAX:
+    n_vec = emb.count()
+    if n_vec <= _VERIFY_BROADCAST_MAX:
         pairs = cand.join(F.broadcast(va), "v1").join(F.broadcast(vb), "v2")
     else:
         fan = pair_fanout(spark)
@@ -2641,24 +2645,43 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(vb.hint("shuffle_hash"), "v2")
         )
     pairs = pairs.filter(cos >= _DB_TAU).select("v1", "v2")
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        """Pin a frame the downstream graph passes re-read many times.
+
+        Small (every driver/test SF): localCheckpoint — in-process, no
+        files. Big (past _DB_STAGE_MAX vectors): scratch PARQUET
+        write+read. The ×128/×256 attempts proved localCheckpoint's
+        deserialized block unroll is the wrong tool for a multi-GB edge
+        frame — 32 concurrent unrolls exhausted even a 48 g heap
+        (attempt-5 log), while columnar scratch staging is bounded-memory
+        on both sides and ~5× smaller on disk. This is the local analogue
+        of materializing an intermediate table between pipeline stages.
+        """
+        if n_vec <= _DB_STAGE_MAX:
+            return df.localCheckpoint(eager=True)
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"dbscan_{name}_")
+        df.write.mode("overwrite").parquet(d)
+        return spark.read.parquet(d)
+
     # no .distinct(): _db_candidates emits each pair exactly once
     # (first-band-only), so the undirected doubling below is already
     # duplicate-free — the r9 ×256 run showed the old post-filter
     # distinct shuffling the survivor frame WITH its ×R band
     # multiplicity (tens of GB of duplicate rows at near-dup density).
-    # repartition(src) BEFORE the checkpoint (r9, attempt-4 OOM): the
-    # survivor frame inherits the (label, band, bits) bucket
-    # partitioning, which at near-dup density is violently skewed —
-    # multi-GB mega-bucket partitions OOMed the block unroll while
-    # checkpointing. An even src-hash exchange right-sizes the
-    # checkpoint blocks AND pre-partitions the frame for the degree
-    # aggregate and the per-iteration dst joins that read it.
+    # repartition(src) BEFORE staging (r9, attempt-4 OOM): the survivor
+    # frame inherits the (label, band, bits) bucket partitioning, which
+    # at near-dup density is violently skewed — an even src-hash
+    # exchange right-sizes the staged files AND pre-partitions the
+    # frame for the degree aggregate that follows.
     edge_fan = 4 * pair_fanout(spark)
-    edges = (
+    edges = _stage(
         pairs.union(pairs.select(F.col("v2"), F.col("v1")))
         .toDF("src", "dst")
-        .repartition(edge_fan, "src")
-        .localCheckpoint(eager=True)
+        .repartition(edge_fan, "src"),
+        "edges",
     )
     deg = edges.groupBy(F.col("src").alias("n")).agg(
         F.count(F.lit(1)).alias("nbrs")
@@ -2668,11 +2691,11 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n")
         .localCheckpoint(eager=True)
     )
-    cedges = (
+    cedges = _stage(
         edges.join(core.withColumnRenamed("n", "src"), "src")
         .join(core.withColumnRenamed("n", "dst"), "dst")
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .select("src", "dst"),
+        "cedges",
     )
     labels = core.select("n", F.col("n").alias("label")).localCheckpoint()
     for _ in range(10):
