@@ -105,9 +105,15 @@ def main() -> int:
     # startup — under the same guard as measured runs (r9: the third ×256
     # DBSCAN attempt died in THIS line, outside the old guard, and took
     # the JSON with it)
+    warm_candidates = [fn for n, fn in queries.items() if n not in skip]
+    if not warm_candidates:
+        raise SystemExit("nothing to run: every query is skipped")
     try:
         with SpillWatchdog(spark, min_free_gb=min_free_gb):
-            next(iter(queries.values()))(spark, sf_dir).write.format(
+            # first NON-skipped query (r9: the r9 sweep warmed on the
+            # skipped q_dbscan_clusters — i.e. ran the very query the
+            # skip existed to avoid)
+            warm_candidates[0](spark, sf_dir).write.format(
                 "noop"
             ).mode("overwrite").save()
     except Exception as e:  # noqa: BLE001 — query 1's own run will retime it
