@@ -47,10 +47,23 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def partsupp(
+    spark: SparkSession, sf_dir: str, part: DataFrame | None = None
+) -> DataFrame:
     """The derived partsupp relation: 4 rows per part, distinct suppliers,
-    availqty ∈ [1, 9999], supplycost ∈ [1.00, 1000.00]."""
-    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    availqty ∈ [1, 9999], supplycost ∈ [1.00, 1000.00].
+
+    ``part`` (optional): a pre-filtered projection of the part table
+    carrying p_partkey. Because every partsupp column is a pure function
+    of (ps_partkey, ps_suppkey, |supplier|), deriving from a filtered
+    part slice yields exactly the full relation's rows for those parts —
+    r9 uses this so a query's part predicate prunes BEFORE the ×4
+    explode and the two md5 hashes per row, instead of generating the
+    full relation and discarding 95% of it in the join (guide §2.3
+    "project/filter before the expensive work")."""
+    if part is None:
+        part = load_table(spark, sf_dir, "part")
+    part = part.select("p_partkey")
     n_supp = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n"))
     keys = (
         part.crossJoin(F.broadcast(n_supp))
@@ -116,13 +129,17 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimum supply cost. The correlated-min subquery is expressed as a
     window min over the already-filtered join — one pass, no recompute; the
     window partitions on ps_partkey, same key the join shuffled on, so AQE
-    coalesces without an extra exchange. All dimensions broadcast."""
-    ps = partsupp(spark, sf_dir)
+    coalesces without an extra exchange. All dimensions broadcast. r9: the
+    part predicate (5% selective at sf0.1) prunes the partsupp DERIVATION
+    itself — the ×4 explode and both md5 hashes run on qualifying parts
+    only (partsupp(part=...)), instead of on the full relation with the
+    join discarding the rest."""
     part = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
         .select("p_partkey", "p_name")
     )
+    ps = partsupp(spark, sf_dir, part=part)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -216,13 +233,14 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_comment). The NOT IN is a broadcast anti-join; count(DISTINCT)
     expands to a two-phase aggregate (dedupe on the full key, then count)
     — Spark plans that automatically and both shuffles share the
-    (brand,type,size) key."""
-    ps = partsupp(spark, sf_dir)
+    (brand,type,size) key. r9: the part predicate (13% selective at
+    sf0.1) prunes the partsupp derivation itself (partsupp(part=...))."""
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13")
         & (F.col("p_type") != "ECONOMY")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 26, 30)
     )
+    ps = partsupp(spark, sf_dir, part=part)
     bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
@@ -262,7 +280,10 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying-rows plan plus a LEFT SEMI join into supplier — the semi
     join both dedupes and filters, so no DISTINCT pass is needed.
     l_quantity values are integral, so 0.5·sum is exact in double
-    regardless of aggregation order."""
+    regardless of aggregation order. r9: the 'bolt' predicate (12%
+    selective at sf0.1) prunes the partsupp derivation itself
+    (partsupp(part=...)), which also subsumes the former ps⋈part_bolt
+    filter join outright — one fewer join, ×8 less md5 work."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -270,15 +291,14 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         (0.5 * F.sum("l_quantity")).alias("half_qty")
     )
-    ps = partsupp(spark, sf_dir)
     part_bolt = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%bolt%"))
         .select("p_partkey")
     )
+    ps = partsupp(spark, sf_dir, part=part_bolt)
     qualifying = (
-        ps.join(part_bolt, ps.ps_partkey == part_bolt.p_partkey)
-        .join(
+        ps.join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
         )

@@ -261,18 +261,31 @@ LIMIT 20
 
 @query("q10_returned_items", Q10_ORACLE)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (guide §2.3 "aggregate before you shuffle"): returned-item
+    revenue is pre-aggregated to exact integer cents per ORDER before the
+    orders join, so the join and the per-customer aggregate move one row
+    per qualifying order instead of one per lineitem (≈4× fewer rows at
+    TPC-H fanout). Integer cent partial sums re-aggregate associatively,
+    so the per-customer total (and the final round) is bit-identical to
+    the single-level cents_sum."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
+    rev_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+        ).alias("_cents")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev_per_order.join(orders, rev_per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             "c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("acctbal")
         )
-        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum("_cents") / 100.0, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )

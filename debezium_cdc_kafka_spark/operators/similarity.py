@@ -86,6 +86,109 @@ def _seed_count(emb) -> int:
     return max(8, math.ceil(math.sqrt(emb.count()) / _SEED_SQRT_DIV))
 
 
+def _md5_seeds(emb: DataFrame) -> DataFrame:
+    """The deterministic k-means|| stand-in seed set every quantizer
+    consumer shares: the k = _seed_count vectors with the smallest
+    md5(vec_id), as (cluster_id, ce)."""
+    return (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_seed_count(emb))
+        .select(
+            F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce")
+        )
+    )
+
+
+# Past this seed count the literal argmin's expression tree (k × 64
+# literal doubles) stops being worth the plan/codegen size and the
+# broadcast-join + window form takes over. k = √n/6 ⇒ the literal path
+# covers corpora to ~2.4M vectors; the join path is the proven large-k
+# shape (it is exactly the pre-r9 plan).
+_SEED_LITERAL_MAX = 256
+
+
+def _seed_d2_structs(emb: DataFrame) -> list | None:
+    """One (d2, cluster_id) struct column per seed, with the seed vectors
+    inlined as literal double arrays (collected at plan-build time — an
+    O(k) driver reduction). None when the seed count exceeds
+    _SEED_LITERAL_MAX and the caller should use its join-based form.
+    Each d2 is the same sequential (x−y)² fold the join form computes,
+    rounded to 6dp, so the structs order identically."""
+    seed_rows = _md5_seeds(emb).collect()
+    if len(seed_rows) > _SEED_LITERAL_MAX:
+        return None
+    idt = dict(emb.dtypes)["vec_id"]
+    structs = []
+    for r in seed_rows:
+        w = F.array(*[F.lit(float(v)) for v in r["ce"]])
+        diffs = F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.transform(w, lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        )
+        d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+        structs.append(
+            F.struct(
+                F.round(d2, 6).alias("d2"),
+                F.lit(r["cluster_id"]).cast(idt).alias("cluster_id"),
+            )
+        )
+    return structs
+
+
+def _nearest_seed(emb: DataFrame, payload: tuple[str, ...] = ()) -> DataFrame:
+    """Nearest-seed assignment (vec_id, cluster_id, d2[, payload…]).
+
+    r9 optimization (guide §2.4 "remove shuffles outright"): the seed set
+    is k = max(8, √n/6) rows and fully deterministic, so it is collected
+    once at plan-build time (an O(k) driver reduction, the same class as
+    the repo's d×d Gram collects) and inlined as LITERAL arrays. The
+    argmin then becomes a pure per-row expression — array_min over the k
+    (d2, cluster_id) structs — and the former crossJoin row expansion,
+    the n×k-row sort, and the per-vector rank window (one exchange per
+    execution of the diamond) all disappear; payload columns are simply
+    the corpus row's own columns, so consumers never re-join the corpus.
+
+    Value-identity: each d2 is the SAME sequential zip_with/aggregate
+    fold over the same doubles (float32→double is exact, literal doubles
+    round-trip exactly through the driver), rounded to 6dp BEFORE the
+    argmin; array_min's struct ordering is lexicographic on
+    (d2, cluster_id) — exactly the former window's ORDER BY d2,
+    cluster_id — and (d2, cluster_id) is unique per row, so the tie-cut
+    is identical.
+
+    Past _SEED_LITERAL_MAX seeds the broadcast-join + min(struct) form
+    takes over (plan size stays O(1) in k)."""
+    structs = _seed_d2_structs(emb)
+    if structs is not None:
+        best = F.array_min(F.array(*structs))
+        return emb.select(
+            "vec_id",
+            best["cluster_id"].alias("cluster_id"),
+            best["d2"].alias("d2"),
+            *payload,
+        )
+    seeds = _md5_seeds(emb)
+    diffs = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(F.col("ce"), lambda x: x.cast("double")),
+        lambda x, y: (x - y) * (x - y),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", F.round(d2, 6).alias("d2"), "cluster_id", *payload
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cluster_id", *payload)).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.cluster_id").alias("cluster_id"),
+        F.col("b.d2").alias("d2"),
+        *[F.col(f"b.{c}").alias(c) for c in payload],
+    )
+
+
 _pair_fanout = pair_fanout
 
 
@@ -307,41 +410,43 @@ FROM scored WHERE rk <= 3
 """
 
 
-def _plane_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, p, dot): each vector's signed distance to each of the 8
-    md5-seeded hyperplanes. One corpus pass, planes broadcast."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    planes = (
-        spark.range(N_PLANES)
-        .select(F.col("id").cast("int").alias("p"))
-        .select(
-            "p",
-            F.transform(
-                F.sequence(F.lit(1), F.lit(DIM)),
-                lambda d: (
-                    (md5_long(F.concat(F.col("p").cast("string"), F.lit(":"), d.cast("string"))) % 2001)
-                    - 1000
-                )
-                / 1000.0,
-            ).alias("w"),
-        )
-    )
-    return emb.join(F.broadcast(planes)).select(
-        "vec_id", "p", dot_expr("w", "embedding").alias("dot")
-    )
+def _plane_weight(p: int, d: int) -> float:
+    """Plane weight for (plane p, 1-based dim d): the same md5-derived
+    value the SQL oracle regenerates ((md5_long("p:d") % 2001 - 1000) /
+    1000.0), computed at plan time. hashlib.md5 over the UTF-8 string is
+    bit-identical to Spark's md5(); the % / - / ÷1000.0 arithmetic is
+    exact-integer then one IEEE divide, so the double is identical too."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+    return ((h % 2001) - 1000) / 1000.0
 
 
-def _sign_buckets(proj: DataFrame) -> DataFrame:
-    """(vec_id, bucket): the 8-bit sign pattern packed into a BIGINT."""
-    return proj.groupBy("vec_id").agg(
-        F.sum(
-            # shiftleft() needs a literal shift in the Python API; expr form
-            # accepts the column
-            F.when(F.col("dot") > 0, F.expr("shiftleft(1, p)")).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("bucket")
+def _plane_dot(p: int):
+    """dot(plane_p, embedding) with the plane inlined as a LITERAL array —
+    the same sequential zip_with/aggregate fold (and the same operand
+    order: plane first) as the former dot_expr('w', 'embedding') over the
+    generated-at-runtime plane table, so values are bit-identical. Making
+    the planes literals turns bucket assignment from [corpus ⋈ planes →
+    n×8-row groupBy shuffle] into a pure per-row projection: zero joins,
+    zero exchanges (guide §2.4)."""
+    w = F.array(*[F.lit(_plane_weight(p, d)) for d in range(1, DIM + 1)])
+    prods = F.zip_with(
+        F.transform(w, lambda x: x.cast("double")),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        lambda x, y: x * y,
     )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _bucket_from_dots(dcols: list) -> "F.Column":
+    """Pack the 8 projection signs into the BIGINT bucket id. Row-wise
+    integer adds of the same when()-guarded 1<<p terms the former
+    groupBy/sum accumulated — identical values."""
+    b = F.lit(0)
+    for p, d in enumerate(dcols):
+        b = b + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b.cast("bigint")
 
 
 @query("ann_lsh_hyperplane", LSH_ORACLE)
@@ -353,21 +458,32 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on bucket — at 100 TB you'd bucket-
     partition the corpus table so probes prune to one partition, and use
     multi-probe (flip low-margin bits) to recover recall (see
-    ann_lsh_multiprobe)."""
-    buckets = _sign_buckets(_plane_projections(spark, sf_dir))
+    ann_lsh_multiprobe).
+
+    r9 optimization (guide §2.4): the 8 planes are md5-derived constants,
+    so they are inlined as literal arrays and the bucket id becomes a
+    per-row expression — the planes⋈corpus join, the n×8 projection
+    explode, and the groupBy(vec_id) bucket shuffle are all gone (was:
+    2 extra exchanges + 2 joins per side). Values bit-identical (same
+    fold, same operand order; see _plane_weight/_plane_dot)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dots = [_plane_dot(p) for p in range(N_PLANES)]
+    bucket = _bucket_from_dots(dots)
     q = _with_sqn(
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.expr(_QUERY_PRED))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1"))
-        .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id"),
+        emb.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("e1"),
+            bucket.alias("bucket"),
+        ),
         "e1",
         "n1",
     )
     c = _with_sqn(
-        load_table(spark, sf_dir, "embeddings")
-        .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2"))
-        .join(buckets.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-        .withColumnRenamed("bucket", "cbucket"),
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("e2"),
+            bucket.alias("cbucket"),
+        ),
         "e2",
         "n2",
     )
@@ -451,49 +567,52 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0s). In production the
     full-corpus bucket assignment is the LSH *index* — materialized once
     as a bucket-partitioned table and reused across query batches (the
-    real 100 TB answer; per-query cache is the wrong layer)."""
-    proj = _plane_projections(spark, sf_dir)
-    buckets = _sign_buckets(proj)
-    qagg = (
-        proj.filter(F.expr(_QUERY_PRED))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(F.col("dot") > 0, F.expr("shiftleft(1, p)")).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("bucket"),
-            F.array_sort(
-                F.collect_list(F.struct(F.abs("dot").alias("a"), F.col("p").alias("p")))
-            ).alias("near"),
+    real 100 TB answer; per-query cache is the wrong layer).
+
+    r9 optimization (guide §2.4): with the md5-derived planes inlined as
+    literals (see _plane_dot), bucket AND the two flip planes are pure
+    per-row expressions — the planes join, the n×8 projection rows, the
+    full-corpus groupBy(vec_id) bucket shuffle, the query-side groupBy,
+    and both index-attach joins are gone. The 8-element (|dot|, p)
+    array_sort replaces array_sort(collect_list(...)) over the same 8
+    structs — identical contents, identical ordering."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dots = [_plane_dot(p) for p in range(N_PLANES)]
+    bucket = _bucket_from_dots(dots)
+    near = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("a"), F.lit(p).cast("int").alias("p"))
+                for p, d in enumerate(dots)
+            ]
         )
     )
-    probes = qagg.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                F.expr("bucket ^ CAST(shiftleft(1, near[0].p) AS BIGINT)"),
-                F.expr("bucket ^ CAST(shiftleft(1, near[1].p) AS BIGINT)"),
-            )
-        ).alias("probe"),
+    qrow = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("e1"),
+        bucket.alias("bucket"),
+        near.alias("near"),
     )
     q = _with_sqn(
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.expr(_QUERY_PRED))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1"))
-        .join(probes.withColumnRenamed("vec_id", "query_id"), "query_id"),
+        qrow.select(
+            "query_id",
+            "e1",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    F.expr("bucket ^ CAST(shiftleft(1, near[0].p) AS BIGINT)"),
+                    F.expr("bucket ^ CAST(shiftleft(1, near[1].p) AS BIGINT)"),
+                )
+            ).alias("probe"),
+        ),
         "e1",
         "n1",
     )
     c = _with_sqn(
-        load_table(spark, sf_dir, "embeddings")
-        .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e2"))
-        .join(
-            buckets.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(
-                "bucket", "cbucket"
-            ),
-            "cand_id",
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("e2"),
+            bucket.alias("cbucket"),
         ),
         "e2",
         "n2",
@@ -552,27 +671,14 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: seeds are k rows → broadcast; the distance scan is a
     narrow map (k·dim flops per row, whole-stage codegen'd); the argmin
-    is a per-vector window bounded by k. No shuffle touches the corpus
-    except the k-wide expansion, which AQE coalesces. Iterating Lloyd
-    means re-aggregating centroids per cluster (a partial-combinable
-    groupBy) and re-broadcasting — each iteration is one scan."""
+    is a map-side min(struct) aggregate (r9, _nearest_seed — was a
+    per-vector window that shuffled all n×k scored rows). No shuffle
+    touches the corpus except the k-wide expansion, which AQE coalesces.
+    Iterating Lloyd means re-aggregating centroids per cluster (a
+    partial-combinable groupBy) and re-broadcasting — each iteration is
+    one scan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_seed_count(emb))
-        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
-    )
-    diffs = F.zip_with(
-        F.transform(F.col("embedding"), lambda x: x.cast("double")),
-        F.transform(F.col("ce"), lambda x: x.cast("double")),
-        lambda x, y: (x - y) * (x - y),
-    )
-    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
-    )
-    w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    best = _nearest_seed(emb)
     return best.select(
         "vec_id",
         "cluster_id",
@@ -624,30 +730,16 @@ def ann_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; assembling the dense centroid array for the next
     broadcast is a k-row collect. That is the whole scale story of
     distributed k-means: every iteration is one scan + one tiny
-    shuffle."""
+    shuffle.
+
+    r9: the argmin is the map-side min(struct) aggregate of
+    [[_nearest_seed]] with the embedding riding along as payload, so the
+    members⋈embeddings re-join this query used to recover the vectors is
+    gone (one fewer shuffle of the corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_seed_count(emb))
-        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
-    )
-    diffs = F.zip_with(
-        F.transform(F.col("embedding"), lambda x: x.cast("double")),
-        F.transform(F.col("ce"), lambda x: x.cast("double")),
-        lambda x, y: (x - y) * (x - y),
-    )
-    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
-    )
-    w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    members = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cluster_id")
-    )
+    members = _nearest_seed(emb, payload=("embedding",))
     dims = (
-        emb.join(members, "vec_id")
+        members
         .select("cluster_id", F.posexplode("embedding").alias("pos", "v"))
         .select(
             "cluster_id",
@@ -770,30 +862,15 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator deterministic under any execution order. Cosines are the
     bit-identical sequential folds shared with dedup_embedding_cosine."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_seed_count(emb))
-        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
-    )
-    diffs = F.zip_with(
-        F.transform(F.col("embedding"), lambda x: x.cast("double")),
-        F.transform(F.col("ce"), lambda x: x.cast("double")),
-        lambda x, y: (x - y) * (x - y),
-    )
-    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
-    )
-    wm = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    # members feeds three consumers, but a persist is STILL a wash after
-    # the r6 norm precompute (re-measured: localCheckpoint 7.8-8.9s vs
-    # lazy 5.8-7.1s at sf0.1) — the barrier costs more than the
-    # assignment recompute saves, so the plan stays lazy
-    members = (
-        scored.withColumn("rk", F.row_number().over(wm))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cluster_id")
-    )
+    # r9 (guide §2.3/§2.4): the cell assignment is the map-side
+    # min(struct) aggregate of _nearest_seed (was: a row_number window
+    # shuffling all n×k scored rows), with the embedding riding along as
+    # payload so NEITHER pair side re-joins the corpus (was: two
+    # members⋈embeddings hash joins). members still feeds three
+    # consumers lazily; with the window gone the recomputed subtree is
+    # one broadcast-fold scan + map-side agg, which is cheaper than any
+    # materialization barrier (the r6/r9 persist A/Bs both said wash).
+    members = _nearest_seed(emb, payload=("embedding",))
     # squared norm once per vector, not per pair: cos = dot / sqrt(n1*n2)
     # is bit-identical to the inline per-pair form (same fold values),
     # but the in-cell pair scan drops from three 64-element folds to one.
@@ -801,26 +878,29 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE's byte-based coalescing otherwise fuses the whole n^2/k pair
     # scan into one task (see q_knn_graph).
     fan = _pair_fanout(spark)
-    a = members.join(emb, "vec_id").repartition(fan, "cluster_id").select(
+    a = members.repartition(fan, "cluster_id").select(
         "cluster_id",
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
         sq_norm_expr("embedding").alias("n1"),
     )
-    b = members.join(emb, "vec_id").repartition(fan, "cluster_id").select(
+    b = members.repartition(fan, "cluster_id").select(
         F.col("cluster_id").alias("c2"),
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("e2"),
         sq_norm_expr("embedding").alias("n2"),
     )
     cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
+    # no distinct on the removed side: left_anti is set-semantic under
+    # duplicate keys, and the distinct's exchange+agg was pure overhead
     removed = (
         a.join(b, (F.col("cluster_id") == F.col("c2")) & (F.col("v1") < F.col("v2")))
         .filter(cos >= _SEMDEDUP_TAU)
         .select(F.col("v2").alias("vec_id"))
-        .distinct()
     )
-    return members.join(removed, "vec_id", "left_anti")
+    return members.select("vec_id", "cluster_id").join(
+        removed, "vec_id", "left_anti"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1953,35 +2033,20 @@ WHERE x.src < x.dst
 def _knng_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster_id, embedding) under the same deterministic
     k = max(8, ceil(√n/6)) quantizer ann_kmeans_assign uses (smallest-md5 seeds, d² rounded
-    before the argmin so ties cut identically cross-engine)."""
+    before the argmin so ties cut identically cross-engine). r9: the
+    argmin is _nearest_seed's map-side min(struct) aggregate (was a
+    row_number window over all n×k scored rows) with the embedding as
+    payload."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_seed_count(emb))
-        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
-    )
-    diffs = F.zip_with(
-        F.transform(F.col("embedding"), lambda x: x.cast("double")),
-        F.transform(F.col("ce"), lambda x: x.cast("double")),
-        lambda x, y: (x - y) * (x - y),
-    )
-    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-    w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    return (
-        emb.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "cluster_id", "embedding", F.round(d2, 6).alias("d2"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+    return _nearest_seed(emb, payload=("embedding",)).select(
+        "vec_id",
+        "cluster_id",
+        "embedding",
         # squared norm computed ONCE per vector here (and materialized by
         # the caller's localCheckpoint) instead of per candidate pair —
         # cos = dot / sqrt(n1*n2) is bit-identical to the inline form,
         # but the pair stage runs one 64-element fold instead of three
-        .select(
-            "vec_id",
-            "cluster_id",
-            "embedding",
-            sq_norm_expr("embedding").alias("sqn"),
-        )
+        sq_norm_expr("embedding").alias("sqn"),
     )
 
 
@@ -2003,10 +2068,9 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     past a size cap (k-means on the cell's members), not by salting,
     because the semantics are per-cell. Cosine is rounded to 6dp BEFORE
     ranking so no cross-engine tie can cut the top-k differently."""
-    # The cell frame feeds both sides of the pair join, and the directed
-    # top-k below feeds both sides of the mutuality self-join — without
-    # materialization the assignment subtree executes 4x and the pair
-    # scoring 2x (measured: over half this query's wall time).
+    # The cell frame feeds both sides of the pair join — without
+    # materialization the assignment subtree executes twice (and at scale
+    # re-reads the corpus twice).
     cell = _knng_cells(spark, sf_dir).localCheckpoint(eager=True)
     # The checkpoint scan reports no partitioning, so the pair join's
     # exchanges are ENSURE_REQUIREMENTS and AQE coalesced them to ONE
@@ -2027,29 +2091,47 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sqn").alias("n2"),
     )
     cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
-    scored = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst", F.round(cos, 6).alias("cos6"))
-    )
+    # r9 (guide §2.3): each unordered pair is scored ONCE (src < dst) and
+    # mirrored with a 2-element explode — the 64-element fold count
+    # halves. Cosine is direction-symmetric bit-for-bit (the per-index
+    # double multiply commutes and the accumulation order is unchanged),
+    # so both directed rows carry exactly the value the former
+    # double-sided join computed for them.
+    half = a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst", F.round(cos, 6).alias("cos6"))
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("e"),
+        "cos6",
+    ).select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"), "cos6")
     w = W.partitionBy("src").orderBy(F.col("cos6").desc(), F.col("dst"))
     directed = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _KNNG_K)
         .select("src", "dst", "cos6")
-        .localCheckpoint(eager=True)  # n*k rows; read twice below
     )
-    x, y = directed.alias("x"), directed.alias("y")
+    # r9 (guide §2.4): mutuality as ONE map-side-combinable aggregate on
+    # the canonical (lo, hi) pair instead of the directed⋈directed
+    # self-join (2 exchanges + an eager localCheckpoint barrier → 1
+    # exchange, no barrier): the window emits each directed pair at most
+    # once, so an undirected edge is mutual iff its canonical pair has
+    # exactly 2 directed rows; both rows carry the identical cos6, so
+    # min() is the same value the self-join projected from the x side.
+    canon = directed.select(
+        F.least("src", "dst").alias("v1"),
+        F.greatest("src", "dst").alias("v2"),
+        "cos6",
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.src") == F.col("y.dst")) & (F.col("x.dst") == F.col("y.src")),
-        )
-        .filter(F.col("x.src") < F.col("x.dst"))
-        .select(
-            F.col("x.src").alias("v1"),
-            F.col("x.dst").alias("v2"),
-            F.round(F.col("x.cos6"), 3).alias("cosine"),
-        )
+        canon.groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("cos6").alias("_c"))
+        .filter(F.col("_n") == 2)
+        .select("v1", "v2", F.round("_c", 3).alias("cosine"))
     )
 
 
@@ -3376,34 +3458,48 @@ def q_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives 100 TB. Complements [[q_cluster_purity]], which needs
     labels; silhouette is label-free.
 
-    Scale: broadcast k seeds, one narrow distance scan (k·dim flops per
-    row), per-vector rank window bounded by k, then a map-side-
-    combinable groupBy(cluster). Per-point scores are rounded to
-    integer micro-units before summation so the per-cluster mean is
+    Scale: one narrow distance scan (k·dim flops per row); r9: the seeds
+    are inlined as literals (_seed_d2_structs) so the smallest and
+    second-smallest (d2, cluster_id) pairs per vector come from a
+    per-row slice(array_sort(...), 1, 2) — the same (d2, cluster_id)
+    lexicographic order as the former rank window's ORDER BY, so rk=1
+    and lead(d2) fall out of slots 0 and 1 identically — with zero
+    joins, zero exchanges before the final map-side-combinable
+    groupBy(cluster). Per-point scores are rounded to integer
+    micro-units before summation so the per-cluster mean is
     partition-order independent."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_seed_count(emb))
-        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("ce"))
-    )
-    diffs = F.zip_with(
-        F.transform(F.col("embedding"), lambda x: x.cast("double")),
-        F.transform(F.col("ce"), lambda x: x.cast("double")),
-        lambda x, y: (x - y) * (x - y),
-    )
-    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
-    )
-    w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    ranked = scored.select(
-        "vec_id",
-        "cluster_id",
-        "d2",
-        F.row_number().over(w).alias("rk"),
-        F.lead("d2").over(w).alias("d2_next"),
-    ).filter(F.col("rk") == 1)
+    structs = _seed_d2_structs(emb)
+    if structs is not None:
+        t2 = F.slice(F.array_sort(F.array(*structs)), 1, 2)
+        ranked = emb.select(
+            "vec_id",
+            t2[0]["cluster_id"].alias("cluster_id"),
+            t2[0]["d2"].alias("d2"),
+            t2[1]["d2"].alias("d2_next"),
+        )
+    else:
+        seeds = _md5_seeds(emb)
+        diffs = F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.transform(F.col("ce"), lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        )
+        d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+        scored = emb.crossJoin(F.broadcast(seeds)).select(
+            "vec_id", "cluster_id", F.round(d2, 6).alias("d2")
+        )
+        two = scored.groupBy("vec_id").agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("d2", "cluster_id"))), 1, 2
+            ).alias("t2")
+        )
+        ranked = two.select(
+            "vec_id",
+            F.col("t2")[0]["cluster_id"].alias("cluster_id"),
+            F.col("t2")[0]["d2"].alias("d2"),
+            F.col("t2")[1]["d2"].alias("d2_next"),
+        )
     a, b = F.sqrt("d2"), F.sqrt("d2_next")
     s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
         (b - a) / F.greatest(a, b)
