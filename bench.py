@@ -16,7 +16,7 @@ import sys
 import time
 
 from debezium_cdc_kafka_spark import registry
-from debezium_cdc_kafka_spark.session import get_spark
+from debezium_cdc_kafka_spark.session import get_spark, release_persisted
 
 # Headline set: one per operator family, weighted toward the shuffling /
 # joining plans that dominate at scale. Extended as operator phases land.
@@ -107,10 +107,10 @@ def main(argv: list[str] | None = None) -> int:
         found = [n for n in set_names if n in queries]
         for name in found:
             queries[name](spark, "/root/testdata/sf0.001").count()
-        spark.catalog.clearCache()
+        release_persisted(spark)
         for name in found:
             queries[name](spark, sf_dir).count()
-            spark.catalog.clearCache()
+            release_persisted(spark)
         for name in found:
             samples: list[float] = []
             for _ in range(n_reps):
@@ -118,7 +118,7 @@ def main(argv: list[str] | None = None) -> int:
                 df = queries[name](spark, sf_dir)
                 n = df.count()
                 samples.append(time.perf_counter() - t0)
-                spark.catalog.clearCache()
+                release_persisted(spark)
             times[name] = round(min(samples), 3)
             medians[name] = round(statistics.median(samples), 3)
             print(
@@ -158,6 +158,13 @@ def main(argv: list[str] | None = None) -> int:
                 "reps": reps,
                 "reps_extended": ext_reps,
                 "notes": (
+                    "r9 measurement-hygiene fix (guide §1): the between-rep "
+                    "cleanup now also unpersists pinned localCheckpoint "
+                    "blocks (session.release_persisted) - clearCache() alone "
+                    "leaked them, so rep N's checkpoint blocks taxed rep N+1 "
+                    "(and earlier queries taxed later ones). Cleanup is "
+                    "OUTSIDE the timed region; the timed work per rep is "
+                    "unchanged. "
                     "CANONICAL timing source for round-over-round deltas "
                     "(incl. the 5 extended entries): this file; value = sum "
                     "of per-query MIN over `reps` timed reps (r8: default "

@@ -112,18 +112,30 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outdeg = pairs.groupBy("src").agg(F.sum("w").alias("deg"))
-    # The edge frame feeds every iteration: checkpoint once so the heavy
-    # self-join+agg subtree is computed once, not _ITERS times, and rank
-    # lineage does not grow a copy of it per round.
-    edges = pairs.join(outdeg, "src").localCheckpoint(eager=True)
+    # r9 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the edge frame is persisted HASH-PARTITIONED ON src
+    # (persist preserves outputPartitioning; the former localCheckpoint's
+    # LogicalRDD reported none, so EVERY iteration re-exchanged the edges
+    # — the plan showed Exchange over Scan ExistingRDD per round). The
+    # rank vector keeps hash(node) partitioning through the loop for the
+    # same reason, so the per-iteration joins need no exchange on either
+    # pre-partitioned side; only the contribution aggregate and the tiny
+    # rank vector move.
+    fan = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = pairs.join(outdeg, "src").repartition(fan, "src").persist()
+    edges.count()  # materialize once (the former eager checkpoint's job)
     n_nodes = part.count()
+    part_p = part.repartition(fan, "node").persist()
     base9 = round((1 - _DAMP) * _SCALE / n_nodes)
-    ranks = part.select(
+    ranks = part_p.select(
         "node", F.lit(round(_SCALE / n_nodes)).cast("long").alias("r9")
     )
     for it in range(_ITERS):
+        # shuffle_hash: build on the tiny rank vector, stream the edges —
+        # sort-merge re-SORTED the persisted edge partitions every
+        # iteration (the partitions are cached, their sort order is not).
         contrib = (
-            ranks.join(edges, ranks.node == edges.src)
+            ranks.hint("shuffle_hash").join(edges, ranks.node == edges.src)
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("r9").cast("double") * F.col("w") / F.col("deg"))
@@ -133,7 +145,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c9").alias("s9"))
         )
-        ranks = part.join(contrib, "node", "left").select(
+        ranks = part_p.join(contrib, "node", "left").select(
             "node",
             (
                 F.lit(base9).cast("long")
@@ -141,9 +153,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r9"),
         )
         # Bound plan/lineage depth (same hygiene as dedup_clusters /
-        # graph_kcore): flatten every 2 rounds, values unchanged.
+        # graph_kcore): flatten every 2 rounds, values unchanged. persist
+        # + eager count instead of localCheckpoint so hash(node)
+        # partitioning survives the flatten.
         if (it + 1) % 2 == 0 and (it + 1) < _ITERS:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.persist()
+            ranks.count()
     return ranks.select(
         F.col("node").alias("p_partkey"),
         F.round(F.col("r9") / float(_SCALE), 6).alias("pagerank"),
@@ -317,11 +332,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_first = (F.col("dgx") < F.col("dgy")) | (
         (F.col("dgx") == F.col("dgy")) & (F.col("x") < F.col("y"))
     )
+    # r9: persist the oriented edges HASH-PARTITIONED ON src — both wedge
+    # sides then read the cache with the join's required partitioning, so
+    # the wedge self-join adds NO exchange (was: two exchanges of the
+    # same frame; persist alone reported its scan partitioning but each
+    # side re-shuffled because the per-side aliases below the exchange
+    # made the subtrees differ).
+    fan = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = keyed.select(
         F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
         F.when(x_first, F.col("dgy")).otherwise(F.col("dgx")).alias("dgd"),
-    ).persist()
+    ).repartition(fan, "src").persist()
     ea = e.select("src", F.col("dst").alias("u"), F.col("dgd").alias("du"))
     eb = e.select("src", F.col("dst").alias("w"), F.col("dgd").alias("dw"))
     wedges = (
@@ -333,7 +355,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("v"), "u", "w")
     )
     closing = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["u", "w"]).select("u", "v", "w")
+    # r9 (guide §3.1): the closing join streams the O(m^1.5) wedge frame
+    # against the O(m) edge set — shuffle_hash builds the hash table on
+    # the EDGE side and never sorts the wedges (sort-merge sorted the
+    # biggest intermediate in the query for no benefit).
+    tri = wedges.join(closing.hint("shuffle_hash"), ["u", "w"]).select(
+        "u", "v", "w"
+    )
     corners = (
         tri.select(F.col("u").alias("node"))
         .unionAll(tri.select(F.col("v").alias("node")))
@@ -525,21 +553,38 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    # r9: persist the pair frame hash-partitioned on src (was: an eager
+    # localCheckpoint whose LogicalRDD reported no partitioning AND
+    # unknown size, so every round re-exchanged the pairs twice and
+    # sort-merge-joined the tiny alive set). With hash(src) preserved,
+    # the per-round degree aggregate needs NO exchange at all, and the
+    # alive set — bounded by the part-catalog node count — is broadcast
+    # into both membership joins (same bound class as the DBSCAN/banded
+    # ε-verify: a node set ≤ 2M rows; past that the pre-r9 shuffle shape
+    # is the right one anyway, see _VERIFY_BROADCAST_MAX in dedup.py).
+    fan = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pairs = (
         a.join(b, "ok")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(fan, "src")
+        .persist()
     )
+    pairs.count()  # materialize once (the former eager checkpoint's job)
+    small_nodes = part.count() <= 2_000_000
     deg0 = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg0")).select(
         F.col("src").alias("node"), "deg0"
     )
     alive = deg0.select("node")
     for _ in range(_KCORE_ROUNDS):
+        a_src = alive.withColumnRenamed("node", "src")
+        a_dst = alive.withColumnRenamed("node", "dst")
+        if small_nodes:
+            a_src, a_dst = F.broadcast(a_src), F.broadcast(a_dst)
         alive = (
-            pairs.join(alive.withColumnRenamed("node", "src"), "src")
-            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            pairs.join(a_src, "src")
+            .join(a_dst, "dst")
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= _KCORE_K)

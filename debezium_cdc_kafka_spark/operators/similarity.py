@@ -878,17 +878,25 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE's byte-based coalescing otherwise fuses the whole n^2/k pair
     # scan into one task (see q_knn_graph).
     fan = _pair_fanout(spark)
-    a = members.repartition(fan, "cluster_id").select(
+    # r9: BOTH pair sides read one repartition of an IDENTICAL frame and
+    # rename columns only ABOVE the exchange — the two exchange subtrees
+    # are then bit-identical, so ReuseExchange materializes the
+    # assignment+shuffle once instead of twice (was: per-side aliasing
+    # below the exchange made the children differ and defeated reuse).
+    m = members.select(
+        "cluster_id", "vec_id", "embedding", sq_norm_expr("embedding").alias("sqn")
+    ).repartition(fan, "cluster_id")
+    a = m.select(
         "cluster_id",
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
-        sq_norm_expr("embedding").alias("n1"),
+        F.col("sqn").alias("n1"),
     )
-    b = members.repartition(fan, "cluster_id").select(
+    b = m.select(
         F.col("cluster_id").alias("c2"),
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("e2"),
-        sq_norm_expr("embedding").alias("n2"),
+        F.col("sqn").alias("n2"),
     )
     cos = dot_expr("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     # no distinct on the removed side: left_anti is set-semantic under
@@ -2078,13 +2086,17 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not). _pair_fanout pins the join-key exchange instead — measured
     # 4.3 s -> 1.5 s for this stage at sf0.1, values bit-identical.
     fan = _pair_fanout(spark)
-    a = cell.repartition(fan, "cluster_id").select(
+    # r9: one repartition, renamed ABOVE the exchange on each side, so the
+    # two exchange subtrees are identical and ReuseExchange shuffles the
+    # cell frame once (see semdedup_survivors).
+    m = cell.repartition(fan, "cluster_id")
+    a = m.select(
         F.col("vec_id").alias("src"),
         F.col("cluster_id").alias("ca"),
         F.col("embedding").alias("e1"),
         F.col("sqn").alias("n1"),
     )
-    b = cell.repartition(fan, "cluster_id").select(
+    b = m.select(
         F.col("vec_id").alias("dst"),
         F.col("cluster_id").alias("cb"),
         F.col("embedding").alias("e2"),

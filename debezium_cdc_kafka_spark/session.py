@@ -75,7 +75,33 @@ def get_spark(
         # stage metrics (tools/gen_plans_report.py) opt in via ui=True
         .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # r9 (guide §6): floor scan parallelism at the core count — the
+        # sf0.1 fact tables are single small parquet files, so without
+        # the floor their scans (and everything fused into the scan
+        # stage: JSON encode, md5, folds) ran as ONE task on a 32-core
+        # box (e.g. pagerank's 2.3 s single-task exchange-write stage).
+        # Scale-adaptive by construction: the floor tracks
+        # $SPARK_GRAFT_CPUS locally and executor count on a cluster;
+        # actual splits still respect parquet row-group boundaries.
+        .config("spark.sql.files.minPartitionNum", str(n))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_persisted(spark: SparkSession) -> None:
+    """Free cached tables AND pinned RDD blocks (localCheckpoint output).
+
+    `catalog.clearCache()` only drops SQL-cache entries; the blocks behind
+    `localCheckpoint(eager=True)` stay pinned in the BlockManager until the
+    DataFrame is garbage-collected on the driver, which Python's lazy GC can
+    defer indefinitely. A 295-query sweep accumulates hundreds of such
+    blocks; the resulting memory pressure measurably degrades later queries
+    (r9: ann_pq_adc read 64 s mid-sweep vs 5.1 s isolated — same code, same
+    data). Harnesses call this BETWEEN timed regions, so the timing
+    methodology is unchanged; it just stops query N's leftovers from taxing
+    query N+1."""
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()

@@ -19,7 +19,7 @@ import urllib.request
 sys.path.insert(0, ".")
 
 from debezium_cdc_kafka_spark import registry  # noqa: E402
-from debezium_cdc_kafka_spark.session import get_spark  # noqa: E402
+from debezium_cdc_kafka_spark.session import get_spark, release_persisted  # noqa: E402
 
 
 def main() -> int:
@@ -30,12 +30,12 @@ def main() -> int:
     q = registry.all_queries()[name]
 
     q(spark, "/root/testdata/sf0.001").count()  # codegen warm-up
-    spark.catalog.clearCache()
+    release_persisted(spark)
 
     sc = spark.sparkContext
     times = []
     for i in range(reps):
-        spark.catalog.clearCache()
+        release_persisted(spark)
         t0 = time.time()
         sc.setJobGroup(f"rep{i}", name)
         q(spark, sf_dir).count()

@@ -45,7 +45,7 @@ from debezium_cdc_kafka_spark.diskguard import (  # noqa: E402
     SpillWatchdog,
     preflight,
 )
-from debezium_cdc_kafka_spark.session import get_spark  # noqa: E402
+from debezium_cdc_kafka_spark.session import get_spark, release_persisted  # noqa: E402
 
 
 def main() -> int:
@@ -199,7 +199,7 @@ def main() -> int:
                 print(f"ERROR {name}: {e}", file=sys.stderr)
         scratch_mb[name] = round(wd.peak_scratch_bytes / 2**20, 1)
         _dump()
-        spark.catalog.clearCache()
+        release_persisted(spark)
 
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
     total = sum(t for _, t in ranked if t > 0)
