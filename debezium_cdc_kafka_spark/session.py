@@ -75,15 +75,13 @@ def get_spark(
         # stage metrics (tools/gen_plans_report.py) opt in via ui=True
         .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # r9 (guide §6): floor scan parallelism at the core count — the
-        # sf0.1 fact tables are single small parquet files, so without
-        # the floor their scans (and everything fused into the scan
-        # stage: JSON encode, md5, folds) ran as ONE task on a 32-core
-        # box (e.g. pagerank's 2.3 s single-task exchange-write stage).
-        # Scale-adaptive by construction: the floor tracks
-        # $SPARK_GRAFT_CPUS locally and executor count on a cluster;
-        # actual splits still respect parquet row-group boundaries.
-        .config("spark.sql.files.minPartitionNum", str(n))
+        # r9 note (guide §6): a spark.sql.files.minPartitionNum floor at
+        # the core count was A/B-tested and REJECTED — it parallelizes the
+        # few fused-scan-heavy stages (q01/q06/pagerank ~10% faster) but
+        # taxes the many sub-second queries with 32-way task overhead
+        # (setops/sessionize/cdc_final_state +15–30%, bracketed off/on/off
+        # runs). The 100 TB answer is file layout (many ≥128 MB files),
+        # not a split floor on one small file.
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
