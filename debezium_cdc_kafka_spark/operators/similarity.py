@@ -987,6 +987,147 @@ FROM adc QUALIFY rk <= {_PQ_TOPK}
 """
 
 
+def _pq_sub_elem(j, i: int) -> "F.Column":
+    """Double coord i of subspace j (j may be a lambda-variable Column).
+    element_at is 1-based, so j*_PQ_SUB+i+1 equals element i of the
+    former slice(arr, j*_PQ_SUB+1, _PQ_SUB); casting the float AFTER
+    extraction equals the former transform-then-slice cast."""
+    return F.element_at(
+        F.col("embedding"), (j * _PQ_SUB + i + 1).cast("int")
+    ).cast("double")
+
+
+def _pq_fold_d2(j, base) -> "F.Column":
+    """Squared L2 between subspace j of `embedding` and the _PQ_SUB
+    literal-array coords starting at 0-based offset `base` — bit-identical
+    to the former zip_with/aggregate fold ((0.0 + sq₀) + sq₁ + …):
+    0.0 + x == x for every square (squares are never -0.0), and the
+    left-to-right additions below are the same accumulation order.
+    `base` points into a flat literal centroid array column."""
+
+    def at(arr, k):
+        return F.element_at(arr, (k + 1).cast("int"))
+
+    def build(arr):
+        d2 = None
+        for i in range(_PQ_SUB):
+            sq_e = _pq_sub_elem(j, i) - at(arr, base + i)
+            sq = sq_e * sq_e
+            d2 = sq if d2 is None else d2 + sq
+        return d2
+
+    return build
+
+
+def _pq_argmin(j, d2_of, present_of=None) -> "F.Column":
+    """Index (0-based) of the argmin candidate for subspace j: a strict
+    '<' left fold over candidates in ASCENDING cidx order. Candidate
+    order is ascending cid (the literal arrays are sorted by cid), so
+    first-wins-on-tie == the former min_by(cid, struct(d2, cid)) /
+    ORDER BY d2, cid tie cut. `present_of(c)` masks codebook slots that
+    won no initial argmin (the sparse-cent rule: argmin semantics must
+    not see phantom centroids)."""
+
+    def step(acc, c):
+        better = d2_of(c) < acc["d2"]
+        if present_of is not None:
+            better = present_of(c) & better
+        return F.when(
+            better,
+            F.struct(d2_of(c).alias("d2"), c.cast("int").alias("ci")),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+        F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("ci")),
+        step,
+    )["ci"]
+
+
+def _pq_codebook(emb: DataFrame) -> tuple:
+    """The PQ codebook, collected at plan-build time (r10, guide §2.4 —
+    the same bounded-driver-reduction pattern as _seed_d2_structs and the
+    LSH literal planes; both collects are O(_PQ_K) / O(_PQ_M·_PQ_K) rows
+    regardless of corpus size, so the pattern holds at 100 TB).
+
+    Job 1 (TakeOrdered, _PQ_K = 32 rows): the md5-ordered seed draw.
+    Job 2 (one corpus scan + a ≤ M·K-group aggregate): the Lloyd step —
+    every vector's per-subspace argmin against the LITERAL seed array is
+    a pure row expression (no n×M×K encode frame, no n×M argmin
+    shuffle, no codes⋈emb join; the former plan's three widest encode
+    structures), the member means per (subspace, code) partial-aggregate
+    map-side to ≤ M·K rows per task, and the group COUNTs ride along so
+    the corpus size needs no separate emb.count() job (every vector
+    contributes exactly one code to subspace 0, so n = Σ cnt at j == 0).
+    The seed/centroid data rides as FLAT array literals (single Literal
+    nodes) folded with higher-order functions, keeping the expression
+    tree O(1) — the per-(j,seed) inline expansion was a 12.8 MiB task
+    binary that also broke whole-stage codegen.
+
+    Value identity: d2 is the same (0.0+sq₀)+sq₁ fold over the same
+    doubles rounded to 6dp before the argmin; the argmin is a strict-<
+    ascending-cid fold == min_by(cid, struct(d2, cid)); the means are
+    the same Spark avg(double) the former lazy tree computed, rounded to
+    6dp exactly as before.
+
+    Returns (sorted_cids, cent, n): cent maps (j, cid) → refined
+    centroid coords; (j, cid) slots that won no argmin are absent,
+    exactly like the former sparse `cent` frame."""
+    seed_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .collect()
+    )
+    seeds = sorted(
+        ((r["cid"], [float(v) for v in r["ce"]]) for r in seed_rows),
+        key=lambda t: t[0],
+    )
+    sorted_cids = [cid for cid, _ in seeds]
+    # flat K×64 literal: seed c's dim d at offset c*64 + d
+    sflat = F.lit([v for _, ce in seeds for v in ce])
+
+    def seed_d2(j):
+        return lambda c: F.round(
+            _pq_fold_d2(j, c * (_PQ_SUB * _PQ_M) + j * _PQ_SUB)(sflat), 6
+        )
+
+    g = emb.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    _pq_argmin(j, seed_d2(j)).alias("ci"),
+                    *[
+                        _pq_sub_elem(j, i).alias(f"s{i}")
+                        for i in range(_PQ_SUB)
+                    ],
+                ),
+            )
+        ).alias("g")
+    )
+    cent_rows = (
+        g.groupBy(F.col("g.j").alias("j"), F.col("g.ci").alias("ci"))
+        .agg(
+            *[
+                F.round(F.avg(f"g.s{i}"), 6).alias(f"c{i}")
+                for i in range(_PQ_SUB)
+            ],
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    cent = {
+        (r["j"], sorted_cids[r["ci"]]): tuple(
+            float(r[f"c{i}"]) for i in range(_PQ_SUB)
+        )
+        for r in cent_rows
+    }
+    n = sum(r["cnt"] for r in cent_rows if r["j"] == 0)
+    return sorted_cids, cent, n
+
+
 @query("ann_pq_adc", PQ_ORACLE)
 def ann_pq_adc(
     spark: SparkSession, sf_dir: str, _topk_mode: str | None = None
@@ -1016,159 +1157,86 @@ def ann_pq_adc(
 
     Scale shape: this is the memory story of billion-scale ANN - codes
     are {_PQ_M} bytes per vector (vs 256 bytes raw), so the candidate
-    scan reads 30x less. The encode pass expands each vector by
-    {_PQ_M}x{_PQ_K} inside one codegen'd stage (codebook broadcast, argmin
-    via a min_by partial aggregate that collapses K->1 map-side, so the
-    shuffle carries n*{_PQ_M} rows); the search joins codes against the broadcast
-    distance table on (subspace, code) - narrow ints - and the per-pair
-    {_PQ_M}-row sum is partial-aggregatable. In production the codes are
-    materialized once and reused per query batch; IVF cells
-    ([[ann_ivf_topk]]) would prune the scan on top (IVF-PQ/FAISS)."""
+    scan reads 30x less. r10 (guide §2.4, VERDICT r9 item 1): the
+    codebook is bounded (_PQ_M x _PQ_K = 1024 2-d centroids, constant in
+    corpus size), so it is trained at plan-build time — the per-subspace
+    argmin against the LITERAL seeds is a pure row expression, the Lloyd
+    member means reduce map-side to <= 1024 partial rows, and the 1024
+    refined centroids fold back to the driver and are re-inlined as
+    literals (see _pq_codebook; the same §2.4 pattern as the k-means
+    _seed_d2_structs and the LSH literal planes). Encoding and the query
+    distance table are then pure per-row projections: the former
+    n*{_PQ_M}*{_PQ_K}-row encode frames, BOTH n*{_PQ_M}-row argmin
+    shuffles, the codes⋈emb Lloyd join, the codes_arr/qtab pivot
+    shuffles, and the separate emb.count() job are all gone — the timed
+    plan is one codebook-train scan plus one encode scan feeding the
+    broadcast ADC join. In production the codes are materialized once
+    and reused per query batch; IVF cells ([[ann_ivf_topk]]) would prune
+    the scan on top (IVF-PQ/FAISS)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_PQ_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    )
-    sub_j = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+    sorted_cids, cent, n = _pq_codebook(emb)
+    # flat M*K literal codebook: slot (j, cidx) coords at (j*K + cidx)*SUB;
+    # absent (sparse-cent) slots hold 0.0 fillers behind a False mask
+    cflat_vals, pmask_vals = [], []
+    for j in range(_PQ_M):
+        for cid in sorted_cids:
+            ce = cent.get((j, cid))
+            pmask_vals.append(ce is not None)
+            cflat_vals.extend(ce if ce is not None else (0.0,) * _PQ_SUB)
+    cflat, pmask = F.lit(cflat_vals), F.lit(pmask_vals)
 
-    def _sub_d2(vec: str):
-        dv = F.slice(
-            F.transform(F.col(vec), lambda x: x.cast("double")),
-            F.col("j") * _PQ_SUB + 1,
-            F.lit(_PQ_SUB),
-        )
-        dc = F.slice(
-            F.transform(F.col("ce"), lambda x: x.cast("double")),
-            F.col("j") * _PQ_SUB + 1,
-            F.lit(_PQ_SUB),
-        )
-        sq = F.zip_with(dv, dc, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
-
-    def _subvec(vec: str):
-        return F.slice(
-            F.transform(F.col(vec), lambda x: x.cast("double")),
-            F.col("j") * _PQ_SUB + 1,
-            F.lit(_PQ_SUB),
+    def cent_d2(j):
+        return lambda c: F.round(
+            _pq_fold_d2(j, (j * _PQ_K + c) * _PQ_SUB)(cflat), 6
         )
 
-    def _sub_d2c(vec: str):
-        sq = F.zip_with(_subvec(vec), F.col("ce8"), lambda x, y: (x - y) * (x - y))
-        return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    def present(j):
+        return lambda c: F.element_at(pmask, (j * _PQ_K + c + 1).cast("int"))
 
-    enc0 = (
-        emb.select("vec_id", "embedding", sub_j)
-        .join(F.broadcast(seeds))
-        .select("vec_id", "j", "cid", F.round(_sub_d2("embedding"), 6).alias("d2"))
+    # re-encode against the refined LITERAL codebook: carr[j] = cidx of
+    # the argmin code for subspace j. Only slots present in the sparse
+    # `cent` compete (the former sparse-cent crossJoin rule), and the
+    # ascending-cidx strict-< fold reproduces the min_by (d2, cid) tie
+    # cut (cidx order IS cid order).
+    carr = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda j: _pq_argmin(j, cent_d2(j), present(j)),
     )
-    # argmin via min_by over a (d2, cid) struct, not a row_number window
-    # (r7): the encode frame is n*M*K rows, and all K candidate rows of a
-    # (vec, j) group are produced in the SAME task (explode + broadcast),
-    # so min_by's partial aggregate collapses K->1 map-side and the
-    # shuffle carries n*M rows instead of n*M*K — the window form
-    # shuffled all 131M rows at x64. Same winner: lexicographic struct
-    # order == orderBy(d2, cid) rank 1.
-    def _argmin_code(enc_frame):
-        return (
-            enc_frame.groupBy("vec_id", "j")
-            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("code"))
-        )
+    codes_arr = emb.select("vec_id", carr.alias("carr"))
 
-    codes0 = _argmin_code(enc0)
-    # one Lloyd step: (subspace, code) centroid <- mean of member subvectors
-    # The refined codebook is M×K rows and feeds two broadcast consumers
-    # (re-encode + query distance table). The static plan duplicates the
-    # train subtree, but AQE reuses the broadcast at runtime
-    # (executed-plan audit) — an eager checkpoint measured SLOWER
-    # (4.8-5.2s → 5.9-9.4s at sf0.1, barrier cost with no reuse to buy),
-    # so the codebook stays lazy.
-    cent = (
-        codes0.join(emb, "vec_id")
-        .withColumn("sub", _subvec("embedding"))
-        .groupBy("j", F.col("code").alias("cid"))
-        .agg(*[F.round(F.avg(F.col("sub")[i]), 6).alias(f"c{i}") for i in range(_PQ_SUB)])
-        .select("j", "cid", F.array(*[f"c{i}" for i in range(_PQ_SUB)]).alias("ce8"))
-    )
-    enc = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "j", "cid", F.round(_sub_d2c("embedding"), 6).alias("d2")
-    )
-    codes = _argmin_code(enc)
-    seed_idx = seeds.select("cid").withColumn(
-        "cidx", F.row_number().over(W.orderBy("cid")) - 1
-    )
-    # The query distance table must be STRUCTURALLY DENSE over all M*K
-    # (subspace, seed) slots (r8, ADVICE): `cent` only holds (j, cid)
-    # pairs that won >=1 argmin in codes0, and seeds CAN lose everywhere
-    # (two seeds with 1e-6-identical subvectors tie; the higher cid never
-    # wins). qarr below is indexed POSITIONALLY as j*K + cidx, so a
-    # missing slot would shift every later entry and silently corrupt
-    # distances. Left-joining the full seeds x subspaces grid fills
-    # absent slots with sentinel 0 — safe because a slot absent from
-    # `cent` can never be a candidate's code (codes are argmins against
-    # `cent`), so sentinel slots are never read; they only keep the
-    # array aligned. The encode passes (enc/enc0) keep the SPARSE cent:
-    # argmin semantics must not see phantom centroids.
-    cent_dense = (
-        F.broadcast(seed_idx)
-        .crossJoin(
-            spark.range(_PQ_M).select(F.col("id").cast("int").alias("j"))
-        )
-        .join(F.broadcast(cent), ["j", "cid"], "left")
-    )
-    qd = (
-        emb.filter(F.expr(_QUERY_PRED))
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-        .crossJoin(F.broadcast(cent_dense))
-        .select(
-            "query_id",
-            (F.col("j") * _PQ_K + F.col("cidx")).alias("k"),
-            F.when(F.col("ce8").isNull(), F.lit(0))
-            .otherwise(F.round(_sub_d2c("embedding") * 1000000))
-            .cast("long")
-            .alias("qd6"),
-        )
-    )
-    # ADC as an array fold, not a row join (r7, found by the x64 sweep):
-    # the earlier form joined codes against qd on (subspace, code) and
-    # partial-aggregated — one ROW per (candidate, query, subspace), i.e.
-    # q*n*M rows = 5.2 BILLION at x64, 32x the bruteforce pair count and
-    # 16x slower than the exact scan PQ exists to beat (1160s vs 71s).
-    # Pivoting codes to a 32-byte array per vector and the query table to
-    # a 1024-entry array per query makes the join one row per
-    # (candidate, query) with an M-lookup in-row fold — the actual ADC
-    # memory story. Values are the identical integer sums (oracle and
-    # output hash unchanged); measured x64: 1160s -> see SCALE.md r7.
-    codes_arr = (
-        codes.join(F.broadcast(seed_idx), codes.code == seed_idx.cid)
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "cidx"))),
-                lambda x: x["cidx"],
-            ).alias("carr")
-        )
-    )
-    # dense by construction: exactly M*K structs per query, k = 0..M*K-1
-    qtab = qd.groupBy("query_id").agg(
+    # Query distance table, STRUCTURALLY DENSE over all M*K slots (r8,
+    # ADVICE): qarr is indexed positionally as j*K + cidx, so slots
+    # absent from the sparse codebook emit sentinel 0 — safe because an
+    # absent slot can never be a candidate's code (codes are argmins
+    # against `cent`), so sentinel slots are never read; they only keep
+    # the array aligned. flatten(j-major, then cidx) == k = j*K + cidx.
+    qarr = F.flatten(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("k", "qd6"))),
-            lambda x: x["qd6"],
-        ).alias("qarr")
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                lambda c: F.when(
+                    present(j)(c),
+                    F.round(
+                        _pq_fold_d2(j, (j * _PQ_K + c) * _PQ_SUB)(cflat)
+                        * 1000000
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        )
     )
-    n = emb.count()  # scalar for the topk-mode engage rule
+    qtab = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), qarr.alias("qarr")
+    )
     mode = _topk_mode or _pq_topk_mode(n)
     if mode == "twopass":
-        # Pin the float-aggregation subtrees (r9, ADVICE): twopass
-        # executes the lazy ADC tree TWICE (threshold pass + filter
-        # pass), and the Lloyd-step centroid avg is a float agg whose
-        # partial-agg order can differ between executions — adc6 could
-        # flip at the rounding boundary between passes. Checkpointing
-        # the SMALL inputs (codes_arr: n rows of 32-byte code arrays;
-        # qtab: n/100 rows of 1024-long arrays) freezes every float
-        # upstream, so both passes fold identical integers; the huge
-        # pair frame itself stays unmaterialized, which is the whole
-        # point of twopass.
+        # twopass executes the lazy ADC tree TWICE (threshold pass +
+        # filter pass). With the codebook frozen as literals both passes
+        # fold identical integers by construction (the r9 float-parity
+        # hazard is gone), so the checkpoints are now purely a SCAN
+        # economy: codes_arr pins n rows of {_PQ_M}-byte code arrays —
+        # 30x narrower than the corpus — so pass 2 re-reads those
+        # instead of re-scanning and re-encoding the full corpus.
         codes_arr = codes_arr.localCheckpoint(eager=True)
         qtab = qtab.localCheckpoint(eager=True)
     adc = (
